@@ -1,0 +1,105 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All reference aggregations are sums/counts computed imperatively in JS; here
+they are native Spark aggregations with the reference's null-semantics
+preserved exactly:
+
+- ``worklog_rollup`` — null (NOT zero/empty) when the input array is empty
+  (/root/reference/lib/helpers.js:115-117);
+- ``linked_total`` — 0 (NOT null) when nothing contributes
+  (helpers.js:247-256);
+- ``horizontal_sum`` — null→0 coalescing + hours→seconds conversion that
+  also rewrites the source columns in the same pass (helpers.js:264-289:
+  the in-place mutation at :281 is visible in the output table).
+
+Two routes exist for the nested rollup: the **nested route** (higher-order
+functions over an array column — no shuffle at all, the rollup happens
+row-local inside codegen) and the **relational route** (explode → groupBy —
+shuffles on the group key but combines map-side). At 100 TB, prefer the
+nested route when data already arrives nested; the relational route when the
+detail lives in its own table (it then fuses with the J-ATTACH shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def worklog_rollup(entries: Column | str, timespent_field: str = "timespent") -> Column:
+    """Nested-route A-WORKLOG: array<struct> → struct{worklog, total}.
+
+    ``total = sum(entry.timespent)``; the whole struct is **null when the
+    array is null or empty** (helpers.js:115-117), not ``{worklog: [],
+    total: 0}`` — callers downstream (F-DELTA) rely on the null.
+    """
+    c = F.col(entries) if isinstance(entries, str) else entries
+    total = F.aggregate(
+        c, F.lit(0).cast("long"), lambda acc, x: acc + F.coalesce(x[timespent_field], F.lit(0))
+    )
+    return F.when(c.isNull() | (F.size(c) == 0), F.lit(None)).otherwise(
+        F.struct(c.alias("worklog"), total.alias("total"))
+    )
+
+
+def worklog_rollup_relational(
+    detail: DataFrame,
+    group_key: str,
+    timespent_col: str,
+) -> DataFrame:
+    """Relational-route A-WORKLOG: detail table → per-key totals.
+
+    ``groupBy(key).sum`` — partial (map-side) aggregation then a shuffle on
+    the key. Groups with no rows simply don't appear, which reproduces the
+    null-on-empty rule after the parent LEFT-joins this result back.
+    """
+    return detail.groupBy(group_key).agg(
+        F.sum(F.col(timespent_col)).alias("total"),
+        F.count(F.lit(1)).alias("n_entries"),
+    )
+
+
+def linked_total(links: Column | str, total_path: str = "worklog.total") -> Column:
+    """A-LINKED: sum of ``link.worklog.total`` over a map's values, null-skipped.
+
+    0 (not null) when the map is null/empty or no link contributes —
+    helpers.js:247-256 starts from ``total = 0`` and only adds non-null
+    worklogs. Pure HOF: no shuffle, runs row-local.
+    """
+    c = F.col(links) if isinstance(links, str) else links
+    field = total_path.split(".")
+    def get(x: Column) -> Column:
+        out = x
+        for p in field:
+            out = out[p]
+        return out
+    return F.aggregate(
+        F.map_values(F.coalesce(c, F.create_map())),
+        F.lit(0).cast("double"),
+        lambda acc, x: acc + F.coalesce(get(x).cast("double"), F.lit(0.0)),
+    )
+
+
+def horizontal_sum(
+    df: DataFrame,
+    cols: Sequence[str],
+    total_col: str,
+    convert: bool = True,
+) -> DataFrame:
+    """A-HSUM: total = Σ coalesce(col, 0) [× 3600], rewriting each source col.
+
+    Faithful to helpers.js:264-289 including the visible in-place mutation:
+    the estimate columns come out converted to seconds (testing.sql inserts
+    confirm callers see converted values). One projection, no shuffle.
+    """
+    factor = F.lit(3600.0) if convert else F.lit(1.0)
+    converted = {c: F.coalesce(F.col(c).cast("double"), F.lit(0.0)) * factor for c in cols}
+    total = None
+    for c in cols:
+        total = converted[c] if total is None else total + converted[c]
+    out = df
+    for c in cols:
+        out = out.withColumn(c, converted[c])
+    return out.withColumn(total_col, total)

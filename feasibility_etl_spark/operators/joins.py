@@ -1,0 +1,96 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference has two join families: SQL LEFT equi-joins against small
+dimension tables (the view CTEs, /root/reference/lib/database/schema.sql:66-94)
+and an application-level hash join routing per-key detail fetches back onto
+parent records (etl.js:204-240). Both become DataFrame joins here, with the
+physical strategy chosen for scale:
+
+- **dim joins broadcast.** Dimensions (user/project in the reference;
+  nation/region/customer-sized tables in the fixtures) are orders of
+  magnitude smaller than the fact side. ``F.broadcast`` pins a broadcast-hash
+  join so a 100 TB fact scan never shuffles for a KB-sized dim.
+- **fact-fact joins shuffle on the key.** ``attach_detail`` (orders ⋈
+  lineitem shaped) lets Catalyst pick sort-merge/shuffled-hash under AQE;
+  both sides hash-partition on the join key, which is the partitioning a
+  downstream groupBy on the same key reuses (no second shuffle).
+- **lookup_or_insert** replaces the plpgsql lookup-or-insert procedures
+  (schema.sql:105-134) with anti-join + deterministic surrogate assignment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    select: Sequence[Column] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """LEFT equi-join fact→dim with the dim broadcast (J-DIM-*).
+
+    Mirrors the view CTE joins (schema.sql:68-85): one row out per fact row,
+    dim columns projected in. Role-played dims (the same table joined twice
+    on different FKs, schema.sql:68-79) are handled by the caller aliasing
+    the dim per role — see ``plans.feasibility_view`` for the pattern.
+    """
+    out = fact.join(F.broadcast(dim), on, how)
+    return out.select(*select) if select is not None else out
+
+
+def attach_detail(
+    parent: DataFrame,
+    detail: DataFrame,
+    key: str | Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Left-join per-key detail rows onto their parent (J-ATTACH).
+
+    The reference does this as N+1 HTTP fetches routed back by closure-bound
+    keys (etl.js:151-189, helpers.js:41-53); in a data-parallel engine the
+    same dataflow is a single join where the key travels as a column. Both
+    sides shuffle-partition on ``key``; at scale, pre-bucketing both tables
+    on the key makes this a zero-shuffle join.
+    """
+    return parent.join(detail, on=key, how=how)
+
+
+def lookup_or_insert(
+    dim: DataFrame,
+    incoming: DataFrame,
+    natural_key: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """Dimension upsert: return ``dim`` extended with rows for new natural keys.
+
+    Replaces the plpgsql lookup-or-insert procedures ``get_user_id`` /
+    ``get_project_id`` (schema.sql:105-134): SELECT by natural key, INSERT
+    when missing, with surrogate ids continuing the existing sequence.
+
+    Surrogate strategy (SURVEY.md §4.3 choice (a)): dense ids assigned as
+    ``row_number() over (order by natural_key) + max(existing id)`` —
+    deterministic across runs (reproducible golden outputs), unlike
+    ``monotonically_increasing_id``. The window runs only over the *new
+    distinct names* (dim-sized, tiny), never over fact data, so the
+    single-partition sort the unpartitioned window implies is bounded by
+    dim cardinality, not data scale.
+    """
+    new_names = (
+        incoming.select(F.col(natural_key)).where(F.col(natural_key).isNotNull()).distinct()
+        .join(F.broadcast(dim.select(natural_key)), natural_key, "left_anti")
+    )
+    base = dim.agg(F.coalesce(F.max(id_col), F.lit(0)).cast("long").alias("base"))
+    w = Window.orderBy(natural_key)
+    additions = (
+        new_names.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(base))
+        .select((F.col("rn") + F.col("base")).cast("long").alias(id_col), natural_key)
+    )
+    return dim.select(F.col(id_col).cast("long"), F.col(natural_key)).unionByName(additions)

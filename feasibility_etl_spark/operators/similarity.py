@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- **brute-force cosine top-k** — the correctness baseline. Query vectors are
+  broadcast against the corpus; dot products run as ``zip_with`` +
+  ``aggregate`` HOFs (JVM-side, no Python). Top-k per query is a window
+  ``row_number`` over the per-query partition — the shuffle is on query_id,
+  so k and the query count bound the state, not the corpus.
+- **LSH-bucketed (random hyperplane)** — the scale path. Sign-bit signatures
+  against a fixed set of hyperplanes put near vectors in shared buckets;
+  search touches only the probe's bucket (plus multiprobe neighbors at the
+  caller's option). At 100 TB this turns a corpus scan per query into a
+  bucket scan per query; an IVF variant would swap hyperplanes for k-means
+  centroids, same plumbing.
+
+Hyperplanes are generated driver-side from a fixed seed and inlined as
+literal arrays — deterministic across runs, no RNG inside the plan.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns via zip_with+aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force cosine top-k: every query × every corpus vector.
+
+    Queries broadcast (the small side by construction); per-query top-k via
+    window row_number. Returns (query_id, vec_id, cos_sim, rank).
+    """
+    q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec)))
+    scored = corpus.crossJoin(q).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col(query_id) != F.col(corpus_id))
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign-bit string of plane dots."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then exact
+    cosine rank within the bucket. Recall is tunable via n_planes (fewer
+    planes → bigger buckets → higher recall, more compute)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("_bucket", lsh_bucket(F.col(corpus_vec), planes))
+    q = queries.withColumn("_bucket", lsh_bucket(F.col(query_vec), planes))
+    scored = c.join(F.broadcast(q), "_bucket").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+    ).where(F.col(query_id) != F.col(corpus_id))
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 10,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = corpus.select(
+        F.col(corpus_id), F.col(corpus_vec), lsh_bucket(F.col(corpus_vec), planes).alias("_bucket")
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{corpus_id}") < F.col(f"b.{corpus_id}")),
+        )
+        .select(
+            F.col(f"a.{corpus_id}").alias("id_a"),
+            F.col(f"b.{corpus_id}").alias("id_b"),
+            cosine(F.col(f"a.{corpus_vec}"), F.col(f"b.{corpus_vec}")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

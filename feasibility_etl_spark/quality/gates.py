@@ -1,0 +1,80 @@
+"""Data-quality operators (SURVEY.md §2.8) — genuine dataflow semantics.
+
+- ``drop_failed`` (E-DROP): remove whole parent records whose supplemental
+  data failed — the reference's ``delete data[grandparent || parent]``
+  (/root/reference/etl.js:256-260) becomes a left-anti join.
+- ``assert_loss_below`` (E-GATE): abort iff
+  ``abs((after - before) / before * 100) >= threshold`` (etl.js:249-278,
+  threshold 20 from config.json:5, formula helpers.js:234-240). The gate
+  runs BEFORE any write action so a failing run costs two counts, not a
+  full materialization.
+- ``validate_not_null`` (E-ISOLATE replacement): Spark writes are not
+  row-transactional, so per-row error swallowing (helpers.js:100-104)
+  becomes validate-then-write — split conforming from violating rows up
+  front.
+
+Scale note: the two ``count()`` actions in the gate are the only eager bits;
+each is a map-side count with a tiny final reduce. ``drop_failed`` broadcasts
+the failed-key set when it is small (it is — failures are the exception).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class DataLossExceeded(RuntimeError):
+    """Raised by the E-GATE when data loss breaches the threshold."""
+
+
+def drop_failed(df: DataFrame, failed_keys: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """Remove every row whose key appears in ``failed_keys`` (E-DROP)."""
+    return df.join(F.broadcast(failed_keys), on=key, how="left_anti")
+
+
+def loss_report(count_before: int, count_after: int) -> float:
+    """Absolute percent change between two cardinalities (F-PCTCHG on counts)."""
+    if count_before == 0:
+        return float("inf") if count_after != 0 else 0.0
+    return abs((count_after - count_before) / abs(count_before) * 100.0)
+
+
+def assert_loss_below(
+    df_before: DataFrame,
+    df_after: DataFrame,
+    threshold_pct: float = 20.0,
+) -> tuple[int, int, float]:
+    """E-GATE: raise ``DataLossExceeded`` iff loss% >= threshold.
+
+    Returns ``(count_before, count_after, loss_pct)`` when the gate passes,
+    mirroring the reference's continue-with-reduced-data branch
+    (etl.js:266-274). ``>=`` (not ``>``) matches etl.js:269.
+    """
+    before, after = df_before.count(), df_after.count()
+    loss = loss_report(before, after)
+    if loss >= threshold_pct:
+        raise DataLossExceeded(
+            f"data loss {loss:.2f}% (rows {before}→{after}) >= threshold {threshold_pct}%"
+        )
+    return before, after, loss
+
+
+def validate_not_null(
+    df: DataFrame, required: Sequence[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Split (conforming, violating) on NOT NULL constraints.
+
+    Replaces PostgreSQL constraint enforcement (schema.sql:35-40,52-54) +
+    per-row insert error isolation: violating rows are returned for logging
+    instead of failing the batch.
+    """
+    cond = None
+    for c in required:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else cond & nn
+    if cond is None:
+        return df, df.limit(0)
+    return df.where(cond), df.where(~cond)

@@ -1,0 +1,72 @@
+"""Event-time windowing — the Structured Streaming bridge (SURVEY.md §2.9).
+
+The reference is batch-only; the engine adds the windowed aggregations a
+streaming ingest needs, built so the SAME code runs in batch mode (over the
+``events`` parquet) and streaming mode (``readStream`` source): ``F.window``
+/ ``F.session_window`` work identically in both, and watermarks are a no-op
+on batch frames per Spark semantics.
+
+Scale shape: windowed groupBy shuffles on (key, window); watermarks bound
+streaming state so late data past the horizon is dropped rather than held.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str = "1 hour") -> DataFrame:
+    """Attach an event-time watermark (streaming state bound; batch no-op)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def _flatten(grouped: DataFrame, window_col: str, prefix: str) -> DataFrame:
+    rest = [c for c in grouped.columns if c != window_col]
+    return grouped.select(
+        F.col(f"{window_col}.start").alias(f"{prefix}_start"),
+        F.col(f"{window_col}.end").alias(f"{prefix}_end"),
+        *rest,
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Non-overlapping fixed windows: groupBy(window(ts, d), *keys).agg(...)."""
+    win = F.window(F.col(ts_col), duration)
+    out = df.groupBy(win.alias("window"), *[F.col(k) for k in keys]).agg(*aggs)
+    return _flatten(out, "window", "window")
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Overlapping windows of ``duration`` every ``slide``."""
+    win = F.window(F.col(ts_col), duration, slide)
+    out = df.groupBy(win.alias("window"), *[F.col(k) for k in keys]).agg(*aggs)
+    return _flatten(out, "window", "window")
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge (per key)."""
+    win = F.session_window(F.col(ts_col), gap)
+    out = df.groupBy(win.alias("session"), *[F.col(k) for k in keys]).agg(*aggs)
+    return _flatten(out, "session", "session")

@@ -1,0 +1,96 @@
+"""Denormalizing writer — the trigger replacement (SURVEY.md §3.2, §7.3).
+
+The reference lets clients INSERT denormalized rows into a view; an
+``INSTEAD OF INSERT`` trigger decomposes each row into fact + dimension
+parts with surrogate-key FKs (/root/reference/lib/database/schema.sql:141-173,
+lookup-or-insert at :105-134). Spark has no triggers, so the decomposition is
+an explicit, set-oriented engine API:
+
+1. per dimension: distinct new natural keys (across all role columns) →
+   anti-join current dim → assign dense deterministic surrogate ids →
+   union into the dim;
+2. join the wide frame to the updated dims (broadcast — dims are small) to
+   resolve each role column into its FK;
+3. idempotency: anti-join the fact on its primary key before append. The
+   reference gets insert-new-keys-only behavior accidentally (PK violations
+   swallowed per-row, helpers.js:100-104 + schema.sql:55); we make it
+   explicit.
+
+Single-writer batch semantics (matches the reference's one-script-run
+model); concurrent writers would need an external lock or Delta-style
+transaction log, out of scope per the reference's own semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.joins import lookup_or_insert
+from ..quality.gates import validate_not_null
+
+
+@dataclass(frozen=True)
+class DimSpec:
+    """One dimension's mapping from the wide (denormalized) surface.
+
+    ``roles`` maps wide-frame columns to the FK columns they become — e.g.
+    ``jira_user`` is role-played twice (schema.sql:68-79):
+    ``{"reviewer_name": "fk_reviewer", "reporter_name": "fk_reporter"}``.
+    """
+
+    name: str
+    natural_key: str  # dim-side natural-key column, e.g. "username"
+    roles: dict[str, str] = field(default_factory=dict)  # wide col -> fk col
+    id_col: str = "id"
+
+
+@dataclass
+class DenormResult:
+    fact: DataFrame
+    dims: dict[str, DataFrame]
+    rejected: DataFrame  # rows violating NOT NULL constraints (E-ISOLATE)
+
+
+def write_denormalized(
+    wide: DataFrame,
+    specs: list[DimSpec],
+    dims: dict[str, DataFrame],
+    existing_fact: DataFrame | None = None,
+    fact_key: str = "key",
+    required: list[str] | None = None,
+) -> DenormResult:
+    """Decompose a denormalized frame into fact + dims (pure — no I/O).
+
+    Returns new dim frames (old ∪ new rows), the FK-resolved fact increment
+    (new keys only when ``existing_fact`` is given), and constraint-violating
+    rows. Callers persist with ``result.fact.write.parquet(...)`` etc.; the
+    decomposition itself is one lazily-built DAG.
+    """
+    ok, rejected = validate_not_null(wide, required or [])
+
+    out_dims: dict[str, DataFrame] = {}
+    fact = ok
+    for spec in specs:
+        dim = dims[spec.name]
+        # union the natural keys from every role column, then upsert once
+        incoming = None
+        for wide_col in spec.roles:
+            part = ok.select(F.col(wide_col).alias(spec.natural_key))
+            incoming = part if incoming is None else incoming.unionByName(part)
+        updated = lookup_or_insert(dim, incoming, spec.natural_key, spec.id_col)
+        out_dims[spec.name] = updated
+        # resolve each role column to its FK via broadcast join
+        for wide_col, fk_col in spec.roles.items():
+            role_dim = updated.select(
+                F.col(spec.natural_key).alias(wide_col), F.col(spec.id_col).alias(fk_col)
+            )
+            fact = fact.join(F.broadcast(role_dim), wide_col, "left").drop(wide_col)
+
+    if existing_fact is not None:
+        fact = fact.join(
+            F.broadcast(existing_fact.select(fact_key)), fact_key, "left_anti"
+        )
+    return DenormResult(fact=fact, dims=out_dims, rejected=rejected)
