@@ -1,0 +1,1230 @@
+"""Driver contract queries: one (Spark callable, DuckDB oracle SQL) pair per
+operator from SURVEY.md §2 plus the north-star extensions (§7.4).
+
+Cross-engine hash-match rules used throughout (verified empirically against
+DuckDB 1.0 — see tests/test_oracle_parity.py):
+
+- **Money sums as cents.** Sums of doubles are order-dependent; the driver's
+  value hash needs bit-stable outputs. Per-row ``ROUND(x*100) → BIGINT`` is
+  deterministic, and BIGINT sums are exact and order-independent. DuckDB
+  ``SUM(BIGINT)`` returns HUGEINT, so oracles cast the sum back to BIGINT.
+- **Per-row double math is bit-stable** when both engines evaluate the same
+  expression tree (IEEE 754), so scalar-function queries return raw doubles.
+- **Array folds are sequential in both engines** (Spark ``aggregate`` HOF,
+  DuckDB ``list_sum(list_transform(...))``) → dot products bit-equal.
+- **Timestamps exit as strings** (``date_format`` / ``strftime``) — engines
+  agree on wall-clock but not on binary timestamp hashing.
+- **DuckDB double→BIGINT casts round** (2.7→3); Spark truncates. Always
+  FLOOR/ROUND explicitly before casting, identically on both sides.
+- **DuckDB ``regexp_replace`` needs the ``'g'`` flag** to match Spark's
+  replace-all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.scalar import delta_pair, hrs_to_sec, jira_ts, pct_change_abs, pct_diff
+from .operators.aggregates import horizontal_sum
+from .operators.dedup import exact_dup_groups, jaccard, near_dup_pairs, shingles, simhash_candidates
+from .operators.joins import attach_detail, dim_join, lookup_or_insert
+from .operators.similarity import cosine_topk, cosine_topk_lsh
+from .operators.text import (
+    fingerprint,
+    lang_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from .quality.gates import loss_report, validate_not_null
+from .sources.catalog import load, register_views, schema_for
+from .streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------- helpers
+
+def _cents(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")
+
+
+def _sum_cents(col: str, alias: str) -> F.Column:
+    return F.sum(_cents(col)).alias(alias)
+
+
+_CENTS_SQL = "CAST(SUM(CAST(ROUND({col} * 100, 0) AS BIGINT)) AS BIGINT) AS {alias}"
+
+
+def _sum_cents_sql(col: str, alias: str) -> str:
+    return _CENTS_SQL.format(col=col, alias=alias)
+
+
+# ---------------------------------------------------------------- sources
+
+def q_s_search(spark: SparkSession, sf: str) -> DataFrame:
+    """S-SEARCH: explicit-schema scan + source predicate + capped, ordered read
+    (the JQL search analogue: predicate and limit execute in the source —
+    here Catalyst pushes both into the parquet scan)."""
+    orders = spark.read.schema(schema_for("orders")).parquet(f"{sf}/orders.parquet")
+    return (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_S_SEARCH = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 100
+"""
+
+
+def q_s_jdbc_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """S-JDBC-SINK: append-shaped write + read-back audit (parquet stands in
+    for the JDBC sink in the testbed; df.write.jdbc is the production path)."""
+    import tempfile, os
+
+    path = os.path.join(tempfile.gettempdir(), "feasibility_etl_spark_sink")
+    orders = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    orders.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"), _sum_cents("o_totalprice", "total_cents")
+    )
+
+
+ORACLE_S_JDBC_SINK = f"""
+SELECT COUNT(*) AS n_rows, {_sum_cents_sql("o_totalprice", "total_cents")}
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+# ---------------------------------------------------- projections / filters
+
+def q_p_project(spark: SparkSession, sf: str) -> DataFrame:
+    """P-PROJECT: projection + rename (etl.js:127-148 analogue)."""
+    return load(spark, sf, "part").select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_name").alias("part_name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+    )
+
+
+ORACLE_P_PROJECT = """
+SELECT p_partkey AS part_id, p_name AS part_name, p_brand AS brand,
+       p_retailprice AS price FROM part
+"""
+
+
+def q_p_nullsafe(spark: SparkSession, sf: str) -> DataFrame:
+    """P-NULLSAFE: null-safe nested access — a JSON field that exists (k) and
+    one that doesn't (missing) project as value/null without errors."""
+    ev = load(spark, sf, "events")
+    parsed = F.from_json("props", "k long, missing string")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        parsed["missing"].alias("missing_val"),
+    )
+
+
+ORACLE_P_NULLSAFE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.missing') AS missing_val FROM events
+"""
+
+
+def q_p_filter_eq(spark: SparkSession, sf: str) -> DataFrame:
+    """P-FILTER-EQ: equality filter (link.type.id === '10211' analogue)."""
+    return load(spark, sf, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+ORACLE_P_FILTER_EQ = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def q_p_filter_src(spark: SparkSession, sf: str) -> DataFrame:
+    """P-FILTER-SRC: conjunctive source predicate (config.json:4 JQL analogue:
+    equality + != + AND, pushed into the scan by Catalyst)."""
+    return (
+        load(spark, sf, "orders")
+        .where(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_totalprice") != 0)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+ORACLE_P_FILTER_SRC = """
+SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice != 0 AND o_orderpriority = '1-URGENT'
+"""
+
+
+def q_p_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """P-LIMIT: deterministic maxResults cap (ordered, unlike the reference's
+    relevance-ordered JIRA default — SURVEY §2.5)."""
+    return (
+        load(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+ORACLE_P_LIMIT = """
+SELECT o_orderkey, o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders ORDER BY o_orderkey LIMIT 10
+"""
+
+
+def q_p_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """P-EXISTS: has-any-qualifying-child predicate → left-semi join."""
+    customer, orders = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_P_EXISTS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ------------------------------------------------------------------- joins
+
+def q_j_dim_reviewer(spark: SparkSession, sf: str) -> DataFrame:
+    """J-DIM-REVIEWER: LEFT broadcast equi-join fact→dim (schema.sql:68-72)."""
+    customer, nation = load(spark, sf, "customer"), load(spark, sf, "nation")
+    return dim_join(
+        customer,
+        nation,
+        customer["c_nationkey"] == nation["n_nationkey"],
+        select=[
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("n_name").alias("nation_name"),
+        ],
+    )
+
+
+ORACLE_J_DIM_REVIEWER = """
+SELECT c_custkey, c_name, n_name AS nation_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_j_dim_reporter(spark: SparkSession, sf: str) -> DataFrame:
+    """J-DIM-REPORTER: the SAME dim role-played twice in one query
+    (jira_user as reviewer+reporter, schema.sql:68-79 → nation via customer
+    and via supplier). Alias hygiene is the point (SURVEY §7.5 #4)."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    supplier = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(cust_nation), customer["c_nationkey"] == F.col("_cn_key"))
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(supp_nation), supplier["s_nationkey"] == F.col("_sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _sum_cents("l_extendedprice", "revenue_cents"),
+        )
+    )
+
+
+ORACLE_J_DIM_REPORTER = f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       COUNT(*) AS n_items, {_sum_cents_sql("l_extendedprice", "revenue_cents")}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY cn.n_name, sn.n_name
+"""
+
+
+def q_j_dim_project(spark: SparkSession, sf: str) -> DataFrame:
+    """J-DIM-PROJECT: fact→project-dim LEFT broadcast join (schema.sql:82-85)."""
+    nation, region = load(spark, sf, "nation"), load(spark, sf, "region")
+    return dim_join(
+        nation,
+        region,
+        nation["n_regionkey"] == region["r_regionkey"],
+        select=[F.col("n_nationkey"), F.col("n_name"), F.col("r_name").alias("region_name")],
+    )
+
+
+ORACLE_J_DIM_PROJECT = """
+SELECT n_nationkey, n_name, r_name AS region_name
+FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_j_multiway(spark: SparkSession, sf: str) -> DataFrame:
+    """J-MULTIWAY: chained LEFT joins through the dim hierarchy, one stage of
+    broadcast joins (schema.sql:87-94 analogue)."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "left"
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "left")
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "left")
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), _sum_cents("o_totalprice", "total_cents"))
+    )
+
+
+ORACLE_J_MULTIWAY = f"""
+SELECT r_name AS region_name, COUNT(*) AS n_orders,
+       {_sum_cents_sql("o_totalprice", "total_cents")}
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation   ON c_nationkey = n_nationkey
+LEFT JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_j_attach(spark: SparkSession, sf: str) -> DataFrame:
+    """J-ATTACH: per-key detail rollup joined onto parents (the N+1 request
+    loop etl.js:151-189 re-expressed as one join — SURVEY §2.3)."""
+    orders = load(spark, sf, "orders")
+    detail = (
+        load(spark, sf, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("_qty"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return attach_detail(orders, detail, "o_orderkey").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce(F.col("_qty"), F.lit(0)).cast("long").alias("qty_sum"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_items"),
+    )
+
+
+ORACLE_J_ATTACH = """
+SELECT o_orderkey, o_totalprice,
+       CAST(COALESCE(d.qty, 0) AS BIGINT) AS qty_sum,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_items
+FROM orders LEFT JOIN (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, COUNT(*) AS n
+  FROM lineitem GROUP BY l_orderkey
+) d ON o_orderkey = d.l_orderkey
+"""
+
+
+def q_j_lookup_insert(spark: SparkSession, sf: str) -> DataFrame:
+    """J-LOOKUP-INSERT: dimension build via the engine's lookup-or-insert
+    (replaces get_user_id/get_project_id, schema.sql:105-134): dense
+    deterministic surrogate ids over the distinct natural keys."""
+    empty_dim = spark.createDataFrame(
+        [], T.StructType([T.StructField("id", T.LongType()), T.StructField("name", T.StringType())])
+    )
+    incoming = load(spark, sf, "customer").select(F.col("c_name").alias("name"))
+    return lookup_or_insert(empty_dim, incoming, "name")
+
+
+ORACLE_J_LOOKUP_INSERT = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY name) AS BIGINT) AS id, name
+FROM (SELECT DISTINCT c_name AS name FROM customer)
+"""
+
+
+def q_j_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """J-SEMI: qualifying-parent semi-join (etl.js:161-190 semantics)."""
+    supplier, li = load(spark, sf, "supplier"), load(spark, sf, "lineitem")
+    return supplier.join(li, supplier["s_suppkey"] == li["l_suppkey"], "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+ORACLE_J_SEMI = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+"""
+
+
+# ------------------------------------------------------------ aggregations
+
+def q_a_worklog(spark: SparkSession, sf: str) -> DataFrame:
+    """A-WORKLOG (relational route): per-parent rollup of detail entries —
+    sum + count per key (helpers.js:114-136 semantics; the nested HOF route
+    is pinned in tests/test_aggregates.py)."""
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_entries"),
+        )
+    )
+
+
+ORACLE_A_WORKLOG = """
+SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       COUNT(*) AS n_entries
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_a_linked(spark: SparkSession, sf: str) -> DataFrame:
+    """A-LINKED: rollup across children with **0 (not null) when none
+    contribute** (helpers.js:247-256) — customers with no orders get 0."""
+    customer, orders = load(spark, sf, "customer"), load(spark, sf, "orders")
+    joined = customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left")
+    return joined.groupBy("c_custkey").agg(
+        F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0)).cast("long").alias("linked_cents"),
+        F.count("o_orderkey").alias("n_orders"),
+    )
+
+
+ORACLE_A_LINKED = """
+SELECT c_custkey,
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)), 0) AS BIGINT)
+         AS linked_cents,
+       COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_a_hsum(spark: SparkSession, sf: str) -> DataFrame:
+    """A-HSUM: horizontal sum with null→0 + hours→seconds conversion that
+    also rewrites the source columns (helpers.js:264-289, mutation at :281)."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    return horizontal_sum(li, ["l_quantity", "l_discount", "l_tax"], "estimate_total")
+
+
+ORACLE_A_HSUM = """
+SELECT l_orderkey, l_linenumber,
+       COALESCE(l_quantity, 0) * 3600 AS l_quantity,
+       COALESCE(l_discount, 0) * 3600 AS l_discount,
+       COALESCE(l_tax, 0) * 3600 AS l_tax,
+       COALESCE(l_quantity, 0) * 3600 + COALESCE(l_discount, 0) * 3600
+         + COALESCE(l_tax, 0) * 3600 AS estimate_total
+FROM lineitem
+"""
+
+
+def q_a_count(spark: SparkSession, sf: str) -> DataFrame:
+    """A-COUNT: dataset cardinality (etl.js:253)."""
+    return load(spark, sf, "orders").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_A_COUNT = "SELECT COUNT(*) AS n FROM orders"
+
+
+def q_a_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """A-COLLECT: materialize per-group collections (helpers.js:125-130) —
+    emitted as a sorted CSV string for engine-portable hashing."""
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("l_linenumber")), lambda x: x.cast("string")
+                ),
+            ).alias("linenumbers")
+        )
+    )
+
+
+ORACLE_A_COLLECT = """
+SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# -------------------------------------------------------- scalar functions
+
+def q_f_pctchg(spark: SparkSession, sf: str) -> DataFrame:
+    """F-PCTCHG: abs percent change (helpers.js:234-240) — here the discount
+    magnitude as % change between gross and discounted price."""
+    li = load(spark, sf, "lineitem")
+    discounted = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pct_change_abs(F.col("l_extendedprice"), discounted).alias("pct_change"),
+    )
+
+
+ORACLE_F_PCTCHG = """
+SELECT l_orderkey, l_linenumber,
+       ABS((l_extendedprice * (1.0 - l_discount) - l_extendedprice)
+           / ABS(l_extendedprice) * 100.0) AS pct_change
+FROM lineitem
+"""
+
+
+def q_f_pctdiff(spark: SparkSession, sf: str) -> DataFrame:
+    """F-PCTDIFF: symmetric percent difference (helpers.js:296-302)."""
+    li = load(spark, sf, "lineitem")
+    taxed = F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pct_diff(F.col("l_extendedprice"), taxed).alias("pct_diff"),
+    )
+
+
+ORACLE_F_PCTDIFF = """
+SELECT l_orderkey, l_linenumber,
+       (l_extendedprice - l_extendedprice * (1.0 + l_tax))
+         / ((l_extendedprice + l_extendedprice * (1.0 + l_tax)) / 2.0) * 100.0 AS pct_diff
+FROM lineitem
+"""
+
+
+def q_f_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """F-DELTA: the delta pair with the falsy-zero rule (helpers.js:309-321):
+    both outputs NULL when either operand is NULL **or 0** — exercised here
+    by an actual column that hits 0 every 100th key."""
+    cust = load(spark, sf, "customer")
+    actual = (F.col("c_custkey") % 100).cast("double")
+    delta, delta_pct = delta_pair(F.col("c_acctbal"), actual)
+    return cust.select(
+        "c_custkey", delta.alias("delta"), delta_pct.alias("delta_percentage")
+    )
+
+
+ORACLE_F_DELTA = """
+SELECT c_custkey,
+  CASE WHEN c_acctbal IS NULL OR c_acctbal = 0
+         OR CAST(c_custkey % 100 AS DOUBLE) = 0 THEN NULL
+       ELSE c_acctbal - CAST(c_custkey % 100 AS DOUBLE) END AS delta,
+  CASE WHEN c_acctbal IS NULL OR c_acctbal = 0
+         OR CAST(c_custkey % 100 AS DOUBLE) = 0 THEN NULL
+       ELSE (c_acctbal - CAST(c_custkey % 100 AS DOUBLE))
+            / ((c_acctbal + CAST(c_custkey % 100 AS DOUBLE)) / 2.0) * 100.0
+  END AS delta_percentage
+FROM customer
+"""
+
+
+def q_f_hrs2sec(spark: SparkSession, sf: str) -> DataFrame:
+    """F-HRS2SEC: coalesce(x,0)*3600 (helpers.js:278)."""
+    return load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", hrs_to_sec("l_tax").alias("tax_seconds")
+    )
+
+
+ORACLE_F_HRS2SEC = """
+SELECT l_orderkey, l_linenumber, COALESCE(l_tax, 0.0) * 3600.0 AS tax_seconds
+FROM lineitem
+"""
+
+
+def q_f_tojson(spark: SparkSession, sf: str) -> DataFrame:
+    """F-TOJSON: typed struct → JSON string at the sink boundary
+    (etl.js:296-297; engine keeps structs internally)."""
+    return load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("payload"),
+    )
+
+
+ORACLE_F_TOJSON = """
+SELECT o_orderkey,
+       CAST(to_json(struct_pack(status := o_orderstatus, priority := o_orderpriority))
+            AS VARCHAR) AS payload
+FROM orders
+"""
+
+
+def q_f_fromjson(spark: SparkSession, sf: str) -> DataFrame:
+    """F-FROMJSON: JSON string → typed columns with explicit schema
+    (helpers.js:56 `json: true` ingest)."""
+    ev = load(spark, sf, "events")
+    return ev.select("event_id", F.from_json("props", "k long")["k"].alias("k_val"))
+
+
+ORACLE_F_FROMJSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events
+"""
+
+
+def q_f_datefmt(spark: SparkSession, sf: str) -> DataFrame:
+    """F-DATEFMT: MM-DD-YYYY formatting (etl.js:44,52)."""
+    return load(spark, sf, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "MM-dd-yyyy").alias("formatted")
+    )
+
+
+ORACLE_F_DATEFMT = """
+SELECT o_orderkey, strftime(o_orderdate, '%m-%d-%Y') AS formatted FROM orders
+"""
+
+
+def q_f_concat(spark: SparkSession, sf: str) -> DataFrame:
+    """F-CONCAT: string assembly (helpers.js:47-50)."""
+    return load(spark, sf, "customer").select(
+        "c_custkey", F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("tag")
+    )
+
+
+ORACLE_F_CONCAT = "SELECT c_custkey, c_name || ':' || c_mktsegment AS tag FROM customer"
+
+
+def q_f_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """F-CAST: numeric coercions (parseInt/parseFloat, helpers.js:235-298).
+    double→int goes through FLOOR on both engines (DuckDB's raw cast rounds,
+    Spark truncates — floored explicitly for identical semantics)."""
+    return load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_quantity").cast("long").alias("qty_int"),
+        F.col("l_linenumber").cast("double").alias("linenumber_dbl"),
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+    )
+
+
+ORACLE_F_CAST = """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,
+       CAST(l_linenumber AS DOUBLE) AS linenumber_dbl,
+       CAST(l_orderkey AS VARCHAR) AS orderkey_str
+FROM lineitem
+"""
+
+
+def q_f_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """F-COALESCE: null-coalescing defaults (JS `||` sites audited in SURVEY
+    §2.6 — plain COALESCE where 0 can't occur; F-DELTA carries the falsy
+    variant)."""
+    ev = load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("click")), F.lit("was_click")).alias(
+            "event_kind"
+        ),
+    )
+
+
+ORACLE_F_COALESCE = """
+SELECT event_id, COALESCE(NULLIF(event_type, 'click'), 'was_click') AS event_kind
+FROM events
+"""
+
+
+def q_f_ts_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """F-TS-PARSE: JIRA ISO-8601 round trip — format a timestamp into the
+    JIRA wire format (testing.sql:43), parse it back, re-emit as a plain
+    string (etl.js:135-136 ingest semantics)."""
+    orders = load(spark, sf, "orders")
+    wire = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss.SSS+0000")
+    return orders.select(
+        "o_orderkey",
+        wire.alias("jira_wire"),
+        F.date_format(jira_ts(wire), "yyyy-MM-dd HH:mm:ss").alias("parsed"),
+    )
+
+
+ORACLE_F_TS_PARSE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g+0000') AS jira_wire,
+       strftime(strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g+0000'),
+                         '%Y-%m-%dT%H:%M:%S.%g%z'),
+                '%Y-%m-%d %H:%M:%S') AS parsed
+FROM orders
+"""
+
+
+# ------------------------------------------------------- error / quality
+
+def q_e_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """E-DROP: remove parents whose children failed → left-anti join
+    (etl.js:256-260). The "failed set" here: customers holding any
+    still-open ('O') order are dropped, mirroring delete-parent-on-bad-child."""
+    customer, orders = load(spark, sf, "customer"), load(spark, sf, "orders")
+    failed = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return customer.join(
+        failed, customer["c_custkey"] == failed["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_E_DROP = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+def q_e_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """E-GATE: the quality gate report (etl.js:249-278): counts before/after
+    a pruning step + loss%% + pass flag at the reference's 20%% threshold."""
+    orders = load(spark, sf, "orders")
+    pruned = orders.where(F.col("o_orderstatus") != "P")
+    before, after = orders.count(), pruned.count()
+    loss = loss_report(before, after)
+    passed = 1 if loss < 20.0 else 0
+    schema = T.StructType(
+        [
+            T.StructField("n_before", T.LongType()),
+            T.StructField("n_after", T.LongType()),
+            T.StructField("loss_pct", T.DoubleType()),
+            T.StructField("passed", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame([(before, after, loss, passed)], schema)
+
+
+ORACLE_E_GATE = """
+WITH c AS (
+  SELECT COUNT(*) AS n_before,
+         COUNT(*) FILTER (WHERE o_orderstatus != 'P') AS n_after
+  FROM orders
+)
+SELECT n_before, n_after,
+       ABS((n_after - n_before) / ABS(CAST(n_before AS DOUBLE)) * 100.0) AS loss_pct,
+       CASE WHEN ABS((n_after - n_before) / ABS(CAST(n_before AS DOUBLE)) * 100.0) < 20.0
+            THEN 1 ELSE 0 END AS passed
+FROM c
+"""
+
+
+def q_e_isolate(spark: SparkSession, sf: str) -> DataFrame:
+    """E-ISOLATE: validate-then-write split (replaces per-row insert error
+    swallowing, helpers.js:95-107): conforming vs constraint-violating row
+    counts for a synthesized NOT NULL constraint."""
+    orders = load(spark, sf, "orders").withColumn(
+        "required_field", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    )
+    ok, bad = validate_not_null(orders, ["required_field"])
+    return spark.createDataFrame(
+        [(ok.count(), bad.count())],
+        T.StructType(
+            [T.StructField("n_ok", T.LongType()), T.StructField("n_rejected", T.LongType())]
+        ),
+    )
+
+
+ORACLE_E_ISOLATE = """
+SELECT COUNT(*) FILTER (WHERE o_orderpriority != '1-URGENT') AS n_ok,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_rejected
+FROM orders
+"""
+
+
+# ------------------------------------------------------------- view plans
+
+_VIEW_CTE_SQL = """
+WITH cte_cust AS (
+  SELECT o.o_orderkey, c.c_name
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), cte_nat AS (
+  SELECT o.o_orderkey, n.n_name
+  FROM orders o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+), cte_seg AS (
+  SELECT o.o_orderkey, c.c_mktsegment
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT o.o_orderkey, o.o_orderstatus, cc.c_name AS cust_name,
+       cn.n_name AS nation_name, cs.c_mktsegment AS segment
+FROM orders o
+LEFT JOIN cte_cust cc ON o.o_orderkey = cc.o_orderkey
+LEFT JOIN cte_nat cn ON o.o_orderkey = cn.o_orderkey
+LEFT JOIN cte_seg cs ON o.o_orderkey = cs.o_orderkey
+"""
+
+
+def q_view_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """VIEW-CTE: the reference-faithful view shape (schema.sql:66-94): three
+    CTEs each re-scanning the fact to attach one attribute, re-joined on the
+    key. Catalyst's CTE inlining collapses the redundant scans (PG ≤11
+    materializes them — SURVEY §3.3); results identical, plan better."""
+    register_views(spark, sf, ["orders", "customer", "nation"])
+    return spark.sql(_VIEW_CTE_SQL)
+
+
+ORACLE_VIEW_CTE = _VIEW_CTE_SQL
+
+
+# ------------------------------------------------------------- windowing
+
+def q_win_tumble(spark: SparkSession, sf: str) -> DataFrame:
+    """WIN-TUMBLE: tumbling event-time windows (batch = streaming semantics)."""
+    ev = load(spark, sf, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 day",
+        [F.count(F.lit(1)).alias("n_events"), _sum_cents("value", "value_cents")],
+        keys=["event_type"],
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+ORACLE_WIN_TUMBLE = f"""
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events, {_sum_cents_sql("value", "value_cents")}
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_win_slide(spark: SparkSession, sf: str) -> DataFrame:
+    """WIN-SLIDE: sliding windows (1h window / 30m slide → every event lands
+    in exactly 2 windows)."""
+    ev = load(spark, sf, "events")
+    out = sliding_agg(
+        ev, "ts", "1 hour", "30 minutes", [F.count(F.lit(1)).alias("n_events")]
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+    )
+
+
+ORACLE_WIN_SLIDE = """
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                 - i * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1)) offsets(i)
+GROUP BY 1
+"""
+
+
+def q_win_session(spark: SparkSession, sf: str) -> DataFrame:
+    """WIN-SESSION: per-user session windows with a 10-minute gap
+    (F.session_window; oracle = gaps-and-islands with the same gap rule:
+    session end = last event + gap)."""
+    ev = load(spark, sf, "events")
+    out = session_agg(
+        ev, "ts", "10 minutes", [F.count(F.lit(1)).alias("n_events")], keys=["user_id"]
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+    )
+
+
+ORACLE_WIN_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grouped AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events
+FROM grouped GROUP BY user_id, session_id
+"""
+
+
+# ------------------------------------------------------------ dedup family
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-EXACT: hash-groupBy exact dedup report (keeper + group size per
+    normalized-text fingerprint)."""
+    return exact_dup_groups(load(spark, sf, "documents"))
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-NGRAM: n-gram (word-set) Jaccard near-dup pairs with blocking on
+    (lang, source) — the exact-verify stage of the near-dup pipeline, with a
+    full SQL oracle (MinHash candidates are checked rows-only)."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "lang", "source", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jaccard(F.col("a.toks"), F.col("b.toks")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= 0.2)
+    )
+    return pair
+
+
+ORACLE_DEDUP_NGRAM = r"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+            ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END AS jaccard_sim
+FROM toks a JOIN toks b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+           ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END >= 0.2
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-MINHASH: MinHash+LSH near-dup pairs (xxhash64 signatures — no
+    DuckDB twin, driver records rows-only). Verified against the exact
+    Jaccard in tests."""
+    return near_dup_pairs(load(spark, sf, "documents"), threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-SIMHASH: banded SimHash candidate pairs (rows-only check)."""
+    return simhash_candidates(load(spark, sf, "documents")).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------- similarity search
+
+_COS_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+    list_sum(list_transform(range(1, len(c.embedding) + 1),
+      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+       i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+       i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE q.qid != c.vec_id
+)
+SELECT qid AS query_id, cid AS vec_id, cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
+def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-TOPK: brute-force cosine top-10 for 5 query vectors against the
+    corpus. Dot products are sequential double folds on both engines —
+    bit-equal, so raw cosines hash-match."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+ORACLE_SIM_TOPK = _COS_SQL
+
+
+def q_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-LSH: hyperplane-LSH-bucketed approximate top-k (rows-only check;
+    recall vs brute force asserted in tests)."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=6)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+# ----------------------------------------------------------- text analysis
+
+def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-TOKENS: token + char counting over documents."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+ORACLE_TEXT_TOKENS = r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-QUALITY: length/punct/stopword quality signals + composite score."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stop_ratio"),
+        mean_word_length("text").alias("mean_word_len"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_QUALITY_SQL_FRAGMENTS = r"""
+  toks AS (
+    SELECT doc_id, text,
+           CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE string_split_regex(trim(text), '\s+') END AS t,
+           CASE WHEN length(trim(lower(text))) = 0 THEN []
+                ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
+    FROM documents
+  ), sig AS (
+    SELECT doc_id,
+      CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
+           ELSE CAST(length(regexp_replace(regexp_replace(text, '\s', '', 'g'),
+                                           '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                / CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      END AS punct_ratio,
+      CASE WHEN len(tl) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(tl, x -> list_contains(
+                  ['the','and','of','to','a','in','is','that','it','for'], x)))
+                  AS DOUBLE) / CAST(len(tl) AS DOUBLE)
+      END AS stop_ratio,
+      CASE WHEN len(t) = 0 THEN 0.0
+           ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                / CAST(len(t) AS DOUBLE)
+      END AS mean_word_len,
+      CAST(len(t) AS DOUBLE) AS n_tok
+    FROM toks
+  )
+"""
+
+ORACLE_TEXT_QUALITY = (
+    "WITH "
+    + _QUALITY_SQL_FRAGMENTS
+    + """
+SELECT doc_id, punct_ratio, stop_ratio, mean_word_len,
+       LEAST(n_tok / 200.0, 1.0) * 0.4
+         + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.3
+         + LEAST(stop_ratio * 4.0, 1.0) * 0.3 AS quality
+FROM sig
+"""
+)
+
+
+def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-LANGID: stopword-argmax + CJK-detection language ID, with the
+    corpus's labeled lang for accuracy eyeballing."""
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
+
+
+# The argmax is encoded as max over 'NNNNNNlang' strings: a zero-padded
+# numeric prefix followed by the language code orders exactly like the
+# (score, lang) struct comparison Spark does.
+ORACLE_TEXT_LANGID = r"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang, text,
+    len(list_filter(tl, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
+    len(list_filter(tl, x -> list_contains(['el','la','de','que','y','en','un','una','los','del'], x))) AS h_es,
+    len(list_filter(tl, x -> list_contains(['der','die','das','und','nicht','ein','eine','ist','zu','mit'], x))) AS h_de,
+    len(list_filter(tl, x -> list_contains(['le','la','les','de','des','et','un','une','est','dans'], x))) AS h_fr
+  FROM toks
+), best AS (
+  SELECT doc_id, lang,
+    GREATEST(lpad(CAST(h_en AS VARCHAR), 10, '0') || 'en',
+             lpad(CAST(h_es AS VARCHAR), 10, '0') || 'es',
+             lpad(CAST(h_de AS VARCHAR), 10, '0') || 'de',
+             lpad(CAST(h_fr AS VARCHAR), 10, '0') || 'fr') AS enc,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk_chars,
+    length(regexp_replace(text, '\s', '', 'g')) AS total_chars
+  FROM hits
+)
+SELECT doc_id, lang,
+  CASE WHEN total_chars > 0
+        AND CAST(cjk_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) > 0.3 THEN 'zh'
+       WHEN CAST(substr(enc, 1, 10) AS BIGINT) > 0 THEN substr(enc, 11, 2)
+       ELSE 'und' END AS pred_lang
+FROM best
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-FINGERPRINT: per-document stable content fingerprint."""
+    return load(spark, sf, "documents").select("doc_id", fingerprint("text").alias("fp"))
+
+
+ORACLE_TEXT_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ------------------------------------------------------------- registries
+
+QUERIES: dict[str, QueryFn] = {
+    "S-SEARCH": q_s_search,
+    "S-JDBC-SINK": q_s_jdbc_sink,
+    "P-PROJECT": q_p_project,
+    "P-NULLSAFE": q_p_nullsafe,
+    "P-FILTER-EQ": q_p_filter_eq,
+    "P-FILTER-SRC": q_p_filter_src,
+    "P-LIMIT": q_p_limit,
+    "P-EXISTS": q_p_exists,
+    "J-DIM-REVIEWER": q_j_dim_reviewer,
+    "J-DIM-REPORTER": q_j_dim_reporter,
+    "J-DIM-PROJECT": q_j_dim_project,
+    "J-MULTIWAY": q_j_multiway,
+    "J-ATTACH": q_j_attach,
+    "J-LOOKUP-INSERT": q_j_lookup_insert,
+    "J-SEMI": q_j_semi,
+    "A-WORKLOG": q_a_worklog,
+    "A-LINKED": q_a_linked,
+    "A-HSUM": q_a_hsum,
+    "A-COUNT": q_a_count,
+    "A-COLLECT": q_a_collect,
+    "F-PCTCHG": q_f_pctchg,
+    "F-PCTDIFF": q_f_pctdiff,
+    "F-DELTA": q_f_delta,
+    "F-HRS2SEC": q_f_hrs2sec,
+    "F-TOJSON": q_f_tojson,
+    "F-FROMJSON": q_f_fromjson,
+    "F-DATEFMT": q_f_datefmt,
+    "F-CONCAT": q_f_concat,
+    "F-CAST": q_f_cast,
+    "F-COALESCE": q_f_coalesce,
+    "F-TS-PARSE": q_f_ts_parse,
+    "E-DROP": q_e_drop,
+    "E-GATE": q_e_gate,
+    "E-ISOLATE": q_e_isolate,
+    "VIEW-CTE": q_view_cte,
+    "WIN-TUMBLE": q_win_tumble,
+    "WIN-SLIDE": q_win_slide,
+    "WIN-SESSION": q_win_session,
+    "DEDUP-EXACT": q_dedup_exact,
+    "DEDUP-NGRAM": q_dedup_ngram,
+    "DEDUP-MINHASH": q_dedup_minhash,
+    "DEDUP-SIMHASH": q_dedup_simhash,
+    "SIM-TOPK": q_sim_topk,
+    "SIM-LSH": q_sim_lsh,
+    "TEXT-TOKENS": q_text_tokens,
+    "TEXT-QUALITY": q_text_quality,
+    "TEXT-LANGID": q_text_langid,
+    "TEXT-FINGERPRINT": q_text_fingerprint,
+}
+
+ORACLES: dict[str, str] = {
+    "S-SEARCH": ORACLE_S_SEARCH,
+    "S-JDBC-SINK": ORACLE_S_JDBC_SINK,
+    "P-PROJECT": ORACLE_P_PROJECT,
+    "P-NULLSAFE": ORACLE_P_NULLSAFE,
+    "P-FILTER-EQ": ORACLE_P_FILTER_EQ,
+    "P-FILTER-SRC": ORACLE_P_FILTER_SRC,
+    "P-LIMIT": ORACLE_P_LIMIT,
+    "P-EXISTS": ORACLE_P_EXISTS,
+    "J-DIM-REVIEWER": ORACLE_J_DIM_REVIEWER,
+    "J-DIM-REPORTER": ORACLE_J_DIM_REPORTER,
+    "J-DIM-PROJECT": ORACLE_J_DIM_PROJECT,
+    "J-MULTIWAY": ORACLE_J_MULTIWAY,
+    "J-ATTACH": ORACLE_J_ATTACH,
+    "J-LOOKUP-INSERT": ORACLE_J_LOOKUP_INSERT,
+    "J-SEMI": ORACLE_J_SEMI,
+    "A-WORKLOG": ORACLE_A_WORKLOG,
+    "A-LINKED": ORACLE_A_LINKED,
+    "A-HSUM": ORACLE_A_HSUM,
+    "A-COUNT": ORACLE_A_COUNT,
+    "A-COLLECT": ORACLE_A_COLLECT,
+    "F-PCTCHG": ORACLE_F_PCTCHG,
+    "F-PCTDIFF": ORACLE_F_PCTDIFF,
+    "F-DELTA": ORACLE_F_DELTA,
+    "F-HRS2SEC": ORACLE_F_HRS2SEC,
+    "F-TOJSON": ORACLE_F_TOJSON,
+    "F-FROMJSON": ORACLE_F_FROMJSON,
+    "F-DATEFMT": ORACLE_F_DATEFMT,
+    "F-CONCAT": ORACLE_F_CONCAT,
+    "F-CAST": ORACLE_F_CAST,
+    "F-COALESCE": ORACLE_F_COALESCE,
+    "F-TS-PARSE": ORACLE_F_TS_PARSE,
+    "E-DROP": ORACLE_E_DROP,
+    "E-GATE": ORACLE_E_GATE,
+    "E-ISOLATE": ORACLE_E_ISOLATE,
+    "VIEW-CTE": ORACLE_VIEW_CTE,
+    "WIN-TUMBLE": ORACLE_WIN_TUMBLE,
+    "WIN-SLIDE": ORACLE_WIN_SLIDE,
+    "WIN-SESSION": ORACLE_WIN_SESSION,
+    "DEDUP-EXACT": ORACLE_DEDUP_EXACT,
+    "DEDUP-NGRAM": ORACLE_DEDUP_NGRAM,
+    # DEDUP-MINHASH / DEDUP-SIMHASH / SIM-LSH: xxhash64 / literal hyperplanes
+    # have no DuckDB twin → rows-only checks by design.
+    "SIM-TOPK": ORACLE_SIM_TOPK,
+    "TEXT-TOKENS": ORACLE_TEXT_TOKENS,
+    "TEXT-QUALITY": ORACLE_TEXT_QUALITY,
+    "TEXT-LANGID": ORACLE_TEXT_LANGID,
+    "TEXT-FINGERPRINT": ORACLE_TEXT_FINGERPRINT,
+}

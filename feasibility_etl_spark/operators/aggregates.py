@@ -99,7 +99,6 @@ def horizontal_sum(
     total = None
     for c in cols:
         total = converted[c] if total is None else total + converted[c]
-    out = df
-    for c in cols:
-        out = out.withColumn(c, converted[c])
-    return out.withColumn(total_col, total)
+    # one simultaneous projection: every expression resolves against the
+    # ORIGINAL columns (a sequential withColumn chain would convert twice)
+    return df.withColumns({**converted, total_col: total})

@@ -174,14 +174,18 @@ def simhash64(text: Column | str, shingle_n: int = 2) -> Column:
     """
     sh = shingles(text, shingle_n)
     zeros = F.array_repeat(F.lit(0), 64)
+    # bit i extracted with a literal shift (shiftright needs an int, not a
+    # Column) — 64 expressions built Python-side, MSB first
     votes = F.aggregate(
         sh,
         zeros,
         lambda acc, s: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(63), F.lit(0), F.lit(-1)),
-                lambda i: F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)),
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1))
+                    for i in range(63, -1, -1)
+                ]
             ),
             lambda a, bit: a + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)),
         ),

@@ -1,0 +1,126 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted by their
+stringified form). Use while iterating; the driver's real check is the
+authority.
+
+Usage: python tools/check_correctness.py [sf_dir] [QUERY ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        # repr round-trips doubles exactly; both engines surface python floats
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return len(rows), sorted(cols), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from feasibility_etl_spark.session import build_session
+
+    spark = build_session("correctness-check")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, passed, rows_only = [], 0, 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
+            print(f"[FAIL] {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            status = "ROWS-ONLY"
+            rows_only += 1
+            print(f"[{status}] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
+            print(f"[FAIL] {name}: duckdb error: {e}")
+            continue
+        sn, sc, sh = frame_fingerprint(scols, srows)
+        dn, dc, dh = frame_fingerprint(dcols, drows)
+        problems = []
+        if sn != dn:
+            problems.append(f"rowcount {sn} != {dn}")
+        if sc != dc:
+            problems.append(f"columns {sc} != {dc}")
+        if sh != dh:
+            problems.append("value hash mismatch")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"[FAIL] {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
+            if sn == dn and sc == dc:
+                # show first differing rows for debugging
+                import itertools
+
+                order = sorted(range(len(sc)), key=lambda i: scols[i])
+                dorder = sorted(range(len(dc)), key=lambda i: dcols[i])
+                sset = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in srows)
+                dset = sorted("\x01".join(norm_cell(r[i]) for i in dorder) for r in drows)
+                for a, b in itertools.islice(
+                    ((a, b) for a, b in zip(sset, dset) if a != b), 3
+                ):
+                    print(f"    spark: {a.replace(chr(1), ' | ')}")
+                    print(f"    duck : {b.replace(chr(1), ' | ')}")
+        else:
+            passed += 1
+            print(f"[ok] {name}: {sn} rows ({time.time()-t0:.1f}s)")
+
+    print(
+        f"\n{passed} passed, {len(failures)} failed, {rows_only} rows-only, "
+        f"{len(queries)} total"
+    )
+    for name, why in failures:
+        print(f"  FAIL {name}: {why}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
