@@ -30,7 +30,12 @@ from pyspark.sql import types as T
 
 from .functions.scalar import delta_pair, hrs_to_sec, jira_ts, pct_change_abs, pct_diff
 from .operators.aggregates import horizontal_sum
-from .operators.dedup import exact_dup_groups, jaccard, near_dup_pairs, shingles, simhash_candidates
+from .operators.dedup import (
+    blocked_jaccard_pairs,
+    exact_dup_groups,
+    near_dup_pairs,
+    simhash_candidates,
+)
 from .operators.joins import attach_detail, dim_join, lookup_or_insert
 from .operators.similarity import cosine_topk, cosine_topk_lsh
 from .operators.text import (
@@ -893,29 +898,14 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
-    """DEDUP-NGRAM: n-gram (word-set) Jaccard near-dup pairs with blocking on
-    (lang, source) — the exact-verify stage of the near-dup pipeline, with a
-    full SQL oracle (MinHash candidates are checked rows-only)."""
-    docs = load(spark, sf, "documents").select(
-        "doc_id", "lang", "source", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    """DEDUP-NGRAM: token-set Jaccard near-dup pairs with blocking on
+    (lang, source) — the exact-verify stage of the near-dup pipeline,
+    computed relationally (exploded-token self-join + pair counts; no
+    per-pair array intersects), with a full SQL oracle (MinHash candidates
+    are checked rows-only)."""
+    return blocked_jaccard_pairs(
+        load(spark, sf, "documents"), ["lang", "source"], threshold=0.2
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            jaccard(F.col("a.toks"), F.col("b.toks")).alias("jaccard_sim"),
-        )
-        .where(F.col("jaccard_sim") >= 0.2)
-    )
-    return pair
 
 
 ORACLE_DEDUP_NGRAM = r"""

@@ -59,18 +59,30 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """Array of ``num_hashes`` minhash values over the shingle set.
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc minhash signature as ``num_hashes`` columns ``h0..hN``.
 
-    Hash family: ``xxhash64(seed_i, shingle)`` — xxhash64 mixes the extra
-    literal column in, giving independent-enough families without Python.
-    Empty shingle arrays yield nulls (filtered by callers).
+    Relational route, deliberately: ``explode(shingles) → num_hashes
+    codegen'd xxhash64 columns → groupBy(min per column)``. A nested-HOF
+    formulation (transform over seeds × transform over shingles) is
+    interpreted per element and measured ~60× slower at sf0.1; this shape
+    stays in whole-stage codegen with map-side partial min and one shuffle
+    on the doc id. Hash family: ``xxhash64(seed_i, shingle)``.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(seed, s))
-        ),
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")
+    )
+    hashed = exploded.select(
+        id_col, *[F.xxhash64(F.lit(i), F.col("sh")).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -85,30 +97,22 @@ def minhash_candidates(
     """LSH candidate pairs (id_a < id_b) sharing ≥1 minhash band.
 
     rows/band = num_hashes/bands; with 32 hashes in 8 bands the bucket
-    probability is ``1-(1-j^4)^8`` — steep around Jaccard ~0.5. The
-    explode is ``bands`` rows per doc; the self-join key is (band index,
-    band hash), so co-grouped data is bucket-local.
+    probability is ``1-(1-j^4)^8`` — steep around Jaccard ~0.5. Each doc
+    explodes into ``bands`` (band, band_hash) rows; the self-join key is
+    (band, band_hash), so co-grouped data is bucket-local and the shuffle
+    carries bucket-sized groups, never the corpus cross-product.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
-    banded = (
-        df.select(F.col(id_col), sig.alias("sig"))
-        .select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ),
-                )
-            ).alias("band", "band_hash"),
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_hashes = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_hashes).select(
+        id_col, F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)])).alias(
+            "band", "band_hash"
         )
     )
     a = banded.alias("a")
@@ -163,37 +167,92 @@ def near_dup_pairs(
     )
 
 
-def simhash64(text: Column | str, shingle_n: int = 2) -> Column:
-    """64-bit SimHash as an unsigned-decimal string.
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact token-set Jaccard pairs within blocking groups — relationally.
 
-    Classic bit-vote: each shingle hashes to 64 bits; each bit position
-    accumulates +1/−1; the sign vector is the signature. The vote runs as a
-    HOF fold over a 64-slot int array — row-local, no shuffle. Returned via
-    ``conv(bits, 2, 10)`` as a decimal string (Spark longs are signed;
-    string form keeps banding/equality clean).
+    ``|A∩B|`` comes from a self-join of exploded distinct tokens on
+    (block, token) + a pair-count groupBy; ``|A∪B| = |A|+|B|−|A∩B|``. No
+    per-pair array intersection (interpreted, O(pairs×tokens)) — everything
+    is codegen'd joins/aggregations, and pairs sharing zero tokens never
+    materialize. With threshold > 0 this equals the all-pairs-in-block
+    result exactly.
     """
-    sh = shingles(text, shingle_n)
-    zeros = F.array_repeat(F.lit(0), 64)
-    # bit i extracted with a literal shift (shiftright needs an int, not a
-    # Column) — 64 expressions built Python-side, MSB first
-    votes = F.aggregate(
-        sh,
-        zeros,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1))
-                    for i in range(63, -1, -1)
-                ]
-            ),
-            lambda a, bit: a + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)),
-        ),
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.trim(F.col(text_col)))))
+        ).alias("tok"),
     )
-    bits = F.concat_ws(
-        "", F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")))
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = (F.col("a.tok") == F.col("b.tok")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
-    return F.conv(bits, 2, 10)
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """64-bit SimHash per doc → (id, simhash bitstring).
+
+    Classic bit-vote, relationally: explode shingles → one xxhash64 → 64
+    codegen'd bit columns (literal shifts) → groupBy summing ±1 votes →
+    sign vector as a 64-char bitstring. One shuffle on the doc id,
+    everything else whole-stage codegen (the HOF fold variant interprets
+    64 array ops per shingle per row).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")
+    ).select(F.col(id_col), F.xxhash64("sh").alias("h"))
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{i}")
+            for i in range(63, -1, -1)
+        ]
+    )
+    bits = F.concat(
+        *[
+            F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(63, -1, -1)
+        ]
+    )
+    return votes.select(id_col, bits.alias("simhash_bits"))
 
 
 def simhash_candidates(
@@ -207,13 +266,13 @@ def simhash_candidates(
     Pigeonhole: Hamming distance ≤3 across 64 bits ⇒ at least one clean
     16-bit quarter matches. Same banded self-join shape as MinHash LSH.
     """
-    sig = simhash64(text_col, shingle_n)
-    # re-derive the bitstring from the decimal string for banding
-    bits = F.lpad(F.conv(sig, 10, 2), 64, "0")
-    banded = df.select(
+    sig = simhash_signatures(df, text_col, id_col, shingle_n)
+    banded = sig.select(
         F.col(id_col),
         F.posexplode(
-            F.array(*[F.substring(bits, 1 + 16 * i, 16) for i in range(4)])
+            F.array(
+                *[F.substring("simhash_bits", 1 + 16 * i, 16) for i in range(4)]
+            )
         ).alias("band", "band_bits"),
     )
     a, b = banded.alias("a"), banded.alias("b")
