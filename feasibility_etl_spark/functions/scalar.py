@@ -21,24 +21,36 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+NAN = float("nan")
+INF = float("inf")
+
+
 def pct_change_abs(old: Column | str, new: Column | str) -> Column:
     """Absolute percent change: ``abs((new - old) / abs(old) * 100)``.
 
-    Mirrors helpers.js:234-240 (F-PCTCHG). Operands are cast to double; with
-    double operands Spark's ``/`` yields IEEE Infinity on old=0, matching the
-    JS behavior (the engine's E-GATE callers always have old > 0).
+    Mirrors helpers.js:234-240 (F-PCTCHG) including the JS IEEE edge: old=0
+    yields Infinity (NaN when both are 0). The edge is encoded explicitly
+    because Spark 4 runs ANSI mode by default, where a bare ``/ 0`` throws —
+    the guard keeps the operator correct under any session config.
     """
     old_d, new_d = _c(old).cast("double"), _c(new).cast("double")
-    return F.abs((new_d - old_d) / F.abs(old_d) * F.lit(100.0))
+    return F.when(
+        old_d == 0, F.when(new_d == 0, F.lit(NAN)).otherwise(F.lit(INF))
+    ).otherwise(F.abs((new_d - old_d) / F.abs(old_d) * F.lit(100.0)))
 
 
 def pct_diff(v1: Column | str, v2: Column | str) -> Column:
     """Symmetric percent difference: ``((v1 - v2) / ((v1 + v2) / 2)) * 100``.
 
-    Mirrors helpers.js:296-302 (F-PCTDIFF; private helper used by F-DELTA).
+    Mirrors helpers.js:296-302 (F-PCTDIFF; private helper used by F-DELTA),
+    including the JS IEEE edges at v1+v2=0 (±Infinity by numerator sign, NaN
+    at 0/0) — explicit for ANSI-mode safety, as above.
     """
     a, b = _c(v1).cast("double"), _c(v2).cast("double")
-    return (a - b) / ((a + b) / F.lit(2.0)) * F.lit(100.0)
+    return F.when(
+        a + b == 0,
+        F.when(a == b, F.lit(NAN)).when(a > b, F.lit(INF)).otherwise(F.lit(-INF)),
+    ).otherwise((a - b) / ((a + b) / F.lit(2.0)) * F.lit(100.0))
 
 
 def delta_pair(estimate: Column | str, actual: Column | str) -> tuple[Column, Column]:

@@ -108,8 +108,14 @@ def lang_id(text: Column | str) -> Column:
     best = F.array_max(F.array(*scored))
     cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
     total_chars = F.length(F.regexp_replace(c, r"\s", ""))
+    # cjk/total > 0.3 phrased multiplicatively: `&` does not short-circuit,
+    # so a division here would throw under ANSI mode when total_chars = 0
     return (
-        F.when((total_chars > 0) & (cjk.cast("double") / total_chars > 0.3), F.lit("zh"))
+        F.when(
+            (total_chars > 0)
+            & (cjk.cast("double") > F.lit(0.3) * total_chars.cast("double")),
+            F.lit("zh"),
+        )
         .when(best["score"] > 0, best["lang"])
         .otherwise(F.lit("und"))
     )

@@ -1,0 +1,73 @@
+"""Dedup family: exact keeps lowest id; MinHash-LSH finds planted near-dups
+and agrees with exact Jaccard; SimHash buckets exact dups together."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feasibility_etl_spark.operators.dedup import (
+    blocked_jaccard_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_candidates,
+    near_dup_pairs,
+    simhash_candidates,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches the "
+    "birds fly south for winter and the river flows quietly past the old mill"
+)
+NEAR = BASE.replace("quietly", "silently")  # one-word edit → high jaccard
+OTHER = (
+    "completely different content about database engines query optimization "
+    "and distributed systems running on large clusters with many executors"
+)
+
+
+def docs(spark):
+    rows = [
+        (1, BASE, "en", "s1"),
+        (2, BASE, "en", "s1"),        # exact dup of 1
+        (3, NEAR, "en", "s1"),        # near dup of 1
+        (4, OTHER, "en", "s1"),
+        (5, "UPPER case! Punct... " + BASE, "en", "s1"),  # normalizes near 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = exact_dedup(docs(spark))
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_exact_dup_groups_report(spark):
+    groups = {r.keep_id: r.group_size for r in exact_dup_groups(docs(spark)).collect()}
+    assert groups[1] == 2  # docs 1+2 share a fingerprint
+    assert groups[4] == 1
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    cands = {(r.id_a, r.id_b) for r in minhash_candidates(docs(spark)).collect()}
+    assert (1, 2) in cands  # exact dup always a candidate
+    assert (1, 3) in cands  # near dup should share a band
+    verified = {(r.id_a, r.id_b): r.jaccard for r in near_dup_pairs(docs(spark), threshold=0.5).collect()}
+    assert verified[(1, 2)] == 1.0
+    assert 0.5 <= verified[(1, 3)] < 1.0
+    assert (1, 4) not in verified  # unrelated text filtered
+
+
+def test_blocked_jaccard_matches_set_math(spark):
+    out = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in blocked_jaccard_pairs(docs(spark), ["lang", "source"], threshold=0.1).collect()
+    }
+    a, b = set(BASE.lower().split()), set(NEAR.lower().split())
+    expected = len(a & b) / len(a | b)
+    assert abs(out[(1, 3)] - expected) < 1e-12
+    assert out[(1, 2)] == 1.0
+
+
+def test_simhash_buckets_exact_dups(spark):
+    cands = {(r.id_a, r.id_b) for r in simhash_candidates(docs(spark)).collect()}
+    assert (1, 2) in cands  # identical text → identical signature → all bands match

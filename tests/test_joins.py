@@ -1,0 +1,49 @@
+"""Join operators (SURVEY §2.3): broadcast dim joins, attach, lookup-or-insert."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feasibility_etl_spark.operators.joins import attach_detail, dim_join, lookup_or_insert
+
+
+def test_dim_join_is_broadcast_left(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "k int, fk int")
+    dim = spark.createDataFrame([(10, "a")], "id int, name string")
+    out = dim_join(fact, dim, fact["fk"] == dim["id"])
+    rows = {r.k: r.name for r in out.collect()}
+    assert rows == {1: "a", 2: None}  # LEFT: unmatched fact rows survive
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_attach_detail_left(spark):
+    parent = spark.createDataFrame([("K1",), ("K2",)], "key string")
+    detail = spark.createDataFrame([("K1", 5)], "key string, v int")
+    rows = {r.key: r.v for r in attach_detail(parent, detail, "key").collect()}
+    assert rows == {"K1": 5, "K2": None}
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, T.StructType([T.StructField("id", T.LongType()), T.StructField("name", T.StringType())])
+    )
+
+
+def test_lookup_or_insert_continues_sequence(spark):
+    dim = _dim(spark, [(1, "alice"), (2, "bob")])
+    incoming = spark.createDataFrame([("bob",), ("carol",), ("dave",), ("carol",)], "name string")
+    out = {r.name: r.id for r in lookup_or_insert(dim, incoming, "name").collect()}
+    # existing keep ids; new get dense ids continuing from max (plpgsql
+    # get_user_id semantics, schema.sql:123-134)
+    assert out == {"alice": 1, "bob": 2, "carol": 3, "dave": 4}
+
+
+def test_lookup_or_insert_ignores_nulls_and_is_stable(spark):
+    dim = _dim(spark, [])
+    incoming = spark.createDataFrame([("b",), (None,), ("a",)], "name string")
+    out1 = sorted((r.id, r.name) for r in lookup_or_insert(dim, incoming, "name").collect())
+    out2 = sorted((r.id, r.name) for r in lookup_or_insert(dim, incoming, "name").collect())
+    assert out1 == [(1, "a"), (2, "b")]  # ordered by natural key, no null row
+    assert out1 == out2

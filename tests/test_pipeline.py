@@ -1,0 +1,93 @@
+"""Stage-4 transform (etl.js:285-304) as one declarative plan: from raw
+nested inputs, compute every derived metric with the reference's exact
+semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feasibility_etl_spark.functions.json_fns import ISSUE_LINKS_TYPE
+from feasibility_etl_spark.plans.pipeline import ESTIMATE_COLS, transform_feasibilities
+
+ENTRY = T.StructType(
+    [
+        T.StructField("author", T.StringType()),
+        T.StructField("timespent", T.LongType()),
+        T.StructField("unit", T.StringType()),
+        T.StructField("id", T.StringType()),
+    ]
+)
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("worklog_entries", T.ArrayType(ENTRY)),
+        T.StructField("issue_links", ISSUE_LINKS_TYPE),
+        *[T.StructField(c, T.DoubleType()) for c in ESTIMATE_COLS],
+    ]
+)
+
+
+def link(total):
+    return {
+        "summary": "s", "status": "Done", "issuetype": "Task",
+        "worklog": {"worklog": [], "total": total} if total is not None else None,
+        "reviewer": None, "reporter": "u", "project": "P",
+        "created": None, "resolution": None, "resolution date": None,
+    }
+
+
+def raw_df(spark):
+    rows = [
+        # insert-1 shape: own worklog 60s, one link totalling 180s,
+        # estimates 1.2+2+1+1.5+1+1.5 h = 29520 s
+        ("K-1", [("u1", 60, "seconds", "1")], {"L-1": link(180)},
+         1.2, 2.0, 1.0, 1.5, 1.0, 1.5),
+        # no worklog, no links → timespent null, linked 0, delta pair null
+        ("K-2", [], None, 1.2, 2.0, 1.0, 1.5, 1.0, 1.5),
+        # null estimates coalesce to 0 in the horizontal sum
+        ("K-3", [("u2", 120, "seconds", "2")], {"L-2": link(60), "L-3": link(None)},
+         None, 2.0, None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, RAW_SCHEMA)
+
+
+def test_transform_full_record(spark):
+    out = {r.key: r for r in transform_feasibilities(raw_df(spark)).collect()}
+    r1 = out["K-1"]
+    assert r1.feasibility_timespent == 60.0
+    assert r1.issue_links_timespent == 180.0
+    assert r1.feasibility_estimate_total == 29520.0
+    assert r1.delta == 29520.0 - 180.0
+    expected_pct = (29520.0 - 180.0) / ((29520.0 + 180.0) / 2) * 100
+    assert abs(r1.delta_percentage - expected_pct) < 1e-9
+    # estimates visibly converted to seconds (helpers.js:281)
+    assert r1.design_estimate == 4320.0
+
+
+def test_transform_empty_semantics(spark):
+    out = {r.key: r for r in transform_feasibilities(raw_df(spark)).collect()}
+    r2 = out["K-2"]
+    assert r2.worklog is None  # A-WORKLOG: null on empty
+    assert r2.feasibility_timespent is None
+    assert r2.issue_links_timespent == 0.0  # A-LINKED: zero on empty
+    assert r2.delta is None and r2.delta_percentage is None  # falsy-zero rule
+
+
+def test_transform_null_estimates_and_null_link_worklog(spark):
+    out = {r.key: r for r in transform_feasibilities(raw_df(spark)).collect()}
+    r3 = out["K-3"]
+    assert r3.feasibility_estimate_total == 7200.0  # only dev=2h
+    assert r3.issue_links_timespent == 60.0  # null-worklog link skipped
+    assert r3.feasibility_timespent == 120.0
+
+
+def test_transform_serializes_json_at_sink(spark):
+    out = transform_feasibilities(raw_df(spark), serialize_json=True)
+    schema = dict(out.dtypes)
+    assert schema["worklog"] == "string"
+    assert schema["issue_links"] == "string"
+    rows = {r.key: r for r in out.collect()}
+    assert rows["K-2"].worklog is None  # null stays null (etl.js:296 && guard)
+    assert '"total":60' in rows["K-1"].worklog

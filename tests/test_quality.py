@@ -1,0 +1,56 @@
+"""Quality gates (SURVEY §2.8): E-DROP, E-GATE threshold (>=), E-ISOLATE."""
+
+from __future__ import annotations
+
+import pytest
+
+from feasibility_etl_spark.quality.gates import (
+    DataLossExceeded,
+    assert_loss_below,
+    drop_failed,
+    loss_report,
+    validate_not_null,
+)
+
+
+def test_drop_failed(spark):
+    data = spark.createDataFrame([("K1", 1), ("K2", 2), ("K3", 3)], "key string, v int")
+    failed = spark.createDataFrame([("K2",)], "key string")
+    assert sorted(r.key for r in drop_failed(data, failed, "key").collect()) == ["K1", "K3"]
+
+
+def test_gate_passes_under_threshold(spark):
+    before = spark.range(100)
+    after = before.limit(85)  # 15% loss < 20%
+    b, a, loss = assert_loss_below(before, after, 20.0)
+    assert (b, a) == (100, 85)
+    assert abs(loss - 15.0) < 1e-12
+
+
+def test_gate_aborts_at_threshold_inclusive(spark):
+    # etl.js:269 compares with >=, so exactly 20% must abort
+    before = spark.range(100)
+    after = before.limit(80)
+    with pytest.raises(DataLossExceeded):
+        assert_loss_below(before, after, 20.0)
+
+
+def test_loss_report_edges():
+    assert loss_report(0, 0) == 0.0
+    assert loss_report(0, 5) == float("inf")
+    assert loss_report(100, 120) == 20.0  # growth counts as change too
+
+
+def test_validate_not_null_split(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", None)], "k string, v int"
+    )
+    ok, bad = validate_not_null(df, ["k", "v"])
+    assert ok.count() == 1
+    assert bad.count() == 2
+
+
+def test_validate_not_null_no_constraints(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    ok, bad = validate_not_null(df, [])
+    assert ok.count() == 1 and bad.count() == 0

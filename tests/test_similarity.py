@@ -1,0 +1,68 @@
+"""Similarity search: brute-force top-k matches numpy; LSH recall is sane."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from feasibility_etl_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from feasibility_etl_spark.sources.catalog import load
+
+from conftest import SF0001
+
+
+def numpy_topk(emb: dict[int, np.ndarray], qid: int, k: int) -> list[int]:
+    q = emb[qid]
+    qn = q / np.linalg.norm(q)
+    sims = {
+        cid: float(np.dot(v / np.linalg.norm(v), qn)) for cid, v in emb.items() if cid != qid
+    }
+    return [c for c, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    corpus = load(spark, SF0001, "embeddings")
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(corpus, queries, k=5)
+    got: dict[int, list[int]] = {}
+    for r in out.orderBy("query_id", "rank").collect():
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in corpus.collect()
+    }
+    for qid in (0, 1, 2):
+        assert got[qid] == numpy_topk(emb, qid, 5), f"query {qid}"
+
+
+def clustered_embeddings(spark, n_clusters=8, per_cluster=40, dim=16, seed=7):
+    # note: the driver corpus's embeddings are uniform random (no cluster
+    # structure), where hyperplane LSH recall is inherently ~0 — so recall
+    # is asserted on data with actual neighborhoods
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + rng.normal(scale=0.05, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    corpus = clustered_embeddings(spark)
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(corpus, queries, k=10)
+    approx = cosine_topk_lsh(corpus, queries, k=10, dim=16, n_planes=8)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # tight clusters → cluster-mates share all sign bits → near-total recall
+    assert recall > 0.9, f"recall {recall}"
+    assert all(r.rank <= 10 for r in approx.collect())

@@ -1,0 +1,102 @@
+"""Denormalizing writer (SURVEY §3.2/§7.3) against the reference's golden
+corpus: the 5 view-inserts from testing.sql must decompose into fact + dims
+exactly as the INSTEAD OF trigger would (schema.sql:141-173)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from feasibility_etl_spark.writer.denormalized import DimSpec, write_denormalized
+
+from golden import golden_wide_df
+
+SPECS = [
+    DimSpec(
+        name="jira_user",
+        natural_key="username",
+        roles={"reviewer_name": "fk_reviewer", "reporter_name": "fk_reporter"},
+    ),
+    DimSpec(name="project", natural_key="name", roles={"project_name": "fk_project"}),
+]
+
+
+def empty_dim(spark, natural_key):
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField(natural_key, T.StringType())]
+        ),
+    )
+
+
+@pytest.fixture()
+def dims(spark):
+    return {"jira_user": empty_dim(spark, "username"), "project": empty_dim(spark, "name")}
+
+
+def test_dims_get_exact_distinct_names(spark, dims):
+    res = write_denormalized(golden_wide_df(spark), SPECS, dims)
+    users = {r.username for r in res.dims["jira_user"].collect()}
+    projects = {r.name for r in res.dims["project"].collect()}
+    # testing.sql:84-91 expectation: dims hold exactly the distinct names
+    assert users == {"user1", "user2", "user3", "user4"}
+    assert projects == {"PROJECT1", "PROJECT2", "PROJECT4", "PROJECT5"}
+
+
+def test_surrogate_ids_dense_and_deterministic(spark, dims):
+    res1 = write_denormalized(golden_wide_df(spark), SPECS, dims)
+    res2 = write_denormalized(golden_wide_df(spark), SPECS, dims)
+    ids1 = sorted((r.id, r.username) for r in res1.dims["jira_user"].collect())
+    ids2 = sorted((r.id, r.username) for r in res2.dims["jira_user"].collect())
+    assert ids1 == ids2, "surrogate assignment must be reproducible across runs"
+    assert [i for i, _ in ids1] == [1, 2, 3, 4], "SERIAL-like density from 1"
+
+
+def test_fact_fk_resolution_role_play(spark, dims):
+    res = write_denormalized(golden_wide_df(spark), SPECS, dims)
+    users = {r.username: r.id for r in res.dims["jira_user"].collect()}
+    fact = {r.key: r for r in res.fact.collect()}
+    # insert 4: reviewer user2, reporter user4 — two FKs into the same dim
+    assert fact["PROJECT5-2000"].fk_reviewer == users["user2"]
+    assert fact["PROJECT5-2000"].fk_reporter == users["user4"]
+    # natural-key columns replaced by FKs
+    for col in ("reviewer_name", "reporter_name", "project_name"):
+        assert col not in res.fact.columns
+    assert len(fact) == 5
+
+
+def test_incremental_upsert_extends_sequence(spark, dims):
+    first = write_denormalized(golden_wide_df(spark).limit(2), SPECS, dims)
+    # second batch reuses the updated dims: existing names keep ids, new
+    # names continue the sequence (get_user_id lookup-or-insert semantics)
+    second = write_denormalized(golden_wide_df(spark), SPECS, first.dims)
+    u1 = {r.username: r.id for r in first.dims["jira_user"].collect()}
+    u2 = {r.username: r.id for r in second.dims["jira_user"].collect()}
+    for name, uid in u1.items():
+        assert u2[name] == uid, "existing surrogate ids must be stable"
+    assert set(u2.values()) == {1, 2, 3, 4}
+
+
+def test_idempotent_rerun_appends_nothing(spark, dims):
+    first = write_denormalized(golden_wide_df(spark), SPECS, dims)
+    rerun = write_denormalized(
+        golden_wide_df(spark), SPECS, first.dims, existing_fact=first.fact
+    )
+    # reference gets insert-new-only via swallowed PK violations
+    # (helpers.js:100-104 + schema.sql:55); we anti-join explicitly
+    assert rerun.fact.count() == 0
+
+
+def test_not_null_rejection(spark, dims):
+    wide = golden_wide_df(spark)
+    from pyspark.sql import functions as F
+
+    broken = wide.withColumn(
+        "summary", F.when(F.col("key") == "PROJECT2-123", None).otherwise(F.col("summary"))
+    )
+    res = write_denormalized(
+        broken, SPECS, dims, required=["key", "summary", "development_estimate"]
+    )
+    assert res.rejected.count() == 1
+    assert res.fact.count() == 4
