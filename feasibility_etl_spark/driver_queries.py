@@ -37,7 +37,7 @@ from .operators.dedup import (
     simhash_candidates,
 )
 from .operators.joins import attach_detail, dim_join, lookup_or_insert
-from .operators.similarity import cosine_topk, cosine_topk_lsh
+from .operators.similarity import cosine_topk, cosine_topk_lsh, embedding_near_dups
 from .operators.text import (
     fingerprint,
     lang_id,
@@ -975,6 +975,16 @@ def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_SIM_TOPK = _COS_SQL
 
 
+def q_emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """EMB-NEARDUP: embedding-cosine near-duplicate pairs via LSH self-join +
+    exact verify (rows-only: LSH banding has engine-specific false negatives
+    an all-pairs SQL oracle would flag; exactness is covered by SIM-TOPK and
+    tests)."""
+    return embedding_near_dups(
+        load(spark, sf, "embeddings"), threshold=0.3, dim=64, n_planes=8
+    ).orderBy("id_a", "id_b")
+
+
 def q_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """SIM-LSH: hyperplane-LSH-bucketed approximate top-k (rows-only check;
     recall vs brute force asserted in tests)."""
@@ -1163,6 +1173,7 @@ QUERIES: dict[str, QueryFn] = {
     "DEDUP-SIMHASH": q_dedup_simhash,
     "SIM-TOPK": q_sim_topk,
     "SIM-LSH": q_sim_lsh,
+    "EMB-NEARDUP": q_emb_neardup,
     "TEXT-TOKENS": q_text_tokens,
     "TEXT-QUALITY": q_text_quality,
     "TEXT-LANGID": q_text_langid,

@@ -1,0 +1,238 @@
+"""Multimodal (image/audio/video) operators over opaque binary columns.
+
+Convention: media travels as ``payload: binary`` plus a typed ``metadata``
+struct (MEDIA_SCHEMA) — the engine never guesses formats from bytes. Decode
+/ feature-extract / resize / frame-sample run as Arrow-batched Pandas UDFs
+via ``mapInPandas``: Python is unavoidable for codec work, so the boundary
+is one vectorized crossing per batch, never per row.
+
+**Decode stubs.** The image/audio codec libraries are not available in this
+container, so the byte-level decode step is STUBBED: when PIL/soundfile are
+importable the real decode runs; otherwise a clearly-marked deterministic
+fake derives stable pseudo-features from the payload bytes (sha256-seeded).
+The Spark-side plumbing — schemas, batch shapes, partitioning, UDF
+signatures — is real and tested; swapping the stub for a real codec changes
+no plan shape.
+
+Scale shape: ``repartition`` before ``mapInPandas`` spreads CPU-bound decode
+across executors independent of file layout; Arrow batch size bounds the
+per-batch memory (spark.sql.execution.arrow.maxRecordsPerBatch). Frame
+sampling is a ``posexplode`` over a metadata-driven sequence — pure JVM, no
+Python, no decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_METADATA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("metadata", MEDIA_METADATA),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),  # 'pil' | 'fake'
+    ]
+)
+
+
+def _try_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _fake_stats(payload: bytes) -> tuple[str, float]:
+    """Deterministic FAKE decode: sha256 + a stable pseudo-luma in [0, 255).
+
+    Stands in for pixel statistics until a real codec is installed; derived
+    only from the bytes so it is reproducible across runs and engines.
+    """
+    digest = hashlib.sha256(payload).hexdigest()
+    return digest, float(int(digest[:8], 16) % 256000) / 1000.0
+
+
+def image_features(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Decode images and emit per-image features via Arrow-batched mapInPandas.
+
+    Real path: PIL opens the payload, true width/height/mean-luma. Stub
+    path (this container): deterministic fake stats; width/height pass
+    through from metadata. ``parallelism`` repartitions ahead of the Python
+    stage so decode CPU spreads across executors.
+    """
+    src = df.where(F.col("kind") == "image").select("media_id", "payload", "metadata")
+    if parallelism:
+        src = src.repartition(parallelism, "media_id")
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        pil = _try_pil()
+        for pdf in batches:
+            out = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["metadata"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                if pil is not None:
+                    import io
+
+                    try:
+                        img = pil.open(io.BytesIO(payload)).convert("L")
+                        import numpy as np
+
+                        arr = np.asarray(img, dtype="float64")
+                        out.append(
+                            (mid, len(payload), hashlib.sha256(payload).hexdigest(),
+                             img.width, img.height, float(arr.mean()), "pil")
+                        )
+                        continue
+                    except Exception:  # noqa: BLE001 — fall through to stub
+                        pass
+                digest, luma = _fake_stats(payload)
+                meta = meta or {}
+                out.append(
+                    (mid, len(payload), digest,
+                     meta.get("width"), meta.get("height"), luma, "fake")
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("metadata", MEDIA_METADATA),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize image payloads (PIL when present; STUB passes bytes through and
+    rewrites metadata dims — plumbing-faithful, marked by metadata.format
+    suffix '+fake-resize')."""
+    src = df.where(F.col("kind") == "image").select("media_id", "payload", "metadata")
+
+    def do_resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        pil = _try_pil()
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["metadata"]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = dict(meta or {})
+                if pil is not None:
+                    import io
+
+                    try:
+                        img = pil.open(io.BytesIO(payload)).resize((width, height))
+                        buf = io.BytesIO()
+                        img.save(buf, format=meta.get("format") or "PNG")
+                        payload = buf.getvalue()
+                        meta.update(width=width, height=height)
+                        rows.append((mid, payload, meta))
+                        continue
+                    except Exception:  # noqa: BLE001
+                        pass
+                meta.update(
+                    width=width,
+                    height=height,
+                    format=(meta.get("format") or "bin") + "+fake-resize",
+                )
+                rows.append((mid, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "metadata"])
+
+    return src.mapInPandas(do_resize, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plan: one row per sampled frame index.
+
+    Pure JVM — ``posexplode(sequence(0, n_frames-1, every_n))`` from
+    metadata; the per-frame decode (which would fill ``frame_payload``) is
+    the stubbed Python stage downstream. At scale this is the right split:
+    the cheap index fan-out stays in codegen, Python only touches frames
+    that survive downstream filters.
+    """
+    vids = df.where((F.col("kind") == "video") & (F.col("metadata")["n_frames"] > 0))
+    return vids.select(
+        "media_id",
+        F.col("metadata")["n_frames"].alias("n_frames"),
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.col("metadata")["n_frames"] - 1, F.lit(every_n)
+            )
+        ).alias("sample_idx", "frame_idx"),
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms_pseudo", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature extraction (STUB decode: deterministic pseudo-RMS from
+    bytes; duration passes through from metadata)."""
+    src = df.where(F.col("kind") == "audio").select("media_id", "payload", "metadata")
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["metadata"]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = meta or {}
+                digest, pseudo = _fake_stats(payload)
+                rows.append(
+                    (mid, len(payload), digest, meta.get("duration_s"), pseudo / 256.0, "fake")
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(decode, AUDIO_FEATURES_SCHEMA)

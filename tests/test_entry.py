@@ -20,7 +20,12 @@ def test_every_oracle_has_a_query():
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert set(o) <= set(q)
     # rows-only exceptions are the documented hash-free ops
-    assert set(q) - set(o) == {"DEDUP-MINHASH", "DEDUP-SIMHASH", "SIM-LSH"}
+    assert set(q) - set(o) == {
+        "DEDUP-MINHASH",
+        "DEDUP-SIMHASH",
+        "SIM-LSH",
+        "EMB-NEARDUP",
+    }
 
 
 def test_operator_ids_cover_survey_families():

@@ -1,0 +1,74 @@
+"""Multimodal plumbing: binary payloads + typed metadata through Arrow-batched
+mapInPandas stages (decode stubbed — the schemas/batch shapes are the test)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from feasibility_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    audio_features,
+    image_features,
+    resize_images,
+    sample_frames,
+)
+
+
+def media_df(spark):
+    rng = random.Random(42)
+    rows = []
+    for i in range(6):
+        payload = bytes(rng.getrandbits(8) for _ in range(256 + i))
+        rows.append(
+            (i, "image", payload, ("png", 64, 48, 3, None, None, None))
+        )
+    rows.append((10, "audio", b"\x01\x02\x03\x04", ("wav", None, None, 1, 16000, 2.5, None)))
+    rows.append((20, "video", b"\xff" * 32, ("mp4", 640, 480, 3, None, 10.0, 95)))
+    rows.append((21, "video", b"", ("mp4", 640, 480, 3, None, 0.0, 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_deterministic_and_batched(spark):
+    df = media_df(spark)
+    out1 = {r.media_id: r for r in image_features(df, parallelism=3).collect()}
+    out2 = {r.media_id: r for r in image_features(df).collect()}
+    assert len(out1) == 6  # only images
+    for mid, r in out1.items():
+        assert r.sha256 == out2[mid].sha256  # stable across partitionings
+        assert r.n_bytes == 256 + mid
+        assert r.width == 64 and r.height == 48  # metadata passthrough in stub
+        assert 0.0 <= r.mean_luma < 256.0
+        assert r.decoder in ("pil", "fake")
+
+
+def test_image_sha_matches_python(spark):
+    df = media_df(spark)
+    [r0] = [r for r in image_features(df).collect() if r.media_id == 0]
+    payload = bytes(media_df(spark).where("media_id = 0").collect()[0].payload)
+    assert r0.sha256 == hashlib.sha256(payload).hexdigest()
+
+
+def test_resize_rewrites_metadata(spark):
+    out = {r.media_id: r for r in resize_images(media_df(spark), 32, 24).collect()}
+    assert len(out) == 6
+    for r in out.values():
+        assert r.metadata.width == 32 and r.metadata.height == 24
+        assert r.payload is not None
+
+
+def test_sample_frames_is_pure_jvm_fanout(spark):
+    out = sample_frames(media_df(spark), every_n=10)
+    rows = out.collect()
+    # video 20: frames 0,10,...,90 → 10 samples; video 21 (0 frames) skipped
+    assert sorted(r.frame_idx for r in rows) == list(range(0, 100, 10))
+    assert {r.media_id for r in rows} == {20}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan.lower(), "frame fan-out must not touch Python"
+
+
+def test_audio_features(spark):
+    [r] = audio_features(media_df(spark)).collect()
+    assert r.media_id == 10
+    assert r.duration_s == 2.5
+    assert r.n_bytes == 4
