@@ -37,6 +37,13 @@ from .operators.dedup import (
     simhash_candidates,
 )
 from .operators.joins import attach_detail, dim_join, lookup_or_insert
+from .operators.multimodal import (
+    audio_features,
+    image_features,
+    media_from_documents,
+    resize_images,
+    sample_frames,
+)
 from .operators.similarity import cosine_topk, cosine_topk_lsh, embedding_near_dups
 from .operators.text import (
     fingerprint,
@@ -1128,6 +1135,97 @@ FROM documents
 
 # ------------------------------------------------------------- registries
 
+# ------------------------------------------------------------- multimodal
+
+def _media(spark: SparkSession, sf: str) -> DataFrame:
+    return media_from_documents(load(spark, sf, "documents"))
+
+
+def q_mm_image(spark: SparkSession, sf: str) -> DataFrame:
+    """MM-IMAGE: image decode + feature extraction over a binary payload
+    column via Arrow-batched mapInPandas (stub decoder: sha256-derived
+    pseudo-luma — deterministic, so the DuckDB oracle recomputes it)."""
+    return image_features(_media(spark, sf))
+
+
+ORACLE_MM_IMAGE = """
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(64 + (doc_id % 16) * 32 AS INTEGER) AS width,
+       CAST(64 + (doc_id % 9) * 32 AS INTEGER) AS height,
+       CAST(CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) % 256000 AS DOUBLE)
+         / 1000.0 AS mean_luma,
+       'fake' AS decoder
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q_mm_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """MM-AUDIO: audio feature extraction (stub pseudo-RMS; duration passes
+    through from typed metadata)."""
+    return audio_features(_media(spark, sf))
+
+
+ORACLE_MM_AUDIO = """
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(length(text) AS DOUBLE) / 100.0 AS duration_s,
+       (CAST(CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) % 256000 AS DOUBLE)
+         / 1000.0) / 256.0 AS rms_pseudo,
+       'fake' AS decoder
+FROM documents WHERE doc_id % 3 = 1
+"""
+
+
+def q_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """MM-FRAMES: video frame-sampling plan — posexplode over a
+    metadata-driven stride sequence, pure JVM (no decode touched)."""
+    return sample_frames(_media(spark, sf), every_n=10)
+
+
+ORACLE_MM_FRAMES = """
+WITH vids AS (
+  SELECT doc_id AS media_id, CAST((doc_id % 240) + 1 AS INTEGER) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT media_id, n_frames,
+         CAST(unnest(range(0, n_frames, 10)) AS INTEGER) AS frame_idx
+  FROM vids
+)
+SELECT media_id, n_frames,
+       CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY frame_idx) - 1
+            AS INTEGER) AS sample_idx,
+       frame_idx
+FROM f
+"""
+
+
+def q_mm_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """MM-RESIZE: image resize through the Pandas-UDF stage (stub passes
+    bytes through and rewrites metadata dims — the oracle checks the
+    plumbing: payload length survives, dims/format rewritten)."""
+    out = resize_images(_media(spark, sf), width=64, height=48)
+    return out.select(
+        "media_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("metadata")["width"].alias("width"),
+        F.col("metadata")["height"].alias("height"),
+        F.col("metadata")["format"].alias("format"),
+    )
+
+
+ORACLE_MM_RESIZE = """
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       64 AS width, 48 AS height,
+       'png+fake-resize' AS format
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "S-SEARCH": q_s_search,
     "S-JDBC-SINK": q_s_jdbc_sink,
@@ -1178,6 +1276,10 @@ QUERIES: dict[str, QueryFn] = {
     "TEXT-QUALITY": q_text_quality,
     "TEXT-LANGID": q_text_langid,
     "TEXT-FINGERPRINT": q_text_fingerprint,
+    "MM-IMAGE": q_mm_image,
+    "MM-AUDIO": q_mm_audio,
+    "MM-FRAMES": q_mm_frames,
+    "MM-RESIZE": q_mm_resize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1228,4 +1330,8 @@ ORACLES: dict[str, str] = {
     "TEXT-QUALITY": ORACLE_TEXT_QUALITY,
     "TEXT-LANGID": ORACLE_TEXT_LANGID,
     "TEXT-FINGERPRINT": ORACLE_TEXT_FINGERPRINT,
+    "MM-IMAGE": ORACLE_MM_IMAGE,
+    "MM-AUDIO": ORACLE_MM_AUDIO,
+    "MM-FRAMES": ORACLE_MM_FRAMES,
+    "MM-RESIZE": ORACLE_MM_RESIZE,
 }

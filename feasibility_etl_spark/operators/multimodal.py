@@ -64,6 +64,41 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic MEDIA_SCHEMA table derived from the ``documents`` table.
+
+    The driver ships no binary fixture, so the media corpus is synthesized
+    in-plan: payload = UTF-8 bytes of the text, kind round-robins by
+    ``doc_id % 3``, and metadata dims come from arithmetic on ``doc_id`` /
+    text length. Pure Column exprs → reproducible across runs AND
+    re-computable by the DuckDB oracle (sha256 of the same bytes).
+    """
+    did = F.col("doc_id")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (did % 3).cast("int") + 1,
+    )
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("wav"), F.lit("mp4")),
+        (did % 3).cast("int") + 1,
+    )
+    meta = F.struct(
+        fmt.alias("format"),
+        (F.lit(64) + (did % 16) * 32).cast("int").alias("width"),
+        (F.lit(64) + (did % 9) * 32).cast("int").alias("height"),
+        F.lit(3).alias("channels"),
+        F.lit(16000).alias("sample_rate"),
+        (F.length("text").cast("double") / F.lit(100.0)).alias("duration_s"),
+        ((did % 240) + 1).cast("int").alias("n_frames"),
+    )
+    return docs.select(
+        did.alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        meta.alias("metadata"),
+    )
+
+
 def _try_pil():
     try:
         from PIL import Image  # noqa: F401
