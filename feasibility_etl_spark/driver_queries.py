@@ -44,7 +44,12 @@ from .operators.multimodal import (
     resize_images,
     sample_frames,
 )
-from .operators.similarity import cosine_topk, cosine_topk_lsh, embedding_near_dups
+from .operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dups,
+    ivf_topk,
+)
 from .operators.text import (
     fingerprint,
     lang_id,
@@ -1005,6 +1010,21 @@ def q_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 # ----------------------------------------------------------- text analysis
 
+def q_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-IVF: IVF approximate top-k — k-means coarse quantizer (pyspark.ml,
+    fixed seed), nprobe-cell probing, exact cosine within probed cells.
+    Iterative training has no SQL twin → rows-only check; recall vs brute
+    force is asserted in tests (SURVEY §7.4 scale path)."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-TOKENS: token + char counting over documents."""
     docs = load(spark, sf, "documents")
@@ -1271,6 +1291,7 @@ QUERIES: dict[str, QueryFn] = {
     "DEDUP-SIMHASH": q_dedup_simhash,
     "SIM-TOPK": q_sim_topk,
     "SIM-LSH": q_sim_lsh,
+    "SIM-IVF": q_sim_ivf,
     "EMB-NEARDUP": q_emb_neardup,
     "TEXT-TOKENS": q_text_tokens,
     "TEXT-QUALITY": q_text_quality,

@@ -117,6 +117,91 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
+    per-cell inverted lists → probe the ``nprobe`` nearest cells per query →
+    exact cosine rank within probed cells.
+
+    Scale shape: training runs once on a sample (``train_fraction``);
+    centroids are tiny and broadcast everywhere. Corpus assignment is a
+    single map over the corpus (model.transform — JVM KMeans predict, no
+    shuffle); the search join is corpus-cell ⋈ probe-cell, so each query
+    reads ~``nprobe/n_cells`` of the corpus instead of all of it. Recall is
+    tunable via nprobe — the classic IVF trade.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus if train_fraction >= 1.0 else corpus.sample(train_fraction, seed)
+    featurized = train.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(featurized)
+
+    assigned = (
+        model.transform(
+            corpus.select(
+                F.col(corpus_id),
+                F.col(corpus_vec),
+                array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features"),
+            )
+        )
+        .select(F.col(corpus_id), F.col(corpus_vec), F.col("prediction").alias("_cell"))
+    )
+
+    centroids = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "_cell int, _centroid array<double>",
+        )
+    )
+    # nprobe nearest centroids per query (euclidean, matching KMeans predict)
+    probe_w = Window.partitionBy(query_id).orderBy(F.col("_dist2"), F.col("_cell"))
+    probes = (
+        queries.crossJoin(centroids)
+        .select(
+            F.col(query_id),
+            F.col(query_vec),
+            F.col("_cell"),
+            F.aggregate(
+                F.zip_with(
+                    F.col(query_vec), F.col("_centroid"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("_dist2"),
+        )
+        .withColumn("_probe_rank", F.row_number().over(probe_w))
+        .where(F.col("_probe_rank") <= nprobe)
+        .select(query_id, query_vec, "_cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "_cell")
+        .where(F.col(query_id) != F.col(corpus_id))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

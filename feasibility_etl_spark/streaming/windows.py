@@ -70,3 +70,39 @@ def session_agg(
     win = F.session_window(F.col(ts_col), gap)
     out = df.groupBy(win.alias("session"), *[F.col(k) for k in keys]).agg(*aggs)
     return _flatten(out, "session", "session")
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming-safe exact dedup on key columns.
+
+    With ``ts_col``, uses ``dropDuplicatesWithinWatermark`` — state for a key
+    is evicted once the watermark passes it, so the dedup state store is
+    bounded by the watermark horizon instead of growing with the stream's
+    lifetime key cardinality (the 100 TB/day posture). Without ``ts_col``
+    falls back to plain ``dropDuplicates`` (batch, or streams with bounded
+    keys). Batch frames take the plain path too: within-watermark dedup is
+    streaming-only in Spark.
+    """
+    if ts_col is None or not df.isStreaming:
+        return df.dropDuplicates(list(keys))
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: the static dim is broadcast to every
+    micro-batch task — no stream-side shuffle, no state store. The standard
+    shape for attaching slowly-changing reference data to an event stream;
+    for stream-stream joins use watermarks on both sides instead.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), keys, how)

@@ -24,6 +24,7 @@ def test_every_oracle_has_a_query():
         "DEDUP-MINHASH",
         "DEDUP-SIMHASH",
         "SIM-LSH",
+        "SIM-IVF",
         "EMB-NEARDUP",
     }
 

@@ -66,3 +66,25 @@ def test_lsh_topk_recall_on_clustered_data(spark):
     # tight clusters → cluster-mates share all sign bits → near-total recall
     assert recall > 0.9, f"recall {recall}"
     assert all(r.rank <= 10 for r in approx.collect())
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    from feasibility_etl_spark.operators.similarity import ivf_topk
+
+    corpus = clustered_embeddings(spark)
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(corpus, queries, k=10)
+    approx = ivf_topk(corpus, queries, k=10, n_cells=8, nprobe=2)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # kmeans cells align with the generator's clusters → near-total recall
+    assert recall > 0.9, f"recall {recall}"
+    # every query produced a full (or cell-bounded) ranked list, ranks dense
+    ranks = {}
+    for r in approx.collect():
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    for qid, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1)), f"query {qid}"

@@ -79,3 +79,72 @@ def test_same_code_runs_as_streaming_query(spark, tmp_path):
         assert spark.table("win_smoke").columns == ["window_start", "window_end", "n"]
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    import json
+
+    from feasibility_etl_spark.streaming.windows import stream_dedup
+
+    src_dir = tmp_path / "dedup_in"
+    src_dir.mkdir()
+    (src_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": "a", "ts": "2024-01-01T00:00:00", "v": 1},
+                {"k": "a", "ts": "2024-01-01T00:00:30", "v": 2},  # dup key in window
+                {"k": "b", "ts": "2024-01-01T00:01:00", "v": 3},
+            ]
+        )
+    )
+    stream = spark.readStream.schema("k string, ts timestamp, v long").json(str(src_dir))
+    out = stream_dedup(stream, ["k"], ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("stream_dedup_t").collect()
+        assert sorted((r.k, r.v) for r in rows) == [("a", 1), ("b", 3)]
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_batch_fallback(spark):
+    from feasibility_etl_spark.streaming.windows import stream_dedup
+
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v long")
+    assert stream_dedup(df, ["k"], ts_col=None).count() == 2
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    import json
+
+    from feasibility_etl_spark.streaming.windows import enrich_stream
+
+    src_dir = tmp_path / "enrich_in"
+    src_dir.mkdir()
+    (src_dir / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in [{"k": "a", "v": 1}, {"k": "z", "v": 2}])
+    )
+    dim = spark.createDataFrame([("a", "Alpha"), ("b", "Beta")], "k string, name string")
+    stream = spark.readStream.schema("k string, v long").json(str(src_dir))
+    out = enrich_stream(stream, dim, "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.k, r.name) for r in spark.table("enrich_t").collect()}
+        assert got == {("a", "Alpha"), ("z", None)}  # left join keeps unmatched
+    finally:
+        q.stop()
