@@ -94,3 +94,57 @@ def lookup_or_insert(
         .select((F.col("rn") + F.col("base")).cast("long").alias(id_col), natural_key)
     )
     return dim.select(F.col(id_col).cast("long"), F.col(natural_key)).unionByName(additions)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the left side's ``key`` distribution is heavily skewed.
+
+    Classic salting, for the shapes AQE's skew-join splitting can't fix
+    (e.g. the hot key exceeds a single task even after splits, or the join
+    is shuffled-hash): the skewed side gets a deterministic salt derived
+    from ``salt_col`` (any row-distinguishing column — NOT rand(), which
+    breaks retry/replay determinism), the other side is replicated
+    ``n_salts`` times via an exploded literal range, and the join key
+    becomes (key, salt). The hot key's rows now land on ``n_salts``
+    reducers instead of one.
+
+    Cost model: replicating ``other`` multiplies its shuffle volume by
+    ``n_salts`` — use only when ``other`` is much smaller than the hot key's
+    row count (else prefer broadcast or AQE).
+    """
+    salted = skewed.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
+    replicated = other.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
+    )
+    return salted.join(replicated, [key, "_salt"], how).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    salt_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys.
+
+    Stage 1 groups by (keys, salt) — the hot key's input spreads over
+    ``n_salts`` reducers; stage 2 re-aggregates the ``n_salts`` partials per
+    key (tiny). Only valid for algebraic aggregates the caller can split
+    into partial/final pairs (sum→sum, count→sum, min→min, max→max) —
+    exactly the split Spark's own partial aggregation does map-side, which
+    already defuses *most* skew; this operator is for when the per-key
+    *reduce* state itself is the bottleneck (e.g. collect-like partials).
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)

@@ -47,3 +47,54 @@ def test_lookup_or_insert_ignores_nulls_and_is_stable(spark):
     out2 = sorted((r.id, r.name) for r in lookup_or_insert(dim, incoming, "name").collect())
     assert out1 == [(1, "a"), (2, "b")]  # ordered by natural key, no null row
     assert out1 == out2
+
+
+def test_salted_join_matches_plain_join(spark):
+    from feasibility_etl_spark.operators.joins import salted_join
+
+    # skewed: one hot key with 1000 rows
+    skewed = spark.createDataFrame(
+        [("hot", i) for i in range(1000)] + [("cold", i) for i in range(5)],
+        "k string, row_id long",
+    )
+    other = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("absent", "A")], "k string, tag string"
+    )
+    plain = {(r.k, r.row_id, r.tag) for r in skewed.join(other, "k").collect()}
+    salted = {
+        (r.k, r.row_id, r.tag)
+        for r in salted_join(skewed, other, "k", salt_col="row_id", n_salts=8).collect()
+    }
+    assert salted == plain and len(plain) == 1005
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.operators.joins import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(1000)] + [("cold", i, 1.0) for i in range(3)],
+        "k string, row_id long, v double",
+    )
+    plain = {
+        (r.k, r.n, r.total)
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.round("v", 0).cast("long")).alias("total")
+        ).collect()
+    }
+    two_stage = {
+        (r.k, r.n, r.total)
+        for r in salted_agg(
+            df,
+            ["k"],
+            partial_aggs=[
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.round("v", 0).cast("long")).alias("pt"),
+            ],
+            final_aggs=[F.sum("pn").alias("n"), F.sum("pt").alias("total")],
+            salt_col="row_id",
+            n_salts=8,
+        ).collect()
+    }
+    assert two_stage == plain
