@@ -36,7 +36,13 @@ from .operators.dedup import (
     near_dup_pairs,
     simhash_candidates,
 )
-from .operators.joins import attach_detail, dim_join, lookup_or_insert
+from .operators.joins import (
+    attach_detail,
+    dim_join,
+    lookup_or_insert,
+    salted_agg,
+    salted_join,
+)
 from .operators.multimodal import (
     audio_features,
     image_features,
@@ -51,6 +57,7 @@ from .operators.similarity import (
     ivf_topk,
 )
 from .operators.text import (
+    bpe_ish_token_count,
     fingerprint,
     lang_id,
     mean_word_length,
@@ -1031,16 +1038,25 @@ def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_calc"),
     )
 
 
 ORACLE_TEXT_TOKENS = r"""
+WITH seg AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '([0-9]|[^\sA-Za-z0-9])', ' \1 ', 'g') AS bpe_text
+  FROM documents
+)
 SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN length(trim(bpe_text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(bpe_text), '\s+')) END AS BIGINT)
+         AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_calc
-FROM documents
+FROM seg
 """
 
 
@@ -1154,6 +1170,57 @@ FROM documents
 
 
 # ------------------------------------------------------------- registries
+
+# ------------------------------------------------------- skew-safe variants
+
+_FLAG_ROWS = [("A", "async"), ("N", "none"), ("R", "returned")]
+
+
+def q_j_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """J-SALTED: salted equi-join on an extremely skewed key (3 distinct
+    values of l_returnflag over the whole lineitem table). The salt changes
+    only task routing, never the result set — so the oracle is the plain
+    SQL join."""
+    li = load(spark, sf, "lineitem")
+    flags = spark.createDataFrame(_FLAG_ROWS, "l_returnflag string, flag_desc string")
+    out = salted_join(li, flags, "l_returnflag", salt_col="l_orderkey", n_salts=16)
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "flag_desc")
+
+
+ORACLE_J_SALTED = """
+SELECT l_orderkey, l_linenumber, l_returnflag, flag_desc
+FROM lineitem
+JOIN (VALUES ('A', 'async'), ('N', 'none'), ('R', 'returned'))
+  AS flags(l_returnflag, flag_desc) USING (l_returnflag)
+"""
+
+
+def q_a_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """A-SALTED: two-stage salted aggregation over the same skewed key;
+    algebraic partial/final split → identical to the one-shot groupBy."""
+    li = load(spark, sf, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(_cents("l_extendedprice")).alias("pc"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n_items"),
+            F.sum("pc").cast("long").alias("price_cents"),
+        ],
+        salt_col="l_orderkey",
+        n_salts=16,
+    )
+
+
+ORACLE_A_SALTED = f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       {_sum_cents_sql("l_extendedprice", "price_cents")}
+FROM lineitem GROUP BY l_returnflag
+"""
+
 
 # ------------------------------------------------------------- multimodal
 
@@ -1292,6 +1359,8 @@ QUERIES: dict[str, QueryFn] = {
     "SIM-TOPK": q_sim_topk,
     "SIM-LSH": q_sim_lsh,
     "SIM-IVF": q_sim_ivf,
+    "J-SALTED": q_j_salted,
+    "A-SALTED": q_a_salted,
     "EMB-NEARDUP": q_emb_neardup,
     "TEXT-TOKENS": q_text_tokens,
     "TEXT-QUALITY": q_text_quality,
@@ -1351,6 +1420,8 @@ ORACLES: dict[str, str] = {
     "TEXT-QUALITY": ORACLE_TEXT_QUALITY,
     "TEXT-LANGID": ORACLE_TEXT_LANGID,
     "TEXT-FINGERPRINT": ORACLE_TEXT_FINGERPRINT,
+    "J-SALTED": ORACLE_J_SALTED,
+    "A-SALTED": ORACLE_A_SALTED,
     "MM-IMAGE": ORACLE_MM_IMAGE,
     "MM-AUDIO": ORACLE_MM_AUDIO,
     "MM-FRAMES": ORACLE_MM_FRAMES,
