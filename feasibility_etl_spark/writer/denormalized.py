@@ -90,7 +90,9 @@ def write_denormalized(
             fact = fact.join(F.broadcast(role_dim), wide_col, "left").drop(wide_col)
 
     if existing_fact is not None:
-        fact = fact.join(
-            F.broadcast(existing_fact.select(fact_key)), fact_key, "left_anti"
-        )
+        # no broadcast hint: existing-fact keys grow with the table, so a
+        # forced broadcast would eventually OOM the driver at scale — AQE
+        # demotes to broadcast on its own while the key set is small and
+        # shuffles both sides on the key once it isn't
+        fact = fact.join(existing_fact.select(fact_key), fact_key, "left_anti")
     return DenormResult(fact=fact, dims=out_dims, rejected=rejected)

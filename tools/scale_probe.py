@@ -1,0 +1,98 @@
+"""Scale probe: do the heavy operators scale ~linearly, or hide a blowup?
+
+Synthesizes an N× corpus in-plan (replica cross-join, ids offset per
+replica so keys stay distinct — no files written) and times the heaviest
+operator families at 1× and N×. A candidate-generation dedup that is
+secretly quadratic, or a join that degenerates on bigger buckets, shows up
+here as a super-linear ratio long before it takes down a cluster run.
+
+Run: ``python tools/scale_probe.py [sf_dir] [factor]`` (defaults sf0.1, 10).
+Prints one JSON line per op: {"op", "t_base", "t_scaled", "ratio",
+"per_row_ratio"} — per_row_ratio ≈ 1.0 means linear.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from feasibility_etl_spark.operators import dedup, text  # noqa: E402
+from feasibility_etl_spark.operators.aggregates import worklog_rollup_relational  # noqa: E402
+from feasibility_etl_spark.session import build_session  # noqa: E402
+from feasibility_etl_spark.sources.catalog import load  # noqa: E402
+
+
+def replicate(df: DataFrame, id_col: str, factor: int) -> DataFrame:
+    """N× the frame with distinct ids: id' = id * factor + replica."""
+    replicas = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_r")
+    return (
+        df.select("*", replicas)
+        .withColumn(id_col, F.col(id_col) * factor + F.col("_r"))
+        .drop("_r")
+    )
+
+
+def run(df_build, label: str, results: list) -> None:
+    t0 = time.time()
+    df_build().write.format("noop").mode("overwrite").save()
+    results.append((label, time.time() - t0))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    spark = build_session("scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    docs1 = load(spark, sf_dir, "documents")
+    docsN = replicate(docs1, "doc_id", factor)
+    li1 = load(spark, sf_dir, "lineitem")
+    liN = replicate(li1, "l_orderkey", factor)
+
+    ops = {
+        "dedup_exact": lambda d: dedup.exact_dup_groups(d),
+        "dedup_minhash": lambda d: dedup.near_dup_pairs(d, threshold=0.5),
+        "dedup_simhash": lambda d: dedup.simhash_candidates(d),
+        "text_quality": lambda d: d.select(
+            "doc_id", text.quality_score("text").alias("q")
+        ),
+    }
+    fact_ops = {
+        "worklog_rollup": lambda d: worklog_rollup_relational(
+            d, "l_orderkey", "l_quantity"
+        ),
+    }
+
+    for name, fn in ops.items():
+        pair = []
+        run(lambda: fn(docs1), "base", pair)
+        run(lambda: fn(docsN), "scaled", pair)
+        t1, tn = pair[0][1], pair[1][1]
+        print(json.dumps({
+            "op": name, "factor": factor, "t_base": round(t1, 2),
+            "t_scaled": round(tn, 2), "ratio": round(tn / t1, 2),
+            "per_row_ratio": round(tn / t1 / factor, 3),
+        }))
+    for name, fn in fact_ops.items():
+        pair = []
+        run(lambda: fn(li1), "base", pair)
+        run(lambda: fn(liN), "scaled", pair)
+        t1, tn = pair[0][1], pair[1][1]
+        print(json.dumps({
+            "op": name, "factor": factor, "t_base": round(t1, 2),
+            "t_scaled": round(tn, 2), "ratio": round(tn / t1, 2),
+            "per_row_ratio": round(tn / t1 / factor, 3),
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
