@@ -1,0 +1,167 @@
+"""Property-based tests (hypothesis): engine semantics vs direct Python
+models of the reference's JS helpers, over arbitrary inputs.
+
+Each property collects a whole hypothesis-generated batch into ONE DataFrame
+and runs ONE Spark job — per-example Spark round trips would be ~100×
+slower. Reference models are transliterated from /root/reference/lib/
+helpers.js (cited per test) so a mismatch means the Column expression
+diverged from the JS semantics, not that two Spark paths agree with each
+other.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from feasibility_etl_spark.functions.scalar import delta_pair, hrs_to_sec, pct_diff
+from feasibility_etl_spark.operators.dedup import jaccard, shingles
+from feasibility_etl_spark.operators.text import tokens
+
+SETTINGS = settings(
+    max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+finite = st.floats(allow_nan=False, allow_infinity=False, width=32)
+maybe_num = st.one_of(st.none(), finite)
+
+
+def js_delta(est, act):
+    """helpers.js:309-321 — falsy guard: null/0 on either side → (None, None)."""
+    if not est or not act:
+        return None, None
+    delta = est - act
+    denom = (est + act) / 2.0
+    if denom == 0:
+        pct = math.nan if est == act else math.copysign(math.inf, est - act)
+    else:
+        pct = (est - act) / denom * 100.0
+    return delta, pct
+
+
+@given(st.lists(st.tuples(maybe_num, maybe_num), min_size=1, max_size=60))
+@SETTINGS
+def test_delta_pair_matches_js_model(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, e, a) for i, (e, a) in enumerate(pairs)], "i long, est double, act double"
+    )
+    d, p = delta_pair(F.col("est"), F.col("act"))
+    rows = {r.i: (r.d, r.p) for r in df.select("i", d.alias("d"), p.alias("p")).collect()}
+    for i, (e, a) in enumerate(pairs):
+        want_d, want_p = js_delta(float(e) if e is not None else None,
+                                  float(a) if a is not None else None)
+        got_d, got_p = rows[i]
+        if want_d is None:
+            assert got_d is None and got_p is None, (e, a, got_d, got_p)
+        else:
+            assert got_d is not None and math.isclose(got_d, want_d, rel_tol=1e-9), (e, a)
+            if math.isnan(want_p):
+                assert math.isnan(got_p), (e, a, got_p)
+            else:
+                assert math.isclose(got_p, want_p, rel_tol=1e-9), (e, a, got_p)
+
+
+@given(st.lists(st.one_of(st.none(), finite), min_size=1, max_size=60))
+@SETTINGS
+def test_hrs_to_sec_coalesces_null_to_zero(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    rows = {r.i: r.s for r in df.select("i", hrs_to_sec("v").alias("s")).collect()}
+    for i, v in enumerate(vals):
+        want = (float(v) if v is not None else 0.0) * 3600
+        assert math.isclose(rows[i], want, rel_tol=1e-9), (v, rows[i])
+
+
+text_strategy = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+    max_size=120,
+)
+
+
+@given(st.lists(text_strategy, min_size=1, max_size=40))
+@SETTINGS
+def test_token_count_matches_python_split(spark, texts):
+    # tokens() is defined as whitespace splitting with empty-text → [] —
+    # i.e. exactly Python str.split() cardinality. Unicode note: Java \s
+    # (regex) and Python str.split() agree on ASCII whitespace; exotic
+    # Unicode spaces (e.g.  ) differ between the two runtimes, so the
+    # property normalizes them away first — the engine contract is ASCII
+    # whitespace tokenization.
+    texts = ["".join(ch if not ch.isspace() else " " for ch in t) for t in texts]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    rows = {r.i: r.n for r in df.select("i", F.size(tokens("t")).alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert rows[i] == len(t.split()), (repr(t), rows[i], len(t.split()))
+
+
+words = st.lists(st.text(alphabet="abcdef", min_size=1, max_size=5), max_size=12)
+
+
+@given(st.lists(words, min_size=1, max_size=30))
+@SETTINGS
+def test_shingles_model(spark, docs):
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    rows = {r.i: r.sh for r in df.select("i", shingles("t", 3).alias("sh")).collect()}
+    for i, ws in enumerate(docs):
+        if len(ws) < 3:
+            want = [" ".join(ws)]  # short doc → whole text, one shingle
+        else:
+            want = [" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)]
+        assert rows[i] == want, (ws, rows[i], want)
+
+
+@given(st.lists(st.tuples(words, words), min_size=1, max_size=30))
+@SETTINGS
+def test_jaccard_bounds_symmetry_identity(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a array<string>, b array<string>",
+    )
+    out = df.select(
+        "i",
+        jaccard(F.col("a"), F.col("b")).alias("ab"),
+        jaccard(F.col("b"), F.col("a")).alias("ba"),
+        jaccard(F.col("a"), F.col("a")).alias("aa"),
+    )
+    for r in out.collect():
+        a, b = pairs[r.i]
+        assert 0.0 <= r.ab <= 1.0
+        assert r.ab == r.ba  # symmetric
+        expect_aa = 0.0 if len(a) == 0 else 1.0  # identity (empty → 0 by rule)
+        assert r.aa == expect_aa
+        want = (
+            0.0
+            if len(set(a) | set(b)) == 0
+            else len(set(a) & set(b)) / len(set(a) | set(b))
+        )
+        assert math.isclose(r.ab, want, rel_tol=1e-12), (a, b, r.ab, want)
+
+
+@given(
+    st.lists(
+        st.tuples(finite.filter(lambda x: x == x), finite),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_pct_diff_matches_js_model(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(pairs)],
+        "i long, a double, b double",
+    )
+    rows = {r.i: r.p for r in df.select("i", pct_diff("a", "b").alias("p")).collect()}
+    for i, (a, b) in enumerate(pairs):
+        a, b = float(a), float(b)
+        if a + b == 0:
+            want = math.nan if a == b else math.copysign(math.inf, a - b)
+        else:
+            want = (a - b) / ((a + b) / 2.0) * 100.0
+        got = rows[i]
+        if math.isnan(want):
+            assert math.isnan(got), (a, b, got)
+        else:
+            assert math.isclose(got, want, rel_tol=1e-9) or got == want, (a, b, got)
