@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "SIM-TOPK",
     "TEXT-QUALITY",
     "TEXT-LANGID",
+    "J-SALTED",
+    "SIM-IVF",
+    "MM-IMAGE",
 ]
 
 

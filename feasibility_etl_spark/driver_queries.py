@@ -2,7 +2,7 @@
 operator from SURVEY.md §2 plus the north-star extensions (§7.4).
 
 Cross-engine hash-match rules used throughout (verified empirically against
-DuckDB 1.0 — see tests/test_oracle_parity.py):
+DuckDB 1.0 — replayed by tools/check_correctness.py):
 
 - **Money sums as cents.** Sums of doubles are order-dependent; the driver's
   value hash needs bit-stable outputs. Per-row ``ROUND(x*100) → BIGINT`` is
@@ -1026,7 +1026,7 @@ def q_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+    out = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4, train_fraction=0.5, max_iter=8)
     return out.select(
         "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")

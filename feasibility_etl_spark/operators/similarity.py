@@ -11,8 +11,11 @@ Two tiers:
   against a fixed set of hyperplanes put near vectors in shared buckets;
   search touches only the probe's bucket (plus multiprobe neighbors at the
   caller's option). At 100 TB this turns a corpus scan per query into a
-  bucket scan per query; an IVF variant would swap hyperplanes for k-means
-  centroids, same plumbing.
+  bucket scan per query.
+- **IVF (inverted-file)** — same plumbing with k-means centroids instead of
+  hyperplanes: a learned coarse quantizer fits real density better than
+  random planes, at the cost of a training pass (sampled) — see
+  ``ivf_topk``.
 
 Hyperplanes are generated driver-side from a fixed seed and inlined as
 literal arrays — deterministic across runs, no RNG inside the plan.
@@ -125,6 +128,7 @@ def ivf_topk(
     nprobe: int = 3,
     seed: int = 42,
     train_fraction: float = 1.0,
+    max_iter: int = 10,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
@@ -148,7 +152,9 @@ def ivf_topk(
     featurized = train.select(
         array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(featurized)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(
+        featurized
+    )
 
     assigned = (
         model.transform(
