@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "J-SALTED",
     "SIM-IVF",
     "MM-IMAGE",
+    "PIPE-DOCS",
 ]
 
 

@@ -32,6 +32,7 @@ from .functions.scalar import delta_pair, hrs_to_sec, jira_ts, pct_change_abs, p
 from .operators.aggregates import horizontal_sum
 from .operators.dedup import (
     blocked_jaccard_pairs,
+    exact_dedup,
     exact_dup_groups,
     near_dup_pairs,
     simhash_candidates,
@@ -1222,6 +1223,90 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# -------------------------------------------------- end-to-end pipeline
+
+def q_pipe_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """PIPE-DOCS: the training-data pipeline end-to-end in ONE lazy plan —
+    exact dedup → quality filter → blocked near-dup prune (drop the higher
+    id of each qualifying pair) → embedding-coverage join. Every stage is
+    the oracle-expressible variant of its family, so the whole composition
+    hash-checks against DuckDB.
+
+    Scale shape: fingerprint groupBy shuffles 16-byte hashes; the quality
+    filter is row-local and runs before the expensive pair stage (prune
+    early); near-dup pairs join exploded tokens within (lang, source)
+    blocks; the final embedding join shuffles on the id (or broadcasts, AQE
+    decides). No stage holds the corpus in one place.
+    """
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    s1 = exact_dedup(docs)
+    s2 = s1.where(quality_score("text") >= 0.5)
+    pairs = blocked_jaccard_pairs(s2, ["lang", "source"], threshold=0.6)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s3 = s2.join(losers, "doc_id", "left_anti")
+    has_emb = emb.select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("_he"))
+    return (
+        s3.join(has_emb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            token_count("text").alias("n_tokens"),
+            quality_score("text").alias("quality"),
+            F.coalesce(F.col("_he"), F.lit(False)).alias("has_embedding"),
+        )
+    )
+
+
+ORACLE_PIPE_DOCS = (
+    "WITH "
+    + _QUALITY_SQL_FRAGMENTS
+    + r""",
+q AS (
+  SELECT doc_id,
+         LEAST(n_tok / 200.0, 1.0) * 0.4
+           + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.3
+           + LEAST(stop_ratio * 4.0, 1.0) * 0.3 AS quality,
+         CAST(n_tok AS BIGINT) AS n_tokens
+  FROM sig
+),
+fp AS (
+  SELECT doc_id, lang, source, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+k1 AS (
+  SELECT doc_id, lang, source, text FROM fp
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+),
+k2 AS (
+  SELECT k1.*, q.quality, q.n_tokens FROM k1 JOIN q USING (doc_id)
+  WHERE q.quality >= 0.5
+),
+tok2 AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM k2
+),
+pairs AS (
+  SELECT b.doc_id AS id_b
+  FROM tok2 a JOIN tok2 b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END >= 0.6
+)
+SELECT k2.doc_id, k2.lang, k2.source, k2.n_tokens, k2.quality,
+       e.vec_id IS NOT NULL AS has_embedding
+FROM k2
+LEFT JOIN embeddings e ON k2.doc_id = e.vec_id
+WHERE k2.doc_id NOT IN (SELECT id_b FROM pairs)
+"""
+)
+
+
 # ------------------------------------------------------------- multimodal
 
 def _media(spark: SparkSession, sf: str) -> DataFrame:
@@ -1366,6 +1451,7 @@ QUERIES: dict[str, QueryFn] = {
     "TEXT-QUALITY": q_text_quality,
     "TEXT-LANGID": q_text_langid,
     "TEXT-FINGERPRINT": q_text_fingerprint,
+    "PIPE-DOCS": q_pipe_docs,
     "MM-IMAGE": q_mm_image,
     "MM-AUDIO": q_mm_audio,
     "MM-FRAMES": q_mm_frames,
@@ -1422,6 +1508,7 @@ ORACLES: dict[str, str] = {
     "TEXT-FINGERPRINT": ORACLE_TEXT_FINGERPRINT,
     "J-SALTED": ORACLE_J_SALTED,
     "A-SALTED": ORACLE_A_SALTED,
+    "PIPE-DOCS": ORACLE_PIPE_DOCS,
     "MM-IMAGE": ORACLE_MM_IMAGE,
     "MM-AUDIO": ORACLE_MM_AUDIO,
     "MM-FRAMES": ORACLE_MM_FRAMES,
