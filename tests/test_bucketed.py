@@ -1,0 +1,70 @@
+"""Bucketed co-located joins: the pre-paid-shuffle claim, asserted on plans.
+
+The point of `write_bucketed` is physical: a join between two tables
+bucketed on the join key must not re-shuffle either side. These tests pin
+that with plan inspection (no Exchange above the bucketed scans), plus
+result correctness vs the plain join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feasibility_etl_spark.sources.bucketed import read_bucketed, write_bucketed
+from feasibility_etl_spark.sources.catalog import load
+
+from conftest import SF0001
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_skips_shuffle_and_matches_plain(spark, tmp_path):
+    orders = load(spark, SF0001, "orders")
+    lineitem = load(spark, SF0001, "lineitem")
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], n_buckets=4,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], n_buckets=4,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "b_lineitem"),
+    )
+    try:
+        bo, bl = read_bucketed(spark, "b_orders"), read_bucketed(spark, "b_lineitem")
+        joined = bo.join(bl, "o_orderkey").groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # hint away broadcast so the co-location (not dim size) is what's tested
+        plan = _physical(
+            bo.hint("merge").join(bl.hint("merge"), "o_orderkey")
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+
+        want = {
+            (r.o_orderstatus, r.n)
+            for r in orders.join(
+                lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+            ).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        got = {(r.o_orderstatus, r.n) for r in joined.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_groupby_reuses_layout(spark, tmp_path):
+    lineitem = load(spark, SF0001, "lineitem")
+    write_bucketed(
+        lineitem, "b_li2", ["l_orderkey"], n_buckets=4, path=str(tmp_path / "b_li2")
+    )
+    try:
+        bl = read_bucketed(spark, "b_li2")
+        plan = _physical(bl.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")))
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li2")
