@@ -1012,7 +1012,7 @@ def q_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=6)
+    out = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=6, multiprobe=1)
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 

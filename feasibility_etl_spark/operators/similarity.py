@@ -104,13 +104,31 @@ def cosine_topk_lsh(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then exact
     cosine rank within the bucket. Recall is tunable via n_planes (fewer
-    planes → bigger buckets → higher recall, more compute)."""
+    planes → bigger buckets → higher recall, more compute) and by
+    ``multiprobe``: with ``multiprobe=1`` each query also probes every
+    bucket at Hamming distance 1 from its own (sign flips on near-zero
+    plane dots are the dominant LSH miss) — the query side fans out
+    ``1 + n_planes`` rows, the corpus side is untouched, so the extra cost
+    is query-proportional, never corpus-proportional."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.withColumn("_bucket", lsh_bucket(F.col(corpus_vec), planes))
     q = queries.withColumn("_bucket", lsh_bucket(F.col(query_vec), planes))
+    if multiprobe:
+        flips = [F.col("_bucket")] + [
+            F.concat(
+                F.substring("_bucket", 1, i),
+                F.when(F.substring("_bucket", i + 1, 1) == "1", F.lit("0")).otherwise(
+                    F.lit("1")
+                ),
+                F.substring("_bucket", i + 2, n_planes - i - 1),
+            )
+            for i in range(n_planes)
+        ]
+        q = q.withColumn("_bucket", F.explode(F.array(*flips)))
     scored = c.join(F.broadcast(q), "_bucket").select(
         F.col(query_id),
         F.col(corpus_id),

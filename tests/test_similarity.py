@@ -88,3 +88,26 @@ def test_ivf_topk_recall_on_clustered_data(spark):
         ranks.setdefault(r.query_id, []).append(r.rank)
     for qid, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1)), f"query {qid}"
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    corpus = clustered_embeddings(spark, n_clusters=8, per_cluster=40, dim=16, seed=11)
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(corpus, queries, k=10).collect()}
+
+    def recall(multiprobe):
+        a = {
+            (r.query_id, r.vec_id)
+            for r in cosine_topk_lsh(
+                corpus, queries, k=10, dim=16, n_planes=14, multiprobe=multiprobe
+            ).collect()
+        }
+        return len(exact & a) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    # 14 planes → tiny buckets → exact-bucket probing misses neighbors whose
+    # signature differs by one borderline bit; 1-bit multiprobe recovers them
+    assert r1 >= r0, (r0, r1)
+    assert r1 > 0.9, (r0, r1)
