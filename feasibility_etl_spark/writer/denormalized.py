@@ -96,3 +96,21 @@ def write_denormalized(
         # shuffles both sides on the key once it isn't
         fact = fact.join(existing_fact.select(fact_key), fact_key, "left_anti")
     return DenormResult(fact=fact, dims=out_dims, rejected=rejected)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet write (``path/col=value/...``).
+
+    The storage-layout half of scan pruning: a reader filtering on a
+    partition column touches only matching directories (PartitionFilters in
+    the scan node — asserted in tests), so a date-ranged query over years of
+    events reads days, not the table. Choose low-cardinality, always-
+    filtered columns (date, source); high-cardinality partitioning makes a
+    small-files problem instead.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -100,3 +100,31 @@ def test_not_null_rejection(spark, dims):
     )
     assert res.rejected.count() == 1
     assert res.fact.count() == 4
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.sources.catalog import load
+    from feasibility_etl_spark.writer.denormalized import write_partitioned
+
+    from conftest import SF0001
+
+    events = load(spark, SF0001, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    n_dates = events.select("event_date").distinct().count()
+    assert n_dates > 1, "fixture must span multiple dates for a pruning test"
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(events, path, ["event_date"])
+
+    back = spark.read.parquet(path)
+    one_day = events.select(F.min("event_date")).first()[0]
+    q = back.where(F.col("event_date") == F.lit(one_day))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan
+    # row-level check: pruned read returns exactly that day's rows
+    want = events.where(F.col("event_date") == F.lit(one_day)).count()
+    assert q.count() == want and want > 0
