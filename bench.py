@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "SIM-IVF",
     "MM-IMAGE",
     "PIPE-DOCS",
+    "PIPE-EVENTS",
 ]
 
 

@@ -1307,6 +1307,92 @@ WHERE k2.doc_id NOT IN (SELECT id_b FROM pairs)
 )
 
 
+def q_pipe_events(spark: SparkSession, sf: str) -> DataFrame:
+    """PIPE-EVENTS: the event-stream pipeline end-to-end — sessionize
+    (10-min gap) → per-session stats → per-user rollup with an argmax
+    (busiest session) → engaged-user filter (≥2 sessions). Batch here;
+    stage 1 is the same session_agg that runs under a watermark in
+    streaming mode. Shuffle shape: one shuffle to (user_id) for the session
+    window, reused by the per-user groupBy — Catalyst keeps both on the
+    same partitioning.
+    """
+    ev = load(spark, sf, "events")
+    sessions = session_agg(
+        ev,
+        "ts",
+        "10 minutes",
+        [F.count(F.lit(1)).alias("n_events"), F.sum(_cents("value")).alias("value_cents")],
+        keys=["user_id"],
+    )
+    sess = sessions.select(
+        "user_id",
+        "n_events",
+        "value_cents",
+        (F.unix_millis("session_end") - F.unix_millis("session_start")).alias("dur_ms"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+    )
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+        F.max("dur_ms").alias("max_session_ms"),
+        F.max(F.struct(F.col("n_events"), F.col("session_start"))).alias("_busy"),
+    )
+    return per_user.where(F.col("n_sessions") >= 2).select(
+        "user_id",
+        "n_sessions",
+        "n_events",
+        "value_cents",
+        "max_session_ms",
+        F.col("_busy")["session_start"].alias("busiest_session_start"),
+    )
+
+
+ORACLE_PIPE_EVENTS = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grouped AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sessions AS (
+  SELECT user_id,
+         MIN(ts) AS session_start_ts,
+         MAX(ts) + INTERVAL '10 minutes' AS session_end_ts,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM grouped GROUP BY user_id, session_id
+), sess AS (
+  SELECT user_id, n_events, value_cents,
+         epoch_ms(session_end_ts) - epoch_ms(session_start_ts) AS dur_ms,
+         strftime(session_start_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_start
+  FROM sessions
+), per_user AS (
+  SELECT user_id, COUNT(*) AS n_sessions,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(SUM(value_cents) AS BIGINT) AS value_cents,
+         MAX(dur_ms) AS max_session_ms
+  FROM sess GROUP BY user_id
+), busy AS (
+  SELECT user_id, session_start AS busiest_session_start
+  FROM sess
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY n_events DESC, session_start DESC) = 1
+)
+SELECT p.user_id, p.n_sessions, p.n_events, p.value_cents, p.max_session_ms,
+       b.busiest_session_start
+FROM per_user p JOIN busy b USING (user_id)
+WHERE p.n_sessions >= 2
+"""
+
+
 # ------------------------------------------------------------- multimodal
 
 def _media(spark: SparkSession, sf: str) -> DataFrame:
@@ -1452,6 +1538,7 @@ QUERIES: dict[str, QueryFn] = {
     "TEXT-LANGID": q_text_langid,
     "TEXT-FINGERPRINT": q_text_fingerprint,
     "PIPE-DOCS": q_pipe_docs,
+    "PIPE-EVENTS": q_pipe_events,
     "MM-IMAGE": q_mm_image,
     "MM-AUDIO": q_mm_audio,
     "MM-FRAMES": q_mm_frames,
@@ -1509,6 +1596,7 @@ ORACLES: dict[str, str] = {
     "J-SALTED": ORACLE_J_SALTED,
     "A-SALTED": ORACLE_A_SALTED,
     "PIPE-DOCS": ORACLE_PIPE_DOCS,
+    "PIPE-EVENTS": ORACLE_PIPE_EVENTS,
     "MM-IMAGE": ORACLE_MM_IMAGE,
     "MM-AUDIO": ORACLE_MM_AUDIO,
     "MM-FRAMES": ORACLE_MM_FRAMES,
