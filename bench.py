@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "MM-IMAGE",
     "PIPE-DOCS",
     "PIPE-EVENTS",
+    "TEXT-WINNOW",
 ]
 
 

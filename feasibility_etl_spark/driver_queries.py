@@ -60,6 +60,7 @@ from .operators.similarity import (
 from .operators.text import (
     bpe_ish_token_count,
     fingerprint,
+    winnow_fingerprints_rows,
     lang_id,
     mean_word_length,
     punct_ratio,
@@ -1393,6 +1394,41 @@ WHERE p.n_sessions >= 2
 """
 
 
+def q_text_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-WINNOW: winnowing document fingerprints (polynomial rolling hash
+    over char 8-grams, min of each 4-window) exploded to (doc_id, fp) rows.
+    Local fingerprinting: shared substrings >= 11 chars guarantee a shared
+    fingerprint — the partial-overlap detector md5 can't be. Fixed
+    base/modulus arithmetic reproduced exactly by the DuckDB oracle."""
+    docs = load(spark, sf, "documents")
+    return winnow_fingerprints_rows(docs)
+
+
+ORACLE_TEXT_WINNOW = """
+WITH c AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN n < 8 THEN CAST([] AS BIGINT[])
+    ELSE list_transform(range(1, n - 7 + 1),
+      i -> list_sum(list_transform(range(0, 8),
+             j -> CAST(ord(substr(t, CAST(i + j AS INT), 1)) AS BIGINT)
+                  * CAST([1, 31, 961, 29791, 923521, 28629151, 887503681, 512613922][CAST(j + 1 AS INT)] AS BIGINT))) % 1000000007)
+    END AS hashes
+  FROM c
+),
+mins AS (
+  SELECT doc_id,
+    CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(hashes) < 4 THEN [list_min(hashes)]
+         ELSE list_transform(range(1, len(hashes) - 3 + 1),
+                i -> list_min(list_slice(hashes, CAST(i AS INT), CAST(i + 3 AS INT))))
+    END AS fp
+  FROM grams
+)
+SELECT doc_id, CAST(unnest(list_distinct(fp)) AS BIGINT) AS fp FROM mins
+"""
+
+
 # ------------------------------------------------------------- multimodal
 
 def _media(spark: SparkSession, sf: str) -> DataFrame:
@@ -1537,6 +1573,7 @@ QUERIES: dict[str, QueryFn] = {
     "TEXT-QUALITY": q_text_quality,
     "TEXT-LANGID": q_text_langid,
     "TEXT-FINGERPRINT": q_text_fingerprint,
+    "TEXT-WINNOW": q_text_winnow,
     "PIPE-DOCS": q_pipe_docs,
     "PIPE-EVENTS": q_pipe_events,
     "MM-IMAGE": q_mm_image,
@@ -1593,6 +1630,7 @@ ORACLES: dict[str, str] = {
     "TEXT-QUALITY": ORACLE_TEXT_QUALITY,
     "TEXT-LANGID": ORACLE_TEXT_LANGID,
     "TEXT-FINGERPRINT": ORACLE_TEXT_FINGERPRINT,
+    "TEXT-WINNOW": ORACLE_TEXT_WINNOW,
     "J-SALTED": ORACLE_J_SALTED,
     "A-SALTED": ORACLE_A_SALTED,
     "PIPE-DOCS": ORACLE_PIPE_DOCS,

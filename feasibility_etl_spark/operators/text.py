@@ -132,3 +132,124 @@ def fingerprint(text: Column | str) -> Column:
     norm = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return F.md5(norm.cast("binary"))
+
+
+#: Polynomial rolling-hash parameters for winnowing. M keeps every term and
+#: the running sum far below 2^63 so Spark (wrapping) and any oracle engine
+#: (erroring on overflow) see identical arithmetic.
+WINNOW_BASE = 31
+WINNOW_MOD = 1_000_000_007
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = 8, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints → array<long> (sorted, distinct).
+
+    The local-fingerprinting scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every character k-gram with a polynomial rolling hash, then keep
+    the minimum of each window of ``w`` consecutive hashes — any shared
+    substring of length ≥ k+w-1 between two documents is guaranteed to
+    share a fingerprint, so partial overlap is detectable without aligning
+    whole documents (md5 ``fingerprint`` only catches full-content dups).
+
+    Pure Column exprs, all linear passes: the text is split into a
+    codepoint array ONCE, then the k-gram hashes accumulate through k
+    shifted-copy ``zip_with`` passes (one multiply-add per element per
+    pass) — NEVER per-index ``substr``, whose start-seek is O(i) on UTF-8
+    and turns the whole thing O(len²·k) (measured 200× slower at sf0.1).
+    The w-window minima use the same shifted-``zip_with`` pattern with
+    ``least``. Docs shorter than k chars yield an empty set; shorter than
+    k+w-1 yield the single global minimum. Deterministic: fixed
+    base/modulus, no seeds.
+    """
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    n = F.length(c)
+    pows = [pow(WINNOW_BASE, j, WINNOW_MOD) for j in range(k)]
+
+    # codepoint(<2^21) × pow(<2^30) summed k times stays far under 2^63 —
+    # no overflow under ANSI mode, and the oracle's BIGINT math agrees
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    big = F.greatest(F.size(codes), F.lit(1))
+    def _muladd(p: int):
+        pl = F.lit(p).cast("long")
+        return lambda a, b: a + b * pl
+
+    acc = F.transform(codes, lambda x: x * F.lit(pows[0]).cast("long"))
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(codes, j + 1, big), _muladd(pows[j]))
+    hashes = F.when(n < k, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(1))),
+            lambda h: h % WINNOW_MOD,
+        )
+    )
+    mins = hashes
+    for s in range(2, w + 1):
+        mins = F.zip_with(
+            mins,
+            F.slice(hashes, s, F.greatest(F.size(hashes), F.lit(1))),
+            lambda a, b: F.least(a, b),
+        )
+    # zip_with pads the short side with null and `least` SKIPS nulls (it
+    # returns the smallest non-null operand), so the tail of `mins` holds
+    # partial-window minima, not nulls — slice to the exact full-window
+    # count rather than filtering
+    windowed = F.slice(mins, 1, F.size(hashes) - (w - 1))
+    full = F.when(F.size(hashes) == 0, F.array().cast("array<long>")).otherwise(
+        F.when(F.size(hashes) < w, F.array(F.array_min(hashes))).otherwise(windowed)
+    )
+    return F.array_sort(F.array_distinct(full))
+
+
+def winnow_fingerprints_rows(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+):
+    """Winnowing fingerprints, relationally → DataFrame (id, fp) rows.
+
+    Same values as ``winnow_fingerprints`` (asserted equal in tests), built
+    for scale: posexplode the codepoint array once, then the k-gram hash is
+    ``sum_j lead(code, j)·B^j`` and the window minimum is ``min() OVER
+    (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)`` — two codegen'd window
+    passes over one shuffle on the doc id, zero interpreted per-element
+    lambdas. The HOF formulation spends ~15 interpreted array passes per
+    doc (measured 30 s at sf0.1 vs ~2 s for this one); window exec is the
+    fast path for any sliding computation longer than a few elements.
+
+    Docs shorter than k chars emit nothing; with fewer than w hashes the
+    single global minimum is the fingerprint (matching the Column version).
+    """
+    from pyspark.sql.window import Window
+
+    pows = [pow(WINNOW_BASE, j, WINNOW_MOD) for j in range(k)]
+    c = F.lower(F.col(text_col))
+    chars = df.select(
+        F.col(id_col),
+        F.length(c).alias("_n"),
+        F.posexplode(F.split(c, "")).alias("_pos", "_ch"),
+    ).select(
+        id_col, "_n", "_pos", F.ascii("_ch").cast("long").alias("_code")
+    )
+    seq = Window.partitionBy(id_col).orderBy("_pos")
+    h = sum(
+        F.lead("_code", j).over(seq) * F.lit(pows[j]).cast("long") for j in range(k)
+    )
+    hashes = (
+        chars.withColumn("_h", h % WINNOW_MOD)
+        .where(F.col("_pos") <= F.col("_n") - k)  # full k-grams only
+        .select(id_col, "_n", "_pos", "_h")
+    )
+    frame = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    whole = Window.partitionBy(id_col)
+    mins = hashes.select(
+        F.col(id_col),
+        F.col("_pos"),
+        (F.col("_n") - (k - 1)).alias("_n_h"),  # number of k-gram hashes
+        F.min("_h").over(frame).alias("_winmin"),
+        F.min("_h").over(whole).alias("_globalmin"),
+    )
+    fp = F.when(F.col("_n_h") < w, F.col("_globalmin")).otherwise(F.col("_winmin"))
+    valid = F.when(F.col("_n_h") < w, F.col("_pos") == 0).otherwise(
+        F.col("_pos") <= F.col("_n_h") - w
+    )
+    return mins.where(valid).select(F.col(id_col), fp.alias("fp")).distinct()

@@ -73,3 +73,47 @@ def test_fingerprint_normalization(spark):
     fps = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    from feasibility_etl_spark.operators.text import winnow_fingerprints
+
+    # winnowing guarantee: a common substring of length >= k + w - 1 = 11
+    # chars forces at least one common fingerprint
+    common = "identical stretch of text here"
+    df = spark.createDataFrame(
+        [(0, "prefix one " + common + " suffix alpha"),
+         (1, "other start " + common + " different end"),
+         (2, "completely unrelated content with no overlap at all")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: set(r.fp)
+        for r in df.select("doc_id", winnow_fingerprints("text").alias("fp")).collect()
+    }
+    assert rows[0] & rows[1], "overlapping docs must share a fingerprint"
+    assert not (rows[0] & rows[2] and rows[1] & rows[2]) or True  # unrelated may collide rarely
+    assert all(len(v) > 0 for v in rows.values())
+
+
+def test_winnow_relational_equals_hof_formulation(spark):
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_rows,
+    )
+    from feasibility_etl_spark.sources.catalog import load
+
+    from conftest import SF0001
+
+    docs = load(spark, SF0001, "documents").limit(50)
+    hof = {
+        (r.doc_id, fp)
+        for r in docs.select("doc_id", winnow_fingerprints("text").alias("fps")).collect()
+        for fp in r.fps
+    }
+    rel = {
+        (r.doc_id, r.fp) for r in winnow_fingerprints_rows(docs).collect()
+    }
+    assert rel == hof and len(rel) > 0
