@@ -67,3 +67,70 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def denormalizing_sink(
+    stream,
+    specs,
+    parquet_root: str,
+    checkpoint: str,
+    fact_key: str = "key",
+    required=None,
+):
+    """Stream → denormalized star schema: foreachBatch bridges Structured
+    Streaming to the batch writer (SURVEY §3.2's trigger replacement).
+
+    Each micro-batch re-reads the current dims/fact from storage, runs the
+    same pure `write_denormalized` decomposition the batch path uses, and
+    appends — so surrogate keys keep their dense SERIAL-like sequence
+    ACROSS batches and re-delivered keys are dropped by the idempotency
+    anti-join (exactly-once effect on the fact under at-least-once
+    delivery; Spark serializes foreachBatch calls, so read-modify-write per
+    batch is single-writer). Returns the StreamingQuery.
+    """
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811 — worker-side import
+
+    from ..writer.denormalized import write_denormalized
+
+    def process(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dims = {}
+        for spec in specs:
+            path = os.path.join(parquet_root, spec.name)
+            try:
+                dims[spec.name] = spark.read.parquet(path)
+            except Exception:  # noqa: BLE001 — first batch: dim doesn't exist yet
+                dims[spec.name] = spark.createDataFrame(
+                    [], f"{spec.id_col} long, {spec.natural_key} string"
+                )
+        fact_path = os.path.join(parquet_root, "fact")
+        try:
+            existing = spark.read.parquet(fact_path)
+        except Exception:  # noqa: BLE001
+            existing = None
+        res = write_denormalized(
+            batch_df, specs, dims, existing_fact=existing,
+            fact_key=fact_key, required=required,
+        )
+        # materialize BEFORE overwriting inputs (lazy plans read the old files)
+        new_dims = {name: df.collect() for name, df in res.dims.items()}
+        new_fact = res.fact.collect()
+        for spec in specs:
+            spark.createDataFrame(
+                new_dims[spec.name], res.dims[spec.name].schema
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(parquet_root, spec.name)
+            )
+        if new_fact:
+            spark.createDataFrame(new_fact, res.fact.schema).write.mode(
+                "append"
+            ).parquet(fact_path)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -48,3 +48,48 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
         assert latest["c"] == (1, 7.0)
     finally:
         q.stop()
+
+
+def test_denormalizing_sink_across_microbatches(spark, tmp_path):
+    import json
+    import time
+
+    from feasibility_etl_spark.streaming.stateful import denormalizing_sink
+    from feasibility_etl_spark.writer.denormalized import DimSpec
+
+    src = tmp_path / "wide_in"
+    src.mkdir()
+    root = str(tmp_path / "star")
+    specs = [
+        DimSpec(name="jira_user", natural_key="username",
+                roles={"reviewer_name": "fk_reviewer"}),
+    ]
+
+    def write_batch(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    write_batch("b1.json", [
+        {"key": "K-1", "reviewer_name": "alice", "v": 1.0},
+        {"key": "K-2", "reviewer_name": "bob", "v": 2.0},
+    ])
+    stream = spark.readStream.schema(
+        "key string, reviewer_name string, v double"
+    ).json(str(src))
+    q = denormalizing_sink(stream, specs, root, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        # batch 2: one new user, one re-delivered key (must be dropped)
+        write_batch("b2.json", [
+            {"key": "K-2", "reviewer_name": "bob", "v": 99.0},   # dup key
+            {"key": "K-3", "reviewer_name": "carol", "v": 3.0},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    users = {r.username: r.id for r in spark.read.parquet(f"{root}/jira_user").collect()}
+    fact = {r.key: r for r in spark.read.parquet(f"{root}/fact").collect()}
+    assert users == {"alice": 1, "bob": 2, "carol": 3}, users  # dense ACROSS batches
+    assert set(fact) == {"K-1", "K-2", "K-3"}
+    assert fact["K-2"].v == 2.0, "re-delivered key must not overwrite"
+    assert fact["K-3"].fk_reviewer == 3
