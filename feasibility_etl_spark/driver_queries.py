@@ -53,6 +53,7 @@ from .operators.multimodal import (
 )
 from .operators.similarity import (
     cosine_topk,
+    quantize_int8,
     cosine_topk_lsh,
     embedding_near_dups,
     ivf_topk,
@@ -1308,6 +1309,30 @@ WHERE k2.doc_id NOT IN (SELECT id_b FROM pairs)
 )
 
 
+def q_emb_quant(spark: SparkSession, sf: str) -> DataFrame:
+    """EMB-QUANT: symmetric int8 scalar quantization of the embedding
+    column, exploded to (vec_id, scale, idx, code) rows — identical
+    floor/scale arithmetic on both engines, full hash check."""
+    return quantize_int8(load(spark, sf, "embeddings"))
+
+
+ORACLE_EMB_QUANT = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       CAST(u.i - 1 AS INTEGER) AS idx,
+       CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) / scale + 0.5)
+            END AS INTEGER) AS code
+FROM scaled, unnest(range(1, len(embedding) + 1)) AS u(i)
+"""
+
+
 def q_pipe_events(spark: SparkSession, sf: str) -> DataFrame:
     """PIPE-EVENTS: the event-stream pipeline end-to-end — sessionize
     (10-min gap) → per-session stats → per-user rollup with an argmax
@@ -1569,6 +1594,7 @@ QUERIES: dict[str, QueryFn] = {
     "J-SALTED": q_j_salted,
     "A-SALTED": q_a_salted,
     "EMB-NEARDUP": q_emb_neardup,
+    "EMB-QUANT": q_emb_quant,
     "TEXT-TOKENS": q_text_tokens,
     "TEXT-QUALITY": q_text_quality,
     "TEXT-LANGID": q_text_langid,
@@ -1633,6 +1659,7 @@ ORACLES: dict[str, str] = {
     "TEXT-WINNOW": ORACLE_TEXT_WINNOW,
     "J-SALTED": ORACLE_J_SALTED,
     "A-SALTED": ORACLE_A_SALTED,
+    "EMB-QUANT": ORACLE_EMB_QUANT,
     "PIPE-DOCS": ORACLE_PIPE_DOCS,
     "PIPE-EVENTS": ORACLE_PIPE_EVENTS,
     "MM-IMAGE": ORACLE_MM_IMAGE,

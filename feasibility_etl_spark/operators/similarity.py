@@ -254,3 +254,33 @@ def embedding_near_dups(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def quantize_int8(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization → (id, scale, idx, code) rows.
+
+    The storage/bandwidth half of a vector pipeline: per-vector
+    ``scale = max(|x|)/127``; ``code = floor(x/scale + 0.5)`` ∈ [-127, 127];
+    dequant is ``code·scale`` with error ≤ scale/2 per component (pinned in
+    tests). 4× smaller than float32 on the wire and in the ANN index's
+    inverted lists. All-zero vectors quantize to zeros (scale 0 guard —
+    a bare division would throw under ANSI mode). Deterministic arithmetic,
+    identical expression tree in the DuckDB oracle → bit-equal scales.
+    """
+    scale = (
+        F.array_max(F.transform(F.col(corpus_vec), lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0)
+    ).alias("scale")
+    exploded = corpus.select(
+        F.col(corpus_id), scale, F.posexplode(F.col(corpus_vec)).alias("idx", "_val")
+    )
+    code = F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("_val").cast("double") / F.col("scale") + F.lit(0.5))
+    )
+    return exploded.select(
+        corpus_id, "scale", "idx", code.cast("int").alias("code")
+    )

@@ -111,3 +111,20 @@ def test_lsh_multiprobe_improves_recall(spark):
     # signature differs by one borderline bit; 1-bit multiprobe recovers them
     assert r1 >= r0, (r0, r1)
     assert r1 > 0.9, (r0, r1)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    from feasibility_etl_spark.operators.similarity import quantize_int8
+    from feasibility_etl_spark.sources.catalog import load
+
+    from conftest import SF0001
+
+    emb = load(spark, SF0001, "embeddings").limit(100)
+    q = quantize_int8(emb)
+    rows = q.collect()
+    assert all(-127 <= r.code <= 127 for r in rows)
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    for r in rows:
+        want = float(orig[r.vec_id][r.idx])
+        got = r.code * r.scale
+        assert abs(got - want) <= r.scale / 2 + 1e-9, (r.vec_id, r.idx)
