@@ -32,6 +32,7 @@ from .functions.scalar import delta_pair, hrs_to_sec, jira_ts, pct_change_abs, p
 from .operators.aggregates import horizontal_sum
 from .operators.dedup import (
     blocked_jaccard_pairs,
+    connected_components,
     exact_dedup,
     exact_dup_groups,
     near_dup_pairs,
@@ -982,6 +983,45 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-COMPONENTS: near-dup pairs → transitive dedup groups via
+    iterative min-label propagation (similarity isn't transitive; groups
+    are the connected components of the pair graph). Fed from the blocked
+    n-gram pairs so the DuckDB oracle can recompute the same graph with a
+    recursive CTE + min-over-reachable-set."""
+    pairs = blocked_jaccard_pairs(
+        load(spark, sf, "documents"), ["lang", "source"], threshold=0.2
+    )
+    return connected_components(pairs)
+
+
+ORACLE_DEDUP_COMPONENTS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, reach.r AS r
+  FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+"""
+
+
 def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SIM-TOPK: brute-force cosine top-10 for 5 query vectors against the
     corpus. Dot products are sequential double folds on both engines —
@@ -1588,6 +1628,7 @@ QUERIES: dict[str, QueryFn] = {
     "DEDUP-NGRAM": q_dedup_ngram,
     "DEDUP-MINHASH": q_dedup_minhash,
     "DEDUP-SIMHASH": q_dedup_simhash,
+    "DEDUP-COMPONENTS": q_dedup_components,
     "SIM-TOPK": q_sim_topk,
     "SIM-LSH": q_sim_lsh,
     "SIM-IVF": q_sim_ivf,
@@ -1651,6 +1692,7 @@ ORACLES: dict[str, str] = {
     "DEDUP-NGRAM": ORACLE_DEDUP_NGRAM,
     # DEDUP-MINHASH / DEDUP-SIMHASH / SIM-LSH: xxhash64 / literal hyperplanes
     # have no DuckDB twin → rows-only checks by design.
+    "DEDUP-COMPONENTS": ORACLE_DEDUP_COMPONENTS,
     "SIM-TOPK": ORACLE_SIM_TOPK,
     "TEXT-TOKENS": ORACLE_TEXT_TOKENS,
     "TEXT-QUALITY": ORACLE_TEXT_QUALITY,

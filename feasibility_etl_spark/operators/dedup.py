@@ -309,3 +309,64 @@ def simhash_candidates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, component_id).
+
+    Near-dup PAIRS aren't dedup GROUPS: similarity is not transitive, so
+    A~B, B~C must collapse into one keep-group {A,B,C} even when A~C was
+    never a candidate. Classic large-graph min-label propagation, all
+    DataFrame ops: every node starts labeled with its own id; each round
+    every node adopts the minimum label in its neighborhood (one
+    groupBy-min over the symmetrized edge list); converged when no label
+    changes. Rounds needed = graph diameter ≤ ``max_iterations`` — dedup
+    components are shallow (near-clique), so 3-4 rounds is typical.
+
+    Each round is one shuffle on the node id at graph (pairs) scale, not
+    corpus scale. ``localCheckpoint`` truncates the growing lineage so the
+    loop doesn't re-execute all prior rounds each iteration (the classic
+    iterative-DataFrame trap). The final ``component_id`` is the component's
+    minimum doc id — the deterministic keeper.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("component_id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component_id").alias("neighbor_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component_id"), F.coalesce("neighbor_label", "component_id")
+                ).alias("component_id"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.component_id") != F.col("l.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component_id")

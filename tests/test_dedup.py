@@ -71,3 +71,54 @@ def test_blocked_jaccard_matches_set_math(spark):
 def test_simhash_buckets_exact_dups(spark):
     cands = {(r.id_a, r.id_b) for r in simhash_candidates(docs(spark)).collect()}
     assert (1, 2) in cands  # identical text → identical signature → all bands match
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from feasibility_etl_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    # random graph: 60 nodes, 50 edges → several nontrivial components
+    edges = {(rng.randint(0, 59), rng.randint(0, 59)) for _ in range(50)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.component_id for r in connected_components(pairs).collect()
+    }
+
+    # reference union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        parent[find(a)] = find(b)
+    for a, b in edges:
+        union(a, b)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    want = {}
+    for members in comps.values():
+        low = min(members)
+        for m in members:
+            want[m] = low
+    assert got == want
+
+
+def test_connected_components_chain_transitivity(spark):
+    from feasibility_etl_spark.operators.dedup import connected_components
+
+    # path graph 0-1-2-...-9: worst-case diameter, must still converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert {r.component_id for r in rows} == {0}
+    assert len(rows) == 10
