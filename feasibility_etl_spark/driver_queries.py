@@ -36,6 +36,7 @@ from .operators.dedup import (
     exact_dedup,
     exact_dup_groups,
     near_dup_pairs,
+    prune_components,
     simhash_candidates,
 )
 from .operators.joins import (
@@ -1022,6 +1023,46 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-PRUNE: the deduplicated corpus itself — every doc except
+    non-representative members of near-dup components (min doc_id kept per
+    component, unpaired docs untouched). Composes blocked n-gram pairs →
+    connected components → anti-join, all with DuckDB-recomputable math."""
+    docs = load(spark, sf, "documents")
+    pairs = blocked_jaccard_pairs(docs, ["lang", "source"], threshold=0.2)
+    return prune_components(docs, pairs).select("doc_id", "lang", "source")
+
+
+ORACLE_DEDUP_PRUNE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, reach.r AS r
+  FROM edges e JOIN reach ON e.dst = reach.node
+), dropped AS (
+  SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+
 def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SIM-TOPK: brute-force cosine top-10 for 5 query vectors against the
     corpus. Dot products are sequential double folds on both engines —
@@ -1629,6 +1670,7 @@ QUERIES: dict[str, QueryFn] = {
     "DEDUP-MINHASH": q_dedup_minhash,
     "DEDUP-SIMHASH": q_dedup_simhash,
     "DEDUP-COMPONENTS": q_dedup_components,
+    "DEDUP-PRUNE": q_dedup_prune,
     "SIM-TOPK": q_sim_topk,
     "SIM-LSH": q_sim_lsh,
     "SIM-IVF": q_sim_ivf,
@@ -1693,6 +1735,7 @@ ORACLES: dict[str, str] = {
     # DEDUP-MINHASH / DEDUP-SIMHASH / SIM-LSH: xxhash64 / literal hyperplanes
     # have no DuckDB twin → rows-only checks by design.
     "DEDUP-COMPONENTS": ORACLE_DEDUP_COMPONENTS,
+    "DEDUP-PRUNE": ORACLE_DEDUP_PRUNE,
     "SIM-TOPK": ORACLE_SIM_TOPK,
     "TEXT-TOKENS": ORACLE_TEXT_TOKENS,
     "TEXT-QUALITY": ORACLE_TEXT_QUALITY,

@@ -370,3 +370,23 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component_id")
+
+
+def prune_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Deduplicated corpus: drop every doc that is not its component's
+    representative (minimum id). Docs never seen in a pair are untouched —
+    the anti-join is against the *dropped* set (component members minus
+    representatives), which is near-dup-count sized, not corpus sized.
+    Broadcast is left to AQE: at typical dup rates the dropped set fits the
+    broadcast threshold, but it is unbounded in principle (cf. the writer's
+    fact-key anti-join), so we don't force it."""
+    comps = connected_components(pairs, max_iterations=max_iterations)
+    dropped = comps.where(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -122,3 +122,13 @@ def test_connected_components_chain_transitivity(spark):
     rows = connected_components(pairs).collect()
     assert {r.component_id for r in rows} == {0}
     assert len(rows) == 10
+
+
+def test_prune_components_keeps_representatives_and_singletons(spark):
+    from feasibility_etl_spark.operators.dedup import prune_components
+
+    corpus = docs(spark)
+    pairs = blocked_jaccard_pairs(corpus, ["lang", "source"], threshold=0.2)
+    kept = sorted(r.doc_id for r in prune_components(corpus, pairs).collect())
+    # {1,2,3,5} form one near-dup component (keeper 1); 4 is untouched
+    assert kept == [1, 4]
