@@ -56,6 +56,53 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def run_stream_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end Structured Streaming throughput: the events table replayed
+    as a file stream (8 files, 2 per trigger → 4 micro-batches) through a
+    watermarked tumbling-window agg into a noop sink, Trigger.AvailableNow.
+    Staging the files and clearing the checkpoint are setup, not timed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.sources.catalog import load as cat_load
+    from feasibility_etl_spark.streaming.windows import tumbling_agg, with_watermark
+
+    staging = "/tmp/spark_graft_stream_stage"
+    ckpt = staging + "_ckpt"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    events = cat_load(spark, sf_dir, "events")
+    n_rows = events.count()
+    events.repartition(8).write.mode("overwrite").parquet(staging)
+
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging)
+    )
+    agg = tumbling_agg(
+        with_watermark(stream, "ts", "1 hour"),
+        "ts",
+        "1 hour",
+        [F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")],
+        keys=["event_type"],
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.time() - t0, n_rows
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -81,8 +128,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name.lower()] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
-
+    # batch suite total first — "stream-window" is reported per-query but
+    # excluded from the headline sum so `value` stays comparable round-over-
+    # round (micro-batch/checkpoint fixed costs dominate it at bench SF and
+    # would drown the batch signal; at production scale they amortize away)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    stream_s, n_events = -1.0, 0
+    try:
+        stream_s, n_events = run_stream_bench(spark, sf_dir)
+        stream_s = round(stream_s, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error stream-window: {e}", file=sys.stderr)
+    timings["stream-window"] = stream_s
+
     print(
         json.dumps(
             {
@@ -91,6 +149,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "stream_rows_per_sec": round(n_events / stream_s) if stream_s > 0 else None,
             }
         )
     )
