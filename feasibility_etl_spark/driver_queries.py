@@ -53,6 +53,7 @@ from .operators.multimodal import (
     resize_images,
     sample_frames,
 )
+from .operators.corpus import decontaminate, pack_shards, split_corpus
 from .operators.similarity import (
     cosine_topk,
     quantize_int8,
@@ -1063,6 +1064,93 @@ WHERE d.doc_id NOT IN (SELECT node FROM dropped)
 """
 
 
+def q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-SPLIT: deterministic 90/5/5 train/val/test assignment by
+    affine-hash bucket — stable under corpus growth, zero shuffle (the plan
+    is scan + project), and computable verbatim by the oracle (xxhash64
+    would be rows-only)."""
+    return split_corpus(
+        load(spark, sf, "documents"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+
+
+ORACLE_CORPUS_SPLIT = r"""
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ((doc_id % 1000000007) * 654435747 + 104729) % 1000000007 % 10000 AS b
+  FROM documents
+)
+"""
+
+
+def q_corpus_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-PACK: greedy token-budget shard packing (2000 whitespace
+    tokens/shard) within 8 hash buckets — the cumulative sum windows over
+    bucket-sized partitions, never a global sort."""
+    docs = load(spark, sf, "documents").withColumn("n_tok", token_count("text"))
+    return pack_shards(docs, "n_tok", 2000, num_buckets=8).select(
+        "doc_id", "n_tok", "shard_id"
+    )
+
+
+ORACLE_CORPUS_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         doc_id % 8 AS b
+  FROM documents
+)
+SELECT doc_id, n_tok,
+       b * 1099511627776
+         + CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY b ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tok)
+                      / 2000.0) AS BIGINT) AS shard_id
+FROM t
+"""
+
+
+def q_corpus_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-DECONTAM: scrub training docs sharing any word 8-gram with a
+    held-out eval set (doc_id % 97 == 0 stands in for the benchmark). The
+    eval shingle set is broadcast; the corpus-side shingle stream semi-joins
+    without a shuffle."""
+    docs = load(spark, sf, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, eval_docs).select("doc_id", "lang", "source")
+
+
+ORACLE_CORPUS_DECONTAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+         END AS s
+  FROM toks
+), eval_sh AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+), contaminated AS (
+  SELECT DISTINCT sh.doc_id
+  FROM sh, unnest(sh.s) AS u(g)
+  WHERE u.g IN (SELECT g FROM eval_sh)
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND d.doc_id % 97 <> 0
+"""
+
+
 def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SIM-TOPK: brute-force cosine top-10 for 5 query vectors against the
     corpus. Dot products are sequential double folds on both engines —
@@ -1671,6 +1759,9 @@ QUERIES: dict[str, QueryFn] = {
     "DEDUP-SIMHASH": q_dedup_simhash,
     "DEDUP-COMPONENTS": q_dedup_components,
     "DEDUP-PRUNE": q_dedup_prune,
+    "CORPUS-SPLIT": q_corpus_split,
+    "CORPUS-PACK": q_corpus_pack,
+    "CORPUS-DECONTAM": q_corpus_decontam,
     "SIM-TOPK": q_sim_topk,
     "SIM-LSH": q_sim_lsh,
     "SIM-IVF": q_sim_ivf,
@@ -1736,6 +1827,9 @@ ORACLES: dict[str, str] = {
     # have no DuckDB twin → rows-only checks by design.
     "DEDUP-COMPONENTS": ORACLE_DEDUP_COMPONENTS,
     "DEDUP-PRUNE": ORACLE_DEDUP_PRUNE,
+    "CORPUS-SPLIT": ORACLE_CORPUS_SPLIT,
+    "CORPUS-PACK": ORACLE_CORPUS_PACK,
+    "CORPUS-DECONTAM": ORACLE_CORPUS_DECONTAM,
     "SIM-TOPK": ORACLE_SIM_TOPK,
     "TEXT-TOKENS": ORACLE_TEXT_TOKENS,
     "TEXT-QUALITY": ORACLE_TEXT_QUALITY,

@@ -1,0 +1,134 @@
+"""Corpus-management operators: deterministic splits, shard packing,
+benchmark decontamination.
+
+The last mile of a training-data pipeline (after dedup/quality/near-dup
+pruning): carve the corpus into train/val/test, pack documents into
+token-budgeted shards for the data loader, and strip anything that overlaps
+the evaluation benchmarks. All pure DataFrame/Column formulations chosen
+for the 100 TB posture:
+
+- **split**: stateless per-row hash — no shuffle at all, embarrassingly
+  parallel, stable across runs and engines.
+- **packing**: cumulative sums windowed *within hash buckets*, never a
+  global single-partition sort; shards are bucket-local so the window
+  shuffle spreads over ``num_buckets`` × executors.
+- **decontamination**: the n-gram semi-join broadcasts the (small) eval
+  side; the corpus-sized exploded shingle stream never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import shingles
+
+#: Affine-hash parameters for the deterministic split. A Knuth-style
+#: multiplicative mix mod a prime — NOT for adversarial inputs, but
+#: well-mixed for sequential ids and (unlike xxhash64) computable verbatim
+#: by any ANSI-SQL oracle: ((id % M) * A + B) % M stays under 2^63.
+SPLIT_MOD = 1_000_000_007
+SPLIT_MUL = 2_654_435_761 % SPLIT_MOD
+SPLIT_ADD = 104_729
+
+
+def split_bucket(id_col: Column | str, buckets: int = 10_000) -> Column:
+    """Deterministic [0, buckets) bucket for a numeric id column."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    mixed = (c.cast("long") % SPLIT_MOD) * F.lit(SPLIT_MUL) + F.lit(SPLIT_ADD)
+    return (mixed % SPLIT_MOD) % buckets
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Assign every row to a named split by deterministic id hash.
+
+    ``weights`` maps split name → fraction (must sum to ~1; the last split
+    absorbs rounding). Hash-based, so membership is stable under corpus
+    growth — adding documents never moves an existing document between
+    splits, which re-sampling by row_number cannot guarantee. Zero shuffle:
+    the plan is a scan + project.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = split_bucket(id_col, buckets)
+    names = list(weights)
+    expr: Column | None = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)
+
+
+def pack_shards(
+    df: DataFrame,
+    token_col: str,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Greedy token-budget shard assignment → adds ``shard_id``.
+
+    Documents are routed to ``num_buckets`` hash buckets (stateless), then
+    greedily packed in deterministic id order within each bucket: a doc
+    joins the shard its first token lands in (shards may overflow by at
+    most one document — the standard data-loader contract). The running
+    token sum is a window over (bucket, id) — the only shuffle, and it
+    carries bucket-sized partitions, never a global sort. Shard ids are
+    ``bucket * 2^40 + local`` so they are globally unique and reveal their
+    bucket for debugging.
+    """
+    bucket = (F.col(id_col).cast("long") % num_buckets).alias("_bucket")
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    local = F.floor((cum - F.col(token_col)) / tokens_per_shard)
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn("shard_id", F.col("_bucket") * F.lit(1 << 40) + local)
+        .drop("_bucket")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Remove training documents that share any word ``ngram``-gram with the
+    evaluation set (and the eval docs themselves) — benchmark-contamination
+    scrubbing.
+
+    Both sides shingle with the dedup normalization (documents shorter than
+    ``ngram`` words contribute their whole text, so verbatim short overlaps
+    still count). The eval side is benchmark-sized → its distinct shingles
+    are broadcast; the corpus-side exploded shingles stream through the
+    broadcast semi-join without shuffling, and the final anti-join carries
+    only contaminated ids. ``ngram`` = 8 is the common LM-eval convention
+    (e.g. GPT-3 appendix C uses 13-grams on sub-words; 8 words ≈ same
+    horizon).
+    """
+    sh = F.explode(F.array_distinct(shingles(F.col(text_col), n=ngram))).alias("sh")
+    eval_sh = eval_docs.select(sh).distinct()
+    doc_sh = docs.select(F.col(id_col), sh)
+    contaminated = (
+        doc_sh.join(F.broadcast(eval_sh), "sh", "left_semi").select(id_col).distinct()
+    )
+    eval_ids = eval_docs.select(id_col)
+    return docs.join(contaminated, id_col, "left_anti").join(
+        eval_ids, id_col, "left_anti"
+    )

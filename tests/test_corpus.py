@@ -1,0 +1,75 @@
+"""Corpus ops: split determinism/stability, greedy shard packing, and
+benchmark decontamination (planted-overlap removal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feasibility_etl_spark.operators.corpus import (
+    decontaminate,
+    pack_shards,
+    split_corpus,
+)
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_is_stable_under_corpus_growth(spark):
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    large = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s_small = {r.doc_id: r.split for r in split_corpus(small, WEIGHTS).collect()}
+    s_large = {r.doc_id: r.split for r in split_corpus(large, WEIGHTS).collect()}
+    # growing the corpus never reassigns an existing doc
+    assert all(s_large[k] == v for k, v in s_small.items())
+
+
+def test_split_fractions_roughly_match_weights(spark):
+    counts = dict(
+        split_corpus(spark.range(0, 20_000).withColumnRenamed("id", "doc_id"), WEIGHTS)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    assert counts["train"] / 20_000 == pytest.approx(0.8, abs=0.02)
+    assert counts["val"] / 20_000 == pytest.approx(0.1, abs=0.02)
+    assert counts["test"] / 20_000 == pytest.approx(0.1, abs=0.02)
+
+
+def test_split_rejects_bad_weights(spark):
+    with pytest.raises(ValueError):
+        split_corpus(spark.range(3).withColumnRenamed("id", "doc_id"), {"a": 0.5})
+
+
+def test_pack_shards_greedy_budget(spark):
+    # one bucket → pure greedy order-by-id packing, check against hand model
+    rows = [(i, 400) for i in range(10)]  # 400 tokens each, budget 1000
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: r.shard_id
+        for r in pack_shards(df, "n_tok", 1000, num_buckets=1).collect()
+    }
+    # doc i starts at cumulative 400*i; shard = floor(400*i / 1000)
+    want = {i: (400 * i) // 1000 for i in range(10)}
+    assert got == want
+
+
+def test_pack_shards_bucket_isolation(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit(50).alias("n_tok")
+    )
+    out = pack_shards(df, "n_tok", 500, num_buckets=4)
+    # shard id encodes its bucket; every doc routed by doc_id % 4
+    assert out.where(F.shiftright("shard_id", 40) != F.col("doc_id") % 4).count() == 0
+
+
+def test_decontaminate_removes_overlap_and_eval(spark):
+    phrase = "one two three four five six seven eight"  # exactly 8 words
+    rows = [
+        (1, f"training doc with the {phrase} inside a longer body of text"),
+        (2, "perfectly clean training document about unrelated matters entirely"),
+        (3, f"the benchmark asks about {phrase} verbatim"),  # eval doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = decontaminate(docs, docs.where(F.col("doc_id") == 3))
+    assert [r.doc_id for r in out.collect()] == [2]
