@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from feasibility_etl_spark.operators import dedup, text  # noqa: E402
+from feasibility_etl_spark.operators import corpus, dedup, text  # noqa: E402
 from feasibility_etl_spark.operators.aggregates import worklog_rollup_relational  # noqa: E402
 from feasibility_etl_spark.session import build_session  # noqa: E402
 from feasibility_etl_spark.sources.catalog import load  # noqa: E402
@@ -63,6 +63,17 @@ def main() -> None:
         "dedup_simhash": lambda d: dedup.simhash_candidates(d),
         "text_quality": lambda d: d.select(
             "doc_id", text.quality_score("text").alias("q")
+        ),
+        "corpus_split": lambda d: corpus.split_corpus(
+            d, {"train": 0.9, "val": 0.05, "test": 0.05}
+        ),
+        "corpus_pack": lambda d: corpus.pack_shards(
+            d.withColumn("n_tok", text.token_count("text")), "n_tok", 2000
+        ),
+        # eval side stays base-sized (a benchmark doesn't grow with the
+        # corpus) — only the corpus-side shingle stream scales
+        "corpus_decontam": lambda d: corpus.decontaminate(
+            d, docs1.where(F.col("doc_id") % 97 == 0)
         ),
     }
     fact_ops = {
