@@ -60,6 +60,7 @@ from .operators.similarity import (
     cosine_topk_lsh,
     embedding_near_dups,
     ivf_topk,
+    pq_topk,
 )
 from .operators.text import (
     bpe_ish_token_count,
@@ -1204,6 +1205,24 @@ def q_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_sim_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-PQ: product-quantization top-k — per-subspace k-means codebooks
+    (pyspark.ml, fixed seeds), ADC over the compressed code table, exact
+    cosine re-rank of the top k·refine. Iterative training has no SQL twin
+    → rows-only check; recall vs brute force is asserted in tests."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_topk(
+        emb, queries, k=10, n_subspaces=8, n_codes=16,
+        train_fraction=0.5, max_iter=4, refine=4,
+    )
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-TOKENS: token + char counting over documents."""
     docs = load(spark, sf, "documents")
@@ -1765,6 +1784,7 @@ QUERIES: dict[str, QueryFn] = {
     "SIM-TOPK": q_sim_topk,
     "SIM-LSH": q_sim_lsh,
     "SIM-IVF": q_sim_ivf,
+    "SIM-PQ": q_sim_pq,
     "J-SALTED": q_j_salted,
     "A-SALTED": q_a_salted,
     "EMB-NEARDUP": q_emb_neardup,

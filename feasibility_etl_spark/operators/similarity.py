@@ -226,6 +226,173 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def pq_encode(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    max_iter: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+):
+    """Product-quantization codebooks + corpus codes.
+
+    Splits the D-dim embedding into ``n_subspaces`` contiguous subvectors
+    and trains an independent k-means codebook (``n_codes`` centroids) per
+    subspace on a sample; every corpus vector is then encoded as
+    ``n_subspaces`` small ints — the classic PQ compression (Jégou et al.,
+    TPAMI'11): D×4 bytes → M×1 byte at M=8, K≤256.
+
+    Returns ``(codes_df, codebooks)``: codes_df is
+    (corpus_id, corpus_vec, code_0..code_{M-1}) — one narrow JVM map pass
+    per subspace (model.transform, no shuffle); codebooks is
+    ``[(m, c, centroid: list[float])]`` for the ADC distance tables.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim_row = corpus.select(F.size(corpus_vec).alias("d")).first()
+    sub_d = dim_row["d"] // n_subspaces
+    train = corpus if train_fraction >= 1.0 else corpus.sample(train_fraction, seed)
+    train = train.select(F.col(corpus_vec).cast("array<double>").alias("_v"))
+    train.persist()
+    train.count()  # materialize once before the concurrent fits
+
+    def fit(m: int):
+        sub = F.slice(F.col("_v"), m * sub_d + 1, sub_d)
+        # random init: kmeans|| runs ~5 extra passes per fit, and with M
+        # codebooks of small k the refinement iterations recover the same
+        # quality — measured no recall change, big wall-time cut
+        return KMeans(
+            k=n_codes, seed=seed + m, maxIter=max_iter,
+            initMode="random", featuresCol="features",
+        ).fit(train.select(array_to_vector(sub).alias("features")))
+
+    # the M codebook fits are independent Spark jobs — submit them from
+    # driver threads so they share the cluster instead of queueing (cuts
+    # wall time ~Mx when executors outnumber one fit's parallelism)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(n_subspaces, 8)) as pool:
+        models = list(pool.map(fit, range(n_subspaces)))
+    train.unpersist()
+
+    encoded = corpus.select(F.col(corpus_id), F.col(corpus_vec))
+    codebooks: list[tuple[int, int, list[float]]] = []
+    for m, model in enumerate(models):
+        codebooks += [
+            (m, c, [float(x) for x in cent])
+            for c, cent in enumerate(model.clusterCenters())
+        ]
+        feats = array_to_vector(
+            F.slice(F.col(corpus_vec).cast("array<double>"), m * sub_d + 1, sub_d)
+        )
+        encoded = (
+            model.transform(encoded.withColumn("features", feats))
+            .withColumnRenamed("prediction", f"code_{m}")
+            .drop("features")
+        )
+    return encoded, codebooks
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    max_iter: int = 10,
+    refine: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation + re-rank.
+
+    ADC: per query, the distance to every codebook centroid is precomputed
+    (an M×K table, query-side and tiny → broadcast); a corpus vector's
+    approximate distance is the sum of M table lookups on its codes. The
+    scan that serves the query therefore reads M small ints per vector —
+    not the D-float embedding — which at 100 TB is the difference between
+    scanning the compressed code table (~1/32 the bytes at D=64, M=8) and
+    the raw vectors. The top ``k·refine`` ADC candidates per query are then
+    re-ranked by exact cosine against only those vectors (a k·refine-sized
+    join), recovering most of the recall PQ loses — the standard IVF-PQ
+    serving shape.
+
+    Relational ADC: corpus codes unpivot to (id, m, code) and join the
+    broadcast (query, m, code, dist2) tables on (m, code); groupBy
+    (query, id) sums the M partial distances — codegen'd hash join + partial
+    agg, no Python, no per-row HOF over centroids.
+    """
+    encoded, codebooks = pq_encode(
+        corpus, n_subspaces, n_codes, seed, train_fraction, max_iter,
+        corpus_id, corpus_vec,
+    )
+    spark = corpus.sparkSession
+    books = F.broadcast(
+        spark.createDataFrame(codebooks, "_m int, _code int, _centroid array<double>")
+    )
+    sub_d_expr = F.size(query_vec) / n_subspaces
+    # query-side ADC tables: ||q_m − centroid_{m,c}||² for all (m, c)
+    tables = (
+        queries.crossJoin(books)
+        .select(
+            F.col(query_id),
+            F.col("_m"),
+            F.col("_code"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(
+                        F.col(query_vec).cast("array<double>"),
+                        (F.col("_m") * sub_d_expr + 1).cast("int"),
+                        sub_d_expr.cast("int"),
+                    ),
+                    F.col("_centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("_dist2"),
+        )
+    )
+    code_cols = [
+        F.struct(F.lit(m).alias("_m"), F.col(f"code_{m}").alias("_code"))
+        for m in range(n_subspaces)
+    ]
+    unpivoted = encoded.select(
+        F.col(corpus_id), F.explode(F.array(*code_cols)).alias("_mc")
+    ).select(corpus_id, F.col("_mc._m").alias("_m"), F.col("_mc._code").alias("_code"))
+    approx = (
+        unpivoted.join(F.broadcast(tables), ["_m", "_code"])
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum("_dist2").alias("_adc_dist2"))
+        .where(F.col(query_id) != F.col(corpus_id))
+    )
+    cand_w = Window.partitionBy(query_id).orderBy(F.col("_adc_dist2"), F.col(corpus_id))
+    candidates = (
+        approx.withColumn("_cand_rank", F.row_number().over(cand_w))
+        .where(F.col("_cand_rank") <= k * refine)
+        .select(query_id, corpus_id)
+    )
+    # exact re-rank over the k·refine survivors only
+    scored = (
+        candidates.join(corpus.select(corpus_id, corpus_vec), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -25,6 +25,7 @@ def test_every_oracle_has_a_query():
         "DEDUP-SIMHASH",
         "SIM-LSH",
         "SIM-IVF",
+        "SIM-PQ",
         "EMB-NEARDUP",
     }
 

@@ -128,3 +128,19 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         want = float(orig[r.vec_id][r.idx])
         got = r.code * r.scale
         assert abs(got - want) <= r.scale / 2 + 1e-9, (r.vec_id, r.idx)
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    from feasibility_etl_spark.operators.similarity import pq_topk
+
+    corpus = clustered_embeddings(spark)  # dim 16
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(corpus, queries, k=10)
+    approx = pq_topk(corpus, queries, k=10, n_subspaces=4, n_codes=16, refine=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4×16 codebooks over tight clusters + exact re-rank → near-total recall
+    assert recall > 0.9, f"recall {recall}"
