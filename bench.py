@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "DEDUP-EXACT",
     "DEDUP-NGRAM",
     "DEDUP-MINHASH",
+    "DEDUP-PRUNE",
+    "CORPUS-PACK",
+    "CORPUS-DECONTAM",
     "SIM-TOPK",
     "TEXT-QUALITY",
     "TEXT-LANGID",

@@ -339,6 +339,9 @@ def connected_components(
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
+    # edges feed every iteration's join — checkpoint once or the (possibly
+    # expensive) upstream pair-generation plan re-executes per round
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component_id")
     )
