@@ -165,3 +165,51 @@ def test_pct_diff_matches_js_model(spark, pairs):
             assert math.isnan(got), (a, b, got)
         else:
             assert math.isclose(got, want, rel_tol=1e-9) or got == want, (a, b, got)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=80, unique=True)
+)
+@SETTINGS
+def test_corpus_split_partitions_and_is_pure(spark, ids):
+    """split_corpus: every doc gets exactly one split; assignment is a pure
+    function of the id (running twice, or on any superset, agrees)."""
+    from feasibility_etl_spark.operators.corpus import split_corpus
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r.split for r in split_corpus(df, w).collect()}
+    again = {r.doc_id: r.split for r in split_corpus(df, w).collect()}
+    assert out == again
+    assert set(out) == set(ids)
+    assert set(out.values()) <= {"train", "val", "test"}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=3_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@SETTINGS
+def test_pack_shards_matches_greedy_model(spark, rows):
+    """pack_shards single-bucket == greedy Python model: doc joins the shard
+    its first token lands in (floor of the exclusive running sum / budget)."""
+    from feasibility_etl_spark.operators.corpus import pack_shards
+
+    budget = 1000
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: r.shard_id
+        for r in pack_shards(df, "n_tok", budget, num_buckets=1).collect()
+    }
+    cum, want = 0, {}
+    for doc_id, n_tok in sorted(rows):
+        want[doc_id] = cum // budget
+        cum += n_tok
+    assert got == want
