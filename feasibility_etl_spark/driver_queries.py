@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from .functions.scalar import delta_pair, hrs_to_sec, jira_ts, pct_change_abs, pct_diff
 from .operators.aggregates import horizontal_sum
@@ -40,6 +41,7 @@ from .operators.dedup import (
     simhash_candidates,
 )
 from .operators.joins import (
+    asof_join,
     attach_detail,
     dim_join,
     lookup_or_insert,
@@ -1521,6 +1523,53 @@ FROM scaled, unnest(range(1, len(embedding) + 1)) AS u(i)
 """
 
 
+def q_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """J-ASOF: backward as-of join — every 10th event (the "observation")
+    picks up the latest PRIOR other event of its user (point-in-time
+    enrichment, no look-ahead). Right side pre-deduped to one row per
+    (user, ts) (max event_id) so both engines resolve ties identically;
+    DuckDB's native ASOF LEFT JOIN is the oracle. One shuffle on user_id —
+    the union + carry-forward window, no range explosion."""
+    ev = load(spark, sf, "events")
+    left = ev.where(F.col("event_id") % 10 == 0).select("event_id", "user_id", "ts")
+    rn_w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        ev.where(F.col("event_id") % 10 != 0)
+        .withColumn("_rn", F.row_number().over(rn_w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out = asof_join(left, right, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("right_event_id").alias("prior_event_id"),
+        F.col("right_value").alias("prior_value"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("prior_ts"),
+    )
+
+
+ORACLE_ASOF = r"""
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 0
+), r AS (
+  SELECT user_id, ts, event_id, value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 10 <> 0
+  ) WHERE rn = 1
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       r.event_id AS prior_event_id,
+       r.value AS prior_value,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS prior_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+
 def q_pipe_events(spark: SparkSession, sf: str) -> DataFrame:
     """PIPE-EVENTS: the event-stream pipeline end-to-end — sessionize
     (10-min gap) → per-session stats → per-user rollup with an argmax
@@ -1786,6 +1835,7 @@ QUERIES: dict[str, QueryFn] = {
     "SIM-IVF": q_sim_ivf,
     "SIM-PQ": q_sim_pq,
     "J-SALTED": q_j_salted,
+    "J-ASOF": q_asof,
     "A-SALTED": q_a_salted,
     "EMB-NEARDUP": q_emb_neardup,
     "EMB-QUANT": q_emb_quant,
@@ -1857,6 +1907,7 @@ ORACLES: dict[str, str] = {
     "TEXT-FINGERPRINT": ORACLE_TEXT_FINGERPRINT,
     "TEXT-WINNOW": ORACLE_TEXT_WINNOW,
     "J-SALTED": ORACLE_J_SALTED,
+    "J-ASOF": ORACLE_ASOF,
     "A-SALTED": ORACLE_A_SALTED,
     "EMB-QUANT": ORACLE_EMB_QUANT,
     "PIPE-DOCS": ORACLE_PIPE_DOCS,

@@ -98,3 +98,58 @@ def test_salted_agg_matches_plain_agg(spark):
         ).collect()
     }
     assert two_stage == plain
+
+
+def _asof_frames(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", dt(2024, 1, 1, 10, 0)),
+            (2, "u1", dt(2024, 1, 1, 12, 0)),
+            (3, "u2", dt(2024, 1, 1, 11, 0)),
+            (4, "u3", dt(2024, 1, 1, 9, 0)),   # u3 has no right rows at all
+        ],
+        "obs_id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", dt(2024, 1, 1, 9, 30), 100.0),
+            ("u1", dt(2024, 1, 1, 12, 0), 200.0),  # equal ts → inclusive match
+            ("u2", dt(2024, 1, 1, 11, 30), 300.0),  # after left → no match
+        ],
+        "user string, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_inclusive(spark):
+    from feasibility_etl_spark.operators.joins import asof_join
+
+    left, right = _asof_frames(spark)
+    got = {
+        r.obs_id: r.right_value
+        for r in asof_join(left, right, on="user").collect()
+    }
+    # obs1 ← 9:30 row; obs2 ← the equal-ts 12:00 row (inclusive);
+    # obs3: only right row is LATER → null; obs4: keyless → null
+    assert got == {1: 100.0, 2: 200.0, 3: None, 4: None}
+
+
+def test_asof_join_tolerance_voids_stale_matches(spark):
+    from feasibility_etl_spark.operators.joins import asof_join
+
+    left, right = _asof_frames(spark)
+    got = {
+        r.obs_id: r.right_value
+        for r in asof_join(left, right, on="user", tolerance="15 MINUTES").collect()
+    }
+    # obs1's 9:30 match is 30 min stale → voided; obs2's equal-ts match stays
+    assert got == {1: None, 2: 200.0, 3: None, 4: None}
+
+
+def test_asof_join_keeps_left_rowcount(spark):
+    from feasibility_etl_spark.operators.joins import asof_join
+
+    left, right = _asof_frames(spark)
+    assert asof_join(left, right, on="user").count() == left.count()
