@@ -42,6 +42,7 @@ from .operators.dedup import (
 )
 from .operators.joins import (
     asof_join,
+    range_join,
     attach_detail,
     dim_join,
     lookup_or_insert,
@@ -1570,6 +1571,45 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
 """
 
 
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J-RANGE: interval-containment join — every 20th event anchors a
+    2-hour window [ts, ts+2h]; count/sum the user's other events inside it.
+    Runs as the bucketed equi-join (1-hour buckets → each interval fans out
+    to ≤3 bucket rows) with the exact BETWEEN post-filter — never a
+    nested-loop. Sums in cents-BIGINT per the oracle parity rules."""
+    ev = load(spark, sf, "events")
+    anchors = ev.where(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    others = ev.where(F.col("event_id") % 20 != 0).select(
+        "user_id", "ts", "value"
+    )
+    joined = range_join(
+        anchors, others, start="w_start", end="w_end", right_ts="ts",
+        on="user_id", bucket="1 hour",
+    )
+    return joined.groupBy("anchor_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+ORACLE_RANGE_JOIN = r"""
+SELECT a.event_id AS anchor_id, a.user_id,
+       COUNT(*) AS n_in_window,
+       SUM(CAST(FLOOR(o.value * 100) AS BIGINT)) AS value_cents
+FROM events a
+JOIN events o
+  ON o.user_id = a.user_id
+ AND o.ts BETWEEN a.ts AND a.ts + INTERVAL 2 HOURS
+WHERE a.event_id % 20 = 0 AND o.event_id % 20 <> 0
+GROUP BY 1, 2
+"""
+
+
 def q_pipe_events(spark: SparkSession, sf: str) -> DataFrame:
     """PIPE-EVENTS: the event-stream pipeline end-to-end — sessionize
     (10-min gap) → per-session stats → per-user rollup with an argmax
@@ -1836,6 +1876,7 @@ QUERIES: dict[str, QueryFn] = {
     "SIM-PQ": q_sim_pq,
     "J-SALTED": q_j_salted,
     "J-ASOF": q_asof,
+    "J-RANGE": q_range_join,
     "A-SALTED": q_a_salted,
     "EMB-NEARDUP": q_emb_neardup,
     "EMB-QUANT": q_emb_quant,
@@ -1908,6 +1949,7 @@ ORACLES: dict[str, str] = {
     "TEXT-WINNOW": ORACLE_TEXT_WINNOW,
     "J-SALTED": ORACLE_J_SALTED,
     "J-ASOF": ORACLE_ASOF,
+    "J-RANGE": ORACLE_RANGE_JOIN,
     "A-SALTED": ORACLE_A_SALTED,
     "EMB-QUANT": ORACLE_EMB_QUANT,
     "PIPE-DOCS": ORACLE_PIPE_DOCS,

@@ -225,3 +225,51 @@ def asof_join(
         ],
         F.when(in_tol, F.col("_c_ts")).alias(f"{right_prefix}{right_ts}"),
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    start: str,
+    end: str,
+    right_ts: str,
+    on: str | None = None,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval-containment join: pair each left interval [start, end] with
+    the right rows whose ``right_ts`` falls inside it (inclusive),
+    optionally also matching an equality key ``on``.
+
+    Spark's native plan for a pure inequality join is broadcast-nested-loop
+    — |left|x|right| comparisons, unusable at scale. This is the bucketed
+    formulation: each left interval explodes into the coarse time buckets
+    it overlaps, each right row computes its single bucket, and the join
+    runs as an EQUI-join on (key, bucket) with the exact BETWEEN as a
+    post-filter. Shuffle carries (rows x interval_span/bucket) — tune
+    ``bucket`` to the typical interval length so the fan-out stays small
+    (span/bucket ≈ 1-3). A right row's bucket is unique per left interval,
+    so no dedup is needed. This is the same strategy Databricks' range-join
+    hint implements natively.
+
+    Returns left.* + right.* (right's key column dropped when shared).
+    """
+    span = F.expr(f"INTERVAL {bucket}")
+    b_start = F.unix_timestamp(F.col(start))
+    b_end = F.unix_timestamp(F.col(end))
+    base = F.to_timestamp(F.lit("2000-01-03 00:00:00"))  # DST-free Monday
+    b_width = F.unix_timestamp(base + span) - F.unix_timestamp(base)
+    l_bucketed = left.withColumn(
+        "_rb",
+        F.explode(
+            F.sequence(F.floor(b_start / b_width), F.floor(b_end / b_width))
+        ),
+    )
+    r_bucketed = right.withColumn(
+        "_rb", F.floor(F.unix_timestamp(F.col(right_ts)) / b_width)
+    )
+    keys = ["_rb"] if on is None else [on, "_rb"]
+    return (
+        l_bucketed.join(r_bucketed, keys)
+        .where(F.col(right_ts).between(F.col(start), F.col(end)))
+        .drop("_rb")
+    )

@@ -153,3 +153,58 @@ def test_asof_join_keeps_left_rowcount(spark):
 
     left, right = _asof_frames(spark)
     assert asof_join(left, right, on="user").count() == left.count()
+
+
+def test_range_join_matches_naive_and_avoids_nested_loop(spark):
+    from datetime import datetime as dt, timedelta
+
+    from feasibility_etl_spark.operators.joins import range_join
+
+    base = dt(2024, 3, 1, 0, 0)
+    anchors = spark.createDataFrame(
+        [
+            (i, f"u{i % 3}", base + timedelta(minutes=37 * i),
+             base + timedelta(minutes=37 * i + 90))
+            for i in range(12)
+        ],
+        "aid long, user string, w_start timestamp, w_end timestamp",
+    )
+    events = spark.createDataFrame(
+        [
+            (j, f"u{j % 3}", base + timedelta(minutes=11 * j), float(j))
+            for j in range(60)
+        ],
+        "eid long, user string, ts timestamp, v double",
+    )
+    got = {
+        (r.aid, r.eid)
+        for r in range_join(
+            anchors, events, start="w_start", end="w_end",
+            right_ts="ts", on="user", bucket="1 hour",
+        ).collect()
+    }
+    naive = {
+        (r.aid, r.eid)
+        for r in anchors.join(events, "user")
+        .where(F.col("ts").between(F.col("w_start"), F.col("w_end")))
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+    # inclusive bounds: an event exactly at w_start and one at w_end match
+    edge_a = spark.createDataFrame(
+        [(1, "u", base, base + timedelta(hours=1))],
+        "aid long, user string, w_start timestamp, w_end timestamp",
+    )
+    edge_e = spark.createDataFrame(
+        [(1, "u", base, 0.0), (2, "u", base + timedelta(hours=1), 0.0)],
+        "eid long, user string, ts timestamp, v double",
+    )
+    assert (
+        range_join(edge_a, edge_e, "w_start", "w_end", "ts", on="user").count() == 2
+    )
+    # the scale contract: equi-join on (key, bucket), never a nested loop
+    plan = (
+        range_join(anchors, events, "w_start", "w_end", "ts", on="user")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
