@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "TEXT-QUALITY",
     "TEXT-LANGID",
     "J-SALTED",
+    "J-ASOF",
+    "J-RANGE",
     "SIM-IVF",
     "MM-IMAGE",
     "PIPE-DOCS",

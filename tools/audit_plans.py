@@ -35,7 +35,8 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: J-LOOKUP-INSERT cross-joins a literal 1-row aggregate (max existing
 #: surrogate id) onto the dim-sized additions frame — a broadcast of one
 #: row, the canonical way to attach a scalar offset without a collect.
-CARTESIAN_OK = {"SIM-TOPK", "SIM-IVF", "J-LOOKUP-INSERT"}
+#: SIM-PQ's cross join is queries x codebooks (both tiny, ADC tables)
+CARTESIAN_OK = {"SIM-TOPK", "SIM-IVF", "SIM-PQ", "J-LOOKUP-INSERT"}
 
 #: Queries that legitimately run Arrow-batched Python (multimodal decode).
 PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE"}
