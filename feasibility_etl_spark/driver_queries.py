@@ -67,6 +67,7 @@ from .operators.similarity import (
 )
 from .operators.text import (
     bpe_ish_token_count,
+    clean_text,
     fingerprint,
     winnow_fingerprints_rows,
     lang_id,
@@ -1068,6 +1069,56 @@ WHERE d.doc_id NOT IN (SELECT node FROM dropped)
 """
 
 
+def q_text_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-CLEAN: pre-tokenization normalization over a deterministically
+    dirtied document body (wrapped in tags + entities + a control char, so
+    the transformation provably fires on every row): strip HTML, decode
+    entities, drop control chars, collapse whitespace."""
+    docs = load(spark, sf, "documents")
+    dirty = F.concat(
+        F.lit('<p id="x">'), F.col("text"), F.lit("</p> &amp; &lt;b&gt; \t")
+    )
+    cleaned = clean_text(dirty)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean"),
+        F.length(dirty).cast("long").alias("n_dirty"),
+        F.length(cleaned).cast("long").alias("n_clean"),
+    )
+
+
+ORACLE_TEXT_CLEAN = r"""
+WITH dirty AS (
+  SELECT doc_id, '<p id="x">' || text || '</p> &amp; &lt;b&gt; ' || chr(9) AS d
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, d,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(d, '<[^>]*>', ' ', 'g'),
+                  '&nbsp;', ' ', 'g'),
+                '&lt;', '<', 'g'),
+              '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'),
+          '&#39;', '''', 'g'),
+        '&amp;', '&', 'g'),
+      '[\x00-\x1f\x7f]', ' ', 'g'),
+    '\s+', ' ', 'g')) AS c
+  FROM dirty
+)
+SELECT doc_id, c AS clean,
+       CAST(len(d) AS BIGINT) AS n_dirty,
+       CAST(len(c) AS BIGINT) AS n_clean
+FROM cleaned
+"""
+
+
 def q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
     """CORPUS-SPLIT: deterministic 90/5/5 train/val/test assignment by
     affine-hash bucket — stable under corpus growth, zero shuffle (the plan
@@ -1884,6 +1935,7 @@ QUERIES: dict[str, QueryFn] = {
     "TEXT-QUALITY": q_text_quality,
     "TEXT-LANGID": q_text_langid,
     "TEXT-FINGERPRINT": q_text_fingerprint,
+    "TEXT-CLEAN": q_text_clean,
     "TEXT-WINNOW": q_text_winnow,
     "PIPE-DOCS": q_pipe_docs,
     "PIPE-EVENTS": q_pipe_events,
@@ -1946,6 +1998,7 @@ ORACLES: dict[str, str] = {
     "TEXT-QUALITY": ORACLE_TEXT_QUALITY,
     "TEXT-LANGID": ORACLE_TEXT_LANGID,
     "TEXT-FINGERPRINT": ORACLE_TEXT_FINGERPRINT,
+    "TEXT-CLEAN": ORACLE_TEXT_CLEAN,
     "TEXT-WINNOW": ORACLE_TEXT_WINNOW,
     "J-SALTED": ORACLE_J_SALTED,
     "J-ASOF": ORACLE_ASOF,

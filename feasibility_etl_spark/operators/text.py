@@ -253,3 +253,33 @@ def winnow_fingerprints_rows(
         F.col("_pos") <= F.col("_n_h") - w
     )
     return mins.where(valid).select(F.col(id_col), fp.alias("fp")).distinct()
+
+
+#: Minimal HTML entity table for clean_text — applied in a fixed order on
+#: both engines (Spark and the oracle), so double-encoded entities resolve
+#: identically everywhere.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def clean_text(text: Column | str) -> Column:
+    """Pre-tokenization normalization: strip HTML tags, decode the common
+    entities, drop control characters, collapse whitespace, trim.
+
+    The standard first pass over crawled text before token counting /
+    quality scoring / shingling. Pure regexp_replace chain — codegen'd,
+    order-preserving, and expressible verbatim in the oracle (DuckDB RE2
+    needs the 'g' flag; Spark replaces all matches by default).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, repl in HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, repl)
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -117,3 +117,22 @@ def test_winnow_relational_equals_hof_formulation(spark):
         (r.doc_id, r.fp) for r in winnow_fingerprints_rows(docs).collect()
     }
     assert rel == hof and len(rel) > 0
+
+
+def test_clean_text_semantics(spark):
+    from feasibility_etl_spark.operators.text import clean_text
+
+    rows = [
+        (1, '<div class="a">Hello <b>world</b></div>'),
+        (2, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end"),
+        (3, "ctrl\x00chars\x1fhere\ttab\nnewline"),
+        (4, "  already   clean   "),
+        (5, "&amp;lt; double-encoded"),  # &amp; decodes last → stays "&lt;"
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.c for r in df.select("id", clean_text("t").alias("c")).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == "a & b <tag> \"q\" 's' end"
+    assert got[3] == "ctrl chars here tab newline"
+    assert got[4] == "already clean"
+    assert got[5] == "&lt; double-encoded"
