@@ -346,6 +346,7 @@ def connected_components(
         "node", F.col("node").alias("component_id")
     )
     labels = labels.localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -372,6 +373,16 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        # A silent non-converged return would hand callers WRONG labels (and
+        # prune_components would keep docs that belong to a dup group), so
+        # this is an error, not a warning. Diameter > max_iterations is rare
+        # for near-clique dedup graphs; raise the cap for path-like graphs.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (labels still changing). The pair graph's diameter "
+            "exceeds max_iterations — raise it (rounds needed = diameter)."
+        )
     return labels.select(F.col("node").alias("doc_id"), "component_id")
 
 

@@ -118,7 +118,18 @@ def salted_join(
     Cost model: replicating ``other`` multiplies its shuffle volume by
     ``n_salts`` — use only when ``other`` is much smaller than the hot key's
     row count (else prefer broadcast or AQE).
+
+    Only joins that preserve at most the left (skewed) side are supported:
+    for right/full outer joins every unmatched ``other`` row would survive
+    once per salt replica, yielding ``n_salts`` duplicate output rows.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of the "
+            f"replicated side would be emitted {n_salts}x (once per salt). "
+            f"Supported: {sorted(allowed)}."
+        )
     salted = skewed.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
     replicated = other.withColumn(
         "_salt",

@@ -253,6 +253,12 @@ def pq_encode(
     from pyspark.ml.functions import array_to_vector
 
     dim_row = corpus.select(F.size(corpus_vec).alias("d")).first()
+    if dim_row["d"] % n_subspaces != 0:
+        raise ValueError(
+            f"PQ requires dim % n_subspaces == 0 (got dim={dim_row['d']}, "
+            f"n_subspaces={n_subspaces}); trailing dims would be silently "
+            "dropped and query-side ADC slices would misalign."
+        )
     sub_d = dim_row["d"] // n_subspaces
     train = corpus if train_fraction >= 1.0 else corpus.sample(train_fraction, seed)
     train = train.select(F.col(corpus_vec).cast("array<double>").alias("_v"))
@@ -337,7 +343,10 @@ def pq_topk(
     books = F.broadcast(
         spark.createDataFrame(codebooks, "_m int, _code int, _centroid array<double>")
     )
-    sub_d_expr = F.size(query_vec) / n_subspaces
+    # the corpus codebook's integer subvector width, NOT size(query_vec)/M
+    # (a fractional per-slice width would misalign query ADC slices with the
+    # corpus subspaces whenever dim % M != 0 — pq_encode asserts it's exact)
+    sub_d = len(codebooks[0][2])
     # query-side ADC tables: ||q_m − centroid_{m,c}||² for all (m, c)
     tables = (
         queries.crossJoin(books)
@@ -349,8 +358,8 @@ def pq_topk(
                 F.zip_with(
                     F.slice(
                         F.col(query_vec).cast("array<double>"),
-                        (F.col("_m") * sub_d_expr + 1).cast("int"),
-                        sub_d_expr.cast("int"),
+                        (F.col("_m") * sub_d + 1).cast("int"),
+                        sub_d,
                     ),
                     F.col("_centroid"),
                     lambda x, y: (x - y) * (x - y),

@@ -124,6 +124,20 @@ def test_connected_components_chain_transitivity(spark):
     assert len(rows) == 10
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from feasibility_etl_spark.operators.dedup import connected_components
+
+    # path graph with diameter 9 cannot converge in 2 rounds: the silent
+    # wrong-labels return is an error, not a warning
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=2)
+
+
 def test_prune_components_keeps_representatives_and_singletons(spark):
     from feasibility_etl_spark.operators.dedup import prune_components
 

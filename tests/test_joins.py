@@ -68,6 +68,21 @@ def test_salted_join_matches_plain_join(spark):
     assert salted == plain and len(plain) == 1005
 
 
+def test_salted_join_rejects_replicated_side_preserving_joins(spark):
+    import pytest
+
+    from feasibility_etl_spark.operators.joins import salted_join
+
+    skewed = spark.createDataFrame([("hot", 1)], "k string, row_id long")
+    other = spark.createDataFrame([("hot", "H")], "k string, tag string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(skewed, other, "k", salt_col="row_id", n_salts=8, how=how)
+    # left variants stay accepted
+    out = salted_join(skewed, other, "k", salt_col="row_id", n_salts=8, how="left")
+    assert out.count() == 1
+
+
 def test_salted_agg_matches_plain_agg(spark):
     from pyspark.sql import functions as F
 

@@ -144,3 +144,18 @@ def test_pq_topk_recall_on_clustered_data(spark):
     recall = len(e & a) / len(e)
     # 4×16 codebooks over tight clusters + exact re-rank → near-total recall
     assert recall > 0.9, f"recall {recall}"
+
+
+def test_pq_rejects_indivisible_subspaces(spark):
+    import pytest
+
+    from feasibility_etl_spark.operators.similarity import pq_topk
+
+    corpus = clustered_embeddings(spark, n_clusters=2, per_cluster=10)  # dim 16
+    queries = corpus.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # 16 % 3 != 0: trailing dims would be dropped and query ADC slices would
+    # misalign with the corpus codebook subspaces — must refuse
+    with pytest.raises(ValueError, match="dim % n_subspaces"):
+        pq_topk(corpus, queries, k=5, n_subspaces=3, n_codes=4)
