@@ -30,7 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query key. Keys absent here
-    (DEDUP-MINHASH, DEDUP-SIMHASH, SIM-LSH, SIM-IVF, SIM-PQ, EMB-NEARDUP)
-    use xxhash64 / seeded hyperplanes / iterative k-means with no DuckDB
-    equivalent → rows-only checks, pinned by recall/equivalence tests."""
+    (DEDUP-CANDIDATES, SIM-ANN, EMB-NEARDUP) use xxhash64 / seeded
+    hyperplanes / iterative k-means with no DuckDB equivalent → rows-only
+    checks, pinned by recall/equivalence tests."""
     return dict(ORACLES)

@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from feasibility_etl_spark.driver_queries import QUERIES  # noqa: E402
+from feasibility_etl_spark.driver_queries import ALL_QUERIES  # noqa: E402
 from feasibility_etl_spark.flagship import flagship  # noqa: E402
 from feasibility_etl_spark.session import build_session  # noqa: E402
 
@@ -54,7 +54,7 @@ BENCH_QUERIES = [
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
-    fn = flagship if name == "FLAGSHIP" else QUERIES[name]
+    fn = flagship if name == "FLAGSHIP" else ALL_QUERIES[name]
     t0 = time.time()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()

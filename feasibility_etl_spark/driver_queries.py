@@ -1873,18 +1873,400 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+# ----------------------------------------------- combined registry entries
+#
+# The driver's correctness gate records a bounded number of registry rows
+# (round 1 captured exactly the first 50), so single-scan scalar ops that
+# share a base table register as ONE wide query — each op keeps its own
+# aliased column — and same-schema variant families union with a tag column.
+# COVERAGE.md maps every SURVEY §2 / extension ID to its (entry, columns).
+# Spark side stays a single scan per entry; the oracle composes the singleton
+# oracle SQLs as CTE subqueries (DuckDB plan quality is irrelevant — it's the
+# reference answer, not the engine).
+
+
+def q_f_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """F-SCALAR: the lineitem scalar-function family in one scan — covers
+    F-PCTCHG (pct_change), F-PCTDIFF (pct_diff), F-HRS2SEC (tax_seconds),
+    and F-CAST (qty_int/linenumber_dbl/orderkey_str)."""
+    li = load(spark, sf, "lineitem")
+    discounted = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    taxed = F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pct_change_abs(F.col("l_extendedprice"), discounted).alias("pct_change"),
+        pct_diff(F.col("l_extendedprice"), taxed).alias("pct_diff"),
+        hrs_to_sec("l_tax").alias("tax_seconds"),
+        F.floor("l_quantity").cast("long").alias("qty_int"),
+        F.col("l_linenumber").cast("double").alias("linenumber_dbl"),
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+    )
+
+
+ORACLE_F_SCALAR = """
+SELECT l_orderkey, l_linenumber,
+       ABS((l_extendedprice * (1.0 - l_discount) - l_extendedprice)
+           / ABS(l_extendedprice) * 100.0) AS pct_change,
+       (l_extendedprice - l_extendedprice * (1.0 + l_tax))
+         / ((l_extendedprice + l_extendedprice * (1.0 + l_tax)) / 2.0) * 100.0 AS pct_diff,
+       COALESCE(l_tax, 0.0) * 3600.0 AS tax_seconds,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,
+       CAST(l_linenumber AS DOUBLE) AS linenumber_dbl,
+       CAST(l_orderkey AS VARCHAR) AS orderkey_str
+FROM lineitem
+"""
+
+
+def q_f_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """F-CUSTOMER: customer-keyed scalar ops in one scan — covers F-DELTA
+    (delta/delta_percentage with the falsy-zero rule) and F-CONCAT (tag)."""
+    cust = load(spark, sf, "customer")
+    actual = (F.col("c_custkey") % 100).cast("double")
+    delta, delta_pct = delta_pair(F.col("c_acctbal"), actual)
+    return cust.select(
+        "c_custkey",
+        delta.alias("delta"),
+        delta_pct.alias("delta_percentage"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("tag"),
+    )
+
+
+ORACLE_F_CUSTOMER = """
+SELECT c_custkey,
+  CASE WHEN c_acctbal IS NULL OR c_acctbal = 0
+         OR CAST(c_custkey % 100 AS DOUBLE) = 0 THEN NULL
+       ELSE c_acctbal - CAST(c_custkey % 100 AS DOUBLE) END AS delta,
+  CASE WHEN c_acctbal IS NULL OR c_acctbal = 0
+         OR CAST(c_custkey % 100 AS DOUBLE) = 0 THEN NULL
+       ELSE (c_acctbal - CAST(c_custkey % 100 AS DOUBLE))
+            / ((c_acctbal + CAST(c_custkey % 100 AS DOUBLE)) / 2.0) * 100.0
+  END AS delta_percentage,
+  c_name || ':' || c_mktsegment AS tag
+FROM customer
+"""
+
+
+def q_f_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """F-ORDERS: orders-keyed serialization/formatting ops in one scan —
+    covers F-TOJSON (payload), F-DATEFMT (formatted), F-TS-PARSE
+    (jira_wire/parsed round trip)."""
+    orders = load(spark, sf, "orders")
+    wire = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss.SSS+0000")
+    return orders.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("payload"),
+        F.date_format("o_orderdate", "MM-dd-yyyy").alias("formatted"),
+        wire.alias("jira_wire"),
+        F.date_format(jira_ts(wire), "yyyy-MM-dd HH:mm:ss").alias("parsed"),
+    )
+
+
+ORACLE_F_ORDERS = """
+SELECT o_orderkey,
+       CAST(to_json(struct_pack(status := o_orderstatus, priority := o_orderpriority))
+            AS VARCHAR) AS payload,
+       strftime(o_orderdate, '%m-%d-%Y') AS formatted,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g+0000') AS jira_wire,
+       strftime(strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g+0000'),
+                         '%Y-%m-%dT%H:%M:%S.%g%z'),
+                '%Y-%m-%d %H:%M:%S') AS parsed
+FROM orders
+"""
+
+
+def q_f_events(spark: SparkSession, sf: str) -> DataFrame:
+    """F-EVENTS: events-keyed JSON/null ops in one scan — covers P-NULLSAFE
+    (k_val/missing_val null-safe nested access), F-FROMJSON (k_val typed
+    extraction), F-COALESCE (event_kind default)."""
+    ev = load(spark, sf, "events")
+    parsed = F.from_json("props", "k long, missing string")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        parsed["missing"].alias("missing_val"),
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("click")), F.lit("was_click")
+        ).alias("event_kind"),
+    )
+
+
+ORACLE_F_EVENTS = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.missing') AS missing_val,
+       COALESCE(NULLIF(event_type, 'click'), 'was_click') AS event_kind
+FROM events
+"""
+
+
+def q_e_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """E-AUDIT: the eager audit summaries in one row — covers E-GATE
+    (n_before/n_after/loss_pct/passed), E-ISOLATE (n_ok/n_rejected), and
+    A-COUNT (n_before IS the orders cardinality, etl.js:253).
+
+    Both sides are driver-built 1-row frames; coalesce(1) keeps the cross
+    join at 1 task instead of default-parallelism²."""
+    return (
+        q_e_gate(spark, sf).coalesce(1).crossJoin(q_e_isolate(spark, sf).coalesce(1))
+    )
+
+
+ORACLE_E_AUDIT = f"""
+WITH g AS ({ORACLE_E_GATE}), i AS ({ORACLE_E_ISOLATE})
+SELECT g.n_before, g.n_after, g.loss_pct, g.passed, i.n_ok, i.n_rejected
+FROM g, i
+"""
+
+
+def q_j_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """J-DIM: fact→dim LEFT broadcast joins, two dim roles union-tagged —
+    covers J-DIM-REVIEWER (customer→nation) and J-DIM-PROJECT
+    (nation→region). J-DIM-REPORTER (same dim role-played twice) keeps its
+    own entry: its output is an aggregate, not a row-per-fact attach."""
+    customer, nation = load(spark, sf, "customer"), load(spark, sf, "nation")
+    reviewer = dim_join(
+        customer,
+        nation,
+        customer["c_nationkey"] == nation["n_nationkey"],
+        select=[
+            F.lit("reviewer").alias("dim_role"),
+            F.col("c_custkey").cast("long").alias("fact_id"),
+            F.col("c_name").alias("fact_name"),
+            F.col("n_name").alias("dim_name"),
+        ],
+    )
+    nation2, region = load(spark, sf, "nation"), load(spark, sf, "region")
+    project = dim_join(
+        nation2,
+        region,
+        nation2["n_regionkey"] == region["r_regionkey"],
+        select=[
+            F.lit("project").alias("dim_role"),
+            F.col("n_nationkey").cast("long").alias("fact_id"),
+            F.col("n_name").alias("fact_name"),
+            F.col("r_name").alias("dim_name"),
+        ],
+    )
+    return reviewer.unionByName(project)
+
+
+ORACLE_J_DIM = """
+SELECT 'reviewer' AS dim_role, CAST(c_custkey AS BIGINT) AS fact_id,
+       c_name AS fact_name, n_name AS dim_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT 'project' AS dim_role, CAST(n_nationkey AS BIGINT) AS fact_id,
+       n_name AS fact_name, r_name AS dim_name
+FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_win_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """WIN-FIXED: fixed-size event-time windows union-tagged — covers
+    WIN-TUMBLE (1-day tumbling, keyed) and WIN-SLIDE (1h/30m sliding)."""
+    tumble = q_win_tumble(spark, sf).select(
+        F.lit("tumble").alias("win_kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+    slide = q_win_slide(spark, sf).select(
+        F.lit("slide").alias("win_kind"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        F.lit(None).cast("long").alias("value_cents"),
+    )
+    return tumble.unionByName(slide)
+
+
+ORACLE_WIN_FIXED = f"""
+SELECT 'tumble' AS win_kind, window_start, event_type, n_events, value_cents
+FROM ({ORACLE_WIN_TUMBLE})
+UNION ALL
+SELECT 'slide' AS win_kind, window_start, CAST(NULL AS VARCHAR) AS event_type,
+       n_events, CAST(NULL AS BIGINT) AS value_cents
+FROM ({ORACLE_WIN_SLIDE})
+"""
+
+
+def q_corpus_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-ASSIGN: per-doc corpus assignments in one chained plan —
+    covers CORPUS-SPLIT (split) and CORPUS-PACK (n_tok/shard_id)."""
+    docs = load(spark, sf, "documents")
+    s = split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    packed = pack_shards(
+        s.withColumn("n_tok", token_count("text")), "n_tok", 2000, num_buckets=8
+    )
+    return packed.select("doc_id", "split", "n_tok", "shard_id")
+
+
+ORACLE_CORPUS_ASSIGN = f"""
+WITH s AS ({ORACLE_CORPUS_SPLIT}), p AS ({ORACLE_CORPUS_PACK})
+SELECT s.doc_id, s.split, p.n_tok, p.shard_id
+FROM s JOIN p ON s.doc_id = p.doc_id
+"""
+
+
+def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-PROFILE: the per-document text-analysis family in ONE scan +
+    project (all codegen'd Column exprs, zero Python, zero shuffle) — covers
+    TEXT-TOKENS (n_tokens/n_bpe_tokens/n_chars_calc), TEXT-QUALITY
+    (punct_ratio/stop_ratio/mean_word_len/quality), TEXT-LANGID
+    (pred_lang), TEXT-FINGERPRINT (fp), TEXT-CLEAN (clean/n_dirty/n_clean).
+    TEXT-WINNOW stays separate (row-exploding fingerprint stream)."""
+    docs = load(spark, sf, "documents")
+    dirty = F.concat(
+        F.lit('<p id="x">'), F.col("text"), F.lit("</p> &amp; &lt;b&gt; \t")
+    )
+    cleaned = clean_text(dirty)
+    return docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stop_ratio"),
+        mean_word_length("text").alias("mean_word_len"),
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("pred_lang"),
+        fingerprint("text").alias("fp"),
+        cleaned.alias("clean"),
+        F.length(dirty).cast("long").alias("n_dirty"),
+        F.length(cleaned).cast("long").alias("n_clean"),
+    )
+
+
+ORACLE_TEXT_PROFILE = f"""
+WITH t_tok AS ({ORACLE_TEXT_TOKENS}),
+t_q AS ({ORACLE_TEXT_QUALITY}),
+t_l AS ({ORACLE_TEXT_LANGID}),
+t_f AS ({ORACLE_TEXT_FINGERPRINT}),
+t_c AS ({ORACLE_TEXT_CLEAN})
+SELECT t_tok.doc_id, t_l.lang, t_tok.n_tokens, t_tok.n_bpe_tokens,
+       t_tok.n_chars_calc, t_q.punct_ratio, t_q.stop_ratio, t_q.mean_word_len,
+       t_q.quality, t_l.pred_lang, t_f.fp, t_c.clean, t_c.n_dirty, t_c.n_clean
+FROM t_tok
+JOIN t_q ON t_tok.doc_id = t_q.doc_id
+JOIN t_l ON t_tok.doc_id = t_l.doc_id
+JOIN t_f ON t_tok.doc_id = t_f.doc_id
+JOIN t_c ON t_tok.doc_id = t_c.doc_id
+"""
+
+
+def q_mm_visual(spark: SparkSession, sf: str) -> DataFrame:
+    """MM-VISUAL: the image-payload pipeline — covers MM-IMAGE (decode +
+    feature extraction: n_bytes/sha256/width/height/mean_luma/decoder) and
+    MM-RESIZE (r_width/r_height/r_format through the resize Pandas stage)."""
+    media = _media(spark, sf)
+    img = image_features(media)
+    resized = resize_images(media, width=64, height=48).select(
+        "media_id",
+        F.col("metadata")["width"].alias("r_width"),
+        F.col("metadata")["height"].alias("r_height"),
+        F.col("metadata")["format"].alias("r_format"),
+    )
+    return img.join(resized, "media_id")
+
+
+ORACLE_MM_VISUAL = f"""
+WITH i AS ({ORACLE_MM_IMAGE}), r AS ({ORACLE_MM_RESIZE})
+SELECT i.media_id, i.n_bytes, i.sha256, i.width, i.height, i.mean_luma,
+       i.decoder, r.width AS r_width, r.height AS r_height,
+       r.format AS r_format
+FROM i JOIN r ON i.media_id = r.media_id
+"""
+
+
+def q_dedup_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-CANDIDATES: hash-banded near-dup candidate pairs union-tagged —
+    covers DEDUP-MINHASH (MinHash+LSH, with verified Jaccard) and
+    DEDUP-SIMHASH (banded SimHash). Rows-only by design: xxhash64
+    signatures have no DuckDB twin; Jaccard/recall pinned in tests."""
+    docs = load(spark, sf, "documents")
+    mh = near_dup_pairs(docs, threshold=0.5).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    sh = simhash_candidates(docs).select(
+        F.lit("simhash").alias("method"), "id_a", "id_b",
+        F.lit(None).cast("double").alias("score"),
+    )
+    return mh.unionByName(sh).orderBy("method", "id_a", "id_b")
+
+
+def q_sim_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-ANN: the approximate-nearest-neighbor tier union-tagged — covers
+    SIM-LSH (hyperplane buckets + multiprobe), SIM-IVF (k-means cells +
+    nprobe), SIM-PQ (product-quantization ADC + exact re-rank). Rows-only
+    by design (seeded hyperplanes / iterative k-means have no SQL twin);
+    recall vs the SIM-TOPK exact baseline pinned in tests."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lsh = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=6, multiprobe=1)
+    ivf = ivf_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, train_fraction=0.5, max_iter=8
+    )
+    pq = pq_topk(
+        emb, queries, k=10, n_subspaces=8, n_codes=16,
+        train_fraction=0.5, max_iter=4, refine=4,
+    )
+    parts = [
+        df.select(
+            F.lit(method).alias("method"), "query_id", "vec_id", "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        for method, df in (("lsh", lsh), ("ivf", ivf), ("pq", pq))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method", "query_id", "rank")
+
+
+# The DRIVER registry: every implemented operator is verified through ≤50
+# entries (the driver's correctness gate records a bounded prefix — round 1
+# captured exactly the first 50 rows, leaving 19 ops driver-unverified).
+# Ordering is defensive: entries that lacked driver rows in round 1 come
+# FIRST, so even a tighter cap still verifies the previously-unchecked ops.
+# COVERAGE.md carries the full SURVEY-ID → (entry, columns) map.
 QUERIES: dict[str, QueryFn] = {
+    # --- round-1 driver-unverified ops (now first) ---
+    "TEXT-PROFILE": q_text_profile,
+    "TEXT-WINNOW": q_text_winnow,
+    "PIPE-DOCS": q_pipe_docs,
+    "PIPE-EVENTS": q_pipe_events,
+    "J-SALTED": q_j_salted,
+    "J-ASOF": q_asof,
+    "J-RANGE": q_range_join,
+    "A-SALTED": q_a_salted,
+    "EMB-QUANT": q_emb_quant,
+    "MM-VISUAL": q_mm_visual,
+    "MM-AUDIO": q_mm_audio,
+    "MM-FRAMES": q_mm_frames,
+    "EMB-NEARDUP": q_emb_neardup,
+    "SIM-ANN": q_sim_ann,
+    "DEDUP-CANDIDATES": q_dedup_candidates,
+    # --- round-1 driver-green ops ---
     "S-SEARCH": q_s_search,
     "S-JDBC-SINK": q_s_jdbc_sink,
     "P-PROJECT": q_p_project,
-    "P-NULLSAFE": q_p_nullsafe,
     "P-FILTER-EQ": q_p_filter_eq,
     "P-FILTER-SRC": q_p_filter_src,
     "P-LIMIT": q_p_limit,
     "P-EXISTS": q_p_exists,
-    "J-DIM-REVIEWER": q_j_dim_reviewer,
+    "J-DIM": q_j_dim,
     "J-DIM-REPORTER": q_j_dim_reporter,
-    "J-DIM-PROJECT": q_j_dim_project,
     "J-MULTIWAY": q_j_multiway,
     "J-ATTACH": q_j_attach,
     "J-LOOKUP-INSERT": q_j_lookup_insert,
@@ -1892,8 +2274,85 @@ QUERIES: dict[str, QueryFn] = {
     "A-WORKLOG": q_a_worklog,
     "A-LINKED": q_a_linked,
     "A-HSUM": q_a_hsum,
-    "A-COUNT": q_a_count,
     "A-COLLECT": q_a_collect,
+    "F-SCALAR": q_f_scalar,
+    "F-CUSTOMER": q_f_customer,
+    "F-ORDERS": q_f_orders,
+    "F-EVENTS": q_f_events,
+    "E-DROP": q_e_drop,
+    "E-AUDIT": q_e_audit,
+    "VIEW-CTE": q_view_cte,
+    "WIN-FIXED": q_win_fixed,
+    "WIN-SESSION": q_win_session,
+    "DEDUP-EXACT": q_dedup_exact,
+    "DEDUP-NGRAM": q_dedup_ngram,
+    "DEDUP-COMPONENTS": q_dedup_components,
+    "DEDUP-PRUNE": q_dedup_prune,
+    "CORPUS-ASSIGN": q_corpus_assign,
+    "CORPUS-DECONTAM": q_corpus_decontam,
+    "SIM-TOPK": q_sim_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "TEXT-PROFILE": ORACLE_TEXT_PROFILE,
+    "TEXT-WINNOW": ORACLE_TEXT_WINNOW,
+    "PIPE-DOCS": ORACLE_PIPE_DOCS,
+    "PIPE-EVENTS": ORACLE_PIPE_EVENTS,
+    "J-SALTED": ORACLE_J_SALTED,
+    "J-ASOF": ORACLE_ASOF,
+    "J-RANGE": ORACLE_RANGE_JOIN,
+    "A-SALTED": ORACLE_A_SALTED,
+    "EMB-QUANT": ORACLE_EMB_QUANT,
+    "MM-VISUAL": ORACLE_MM_VISUAL,
+    "MM-AUDIO": ORACLE_MM_AUDIO,
+    "MM-FRAMES": ORACLE_MM_FRAMES,
+    # EMB-NEARDUP / SIM-ANN / DEDUP-CANDIDATES: xxhash64 signatures, seeded
+    # hyperplanes, and iterative k-means have no DuckDB twin → rows-only
+    # checks by design, pinned by recall/equivalence tests.
+    "S-SEARCH": ORACLE_S_SEARCH,
+    "S-JDBC-SINK": ORACLE_S_JDBC_SINK,
+    "P-PROJECT": ORACLE_P_PROJECT,
+    "P-FILTER-EQ": ORACLE_P_FILTER_EQ,
+    "P-FILTER-SRC": ORACLE_P_FILTER_SRC,
+    "P-LIMIT": ORACLE_P_LIMIT,
+    "P-EXISTS": ORACLE_P_EXISTS,
+    "J-DIM": ORACLE_J_DIM,
+    "J-DIM-REPORTER": ORACLE_J_DIM_REPORTER,
+    "J-MULTIWAY": ORACLE_J_MULTIWAY,
+    "J-ATTACH": ORACLE_J_ATTACH,
+    "J-LOOKUP-INSERT": ORACLE_J_LOOKUP_INSERT,
+    "J-SEMI": ORACLE_J_SEMI,
+    "A-WORKLOG": ORACLE_A_WORKLOG,
+    "A-LINKED": ORACLE_A_LINKED,
+    "A-HSUM": ORACLE_A_HSUM,
+    "A-COLLECT": ORACLE_A_COLLECT,
+    "F-SCALAR": ORACLE_F_SCALAR,
+    "F-CUSTOMER": ORACLE_F_CUSTOMER,
+    "F-ORDERS": ORACLE_F_ORDERS,
+    "F-EVENTS": ORACLE_F_EVENTS,
+    "E-DROP": ORACLE_E_DROP,
+    "E-AUDIT": ORACLE_E_AUDIT,
+    "VIEW-CTE": ORACLE_VIEW_CTE,
+    "WIN-FIXED": ORACLE_WIN_FIXED,
+    "WIN-SESSION": ORACLE_WIN_SESSION,
+    "DEDUP-EXACT": ORACLE_DEDUP_EXACT,
+    "DEDUP-NGRAM": ORACLE_DEDUP_NGRAM,
+    "DEDUP-COMPONENTS": ORACLE_DEDUP_COMPONENTS,
+    "DEDUP-PRUNE": ORACLE_DEDUP_PRUNE,
+    "CORPUS-ASSIGN": ORACLE_CORPUS_ASSIGN,
+    "CORPUS-DECONTAM": ORACLE_CORPUS_DECONTAM,
+    "SIM-TOPK": ORACLE_SIM_TOPK,
+}
+
+# The GRANULAR registry: one entry per original singleton op, kept for
+# bench.py (stable per-query timings vs BENCH_r01), tools/audit_plans.py,
+# and local per-op debugging. The driver sees only QUERIES/ORACLES above.
+ALL_QUERIES: dict[str, QueryFn] = {
+    **QUERIES,
+    "P-NULLSAFE": q_p_nullsafe,
+    "J-DIM-REVIEWER": q_j_dim_reviewer,
+    "J-DIM-PROJECT": q_j_dim_project,
+    "A-COUNT": q_a_count,
     "F-PCTCHG": q_f_pctchg,
     "F-PCTDIFF": q_f_pctdiff,
     "F-DELTA": q_f_delta,
@@ -1905,67 +2364,32 @@ QUERIES: dict[str, QueryFn] = {
     "F-CAST": q_f_cast,
     "F-COALESCE": q_f_coalesce,
     "F-TS-PARSE": q_f_ts_parse,
-    "E-DROP": q_e_drop,
     "E-GATE": q_e_gate,
     "E-ISOLATE": q_e_isolate,
-    "VIEW-CTE": q_view_cte,
     "WIN-TUMBLE": q_win_tumble,
     "WIN-SLIDE": q_win_slide,
-    "WIN-SESSION": q_win_session,
-    "DEDUP-EXACT": q_dedup_exact,
-    "DEDUP-NGRAM": q_dedup_ngram,
     "DEDUP-MINHASH": q_dedup_minhash,
     "DEDUP-SIMHASH": q_dedup_simhash,
-    "DEDUP-COMPONENTS": q_dedup_components,
-    "DEDUP-PRUNE": q_dedup_prune,
     "CORPUS-SPLIT": q_corpus_split,
     "CORPUS-PACK": q_corpus_pack,
-    "CORPUS-DECONTAM": q_corpus_decontam,
-    "SIM-TOPK": q_sim_topk,
     "SIM-LSH": q_sim_lsh,
     "SIM-IVF": q_sim_ivf,
     "SIM-PQ": q_sim_pq,
-    "J-SALTED": q_j_salted,
-    "J-ASOF": q_asof,
-    "J-RANGE": q_range_join,
-    "A-SALTED": q_a_salted,
-    "EMB-NEARDUP": q_emb_neardup,
-    "EMB-QUANT": q_emb_quant,
     "TEXT-TOKENS": q_text_tokens,
     "TEXT-QUALITY": q_text_quality,
     "TEXT-LANGID": q_text_langid,
     "TEXT-FINGERPRINT": q_text_fingerprint,
     "TEXT-CLEAN": q_text_clean,
-    "TEXT-WINNOW": q_text_winnow,
-    "PIPE-DOCS": q_pipe_docs,
-    "PIPE-EVENTS": q_pipe_events,
     "MM-IMAGE": q_mm_image,
-    "MM-AUDIO": q_mm_audio,
-    "MM-FRAMES": q_mm_frames,
     "MM-RESIZE": q_mm_resize,
 }
 
-ORACLES: dict[str, str] = {
-    "S-SEARCH": ORACLE_S_SEARCH,
-    "S-JDBC-SINK": ORACLE_S_JDBC_SINK,
-    "P-PROJECT": ORACLE_P_PROJECT,
+ALL_ORACLES: dict[str, str] = {
+    **ORACLES,
     "P-NULLSAFE": ORACLE_P_NULLSAFE,
-    "P-FILTER-EQ": ORACLE_P_FILTER_EQ,
-    "P-FILTER-SRC": ORACLE_P_FILTER_SRC,
-    "P-LIMIT": ORACLE_P_LIMIT,
-    "P-EXISTS": ORACLE_P_EXISTS,
     "J-DIM-REVIEWER": ORACLE_J_DIM_REVIEWER,
-    "J-DIM-REPORTER": ORACLE_J_DIM_REPORTER,
     "J-DIM-PROJECT": ORACLE_J_DIM_PROJECT,
-    "J-MULTIWAY": ORACLE_J_MULTIWAY,
-    "J-ATTACH": ORACLE_J_ATTACH,
-    "J-LOOKUP-INSERT": ORACLE_J_LOOKUP_INSERT,
-    "J-SEMI": ORACLE_J_SEMI,
-    "A-WORKLOG": ORACLE_A_WORKLOG,
-    "A-LINKED": ORACLE_A_LINKED,
-    "A-HSUM": ORACLE_A_HSUM,
     "A-COUNT": ORACLE_A_COUNT,
-    "A-COLLECT": ORACLE_A_COLLECT,
     "F-PCTCHG": ORACLE_F_PCTCHG,
     "F-PCTDIFF": ORACLE_F_PCTDIFF,
     "F-DELTA": ORACLE_F_DELTA,
@@ -1977,38 +2401,17 @@ ORACLES: dict[str, str] = {
     "F-CAST": ORACLE_F_CAST,
     "F-COALESCE": ORACLE_F_COALESCE,
     "F-TS-PARSE": ORACLE_F_TS_PARSE,
-    "E-DROP": ORACLE_E_DROP,
     "E-GATE": ORACLE_E_GATE,
     "E-ISOLATE": ORACLE_E_ISOLATE,
-    "VIEW-CTE": ORACLE_VIEW_CTE,
     "WIN-TUMBLE": ORACLE_WIN_TUMBLE,
     "WIN-SLIDE": ORACLE_WIN_SLIDE,
-    "WIN-SESSION": ORACLE_WIN_SESSION,
-    "DEDUP-EXACT": ORACLE_DEDUP_EXACT,
-    "DEDUP-NGRAM": ORACLE_DEDUP_NGRAM,
-    # DEDUP-MINHASH / DEDUP-SIMHASH / SIM-LSH: xxhash64 / literal hyperplanes
-    # have no DuckDB twin → rows-only checks by design.
-    "DEDUP-COMPONENTS": ORACLE_DEDUP_COMPONENTS,
-    "DEDUP-PRUNE": ORACLE_DEDUP_PRUNE,
     "CORPUS-SPLIT": ORACLE_CORPUS_SPLIT,
     "CORPUS-PACK": ORACLE_CORPUS_PACK,
-    "CORPUS-DECONTAM": ORACLE_CORPUS_DECONTAM,
-    "SIM-TOPK": ORACLE_SIM_TOPK,
     "TEXT-TOKENS": ORACLE_TEXT_TOKENS,
     "TEXT-QUALITY": ORACLE_TEXT_QUALITY,
     "TEXT-LANGID": ORACLE_TEXT_LANGID,
     "TEXT-FINGERPRINT": ORACLE_TEXT_FINGERPRINT,
     "TEXT-CLEAN": ORACLE_TEXT_CLEAN,
-    "TEXT-WINNOW": ORACLE_TEXT_WINNOW,
-    "J-SALTED": ORACLE_J_SALTED,
-    "J-ASOF": ORACLE_ASOF,
-    "J-RANGE": ORACLE_RANGE_JOIN,
-    "A-SALTED": ORACLE_A_SALTED,
-    "EMB-QUANT": ORACLE_EMB_QUANT,
-    "PIPE-DOCS": ORACLE_PIPE_DOCS,
-    "PIPE-EVENTS": ORACLE_PIPE_EVENTS,
     "MM-IMAGE": ORACLE_MM_IMAGE,
-    "MM-AUDIO": ORACLE_MM_AUDIO,
-    "MM-FRAMES": ORACLE_MM_FRAMES,
     "MM-RESIZE": ORACLE_MM_RESIZE,
 }

@@ -21,13 +21,13 @@ def test_every_oracle_has_a_query():
     assert set(o) <= set(q)
     # rows-only exceptions are the documented hash-free ops
     assert set(q) - set(o) == {
-        "DEDUP-MINHASH",
-        "DEDUP-SIMHASH",
-        "SIM-LSH",
-        "SIM-IVF",
-        "SIM-PQ",
+        "DEDUP-CANDIDATES",
+        "SIM-ANN",
         "EMB-NEARDUP",
     }
+    # the driver records a bounded registry prefix (50 rows in round 1):
+    # every operator must fit
+    assert len(q) <= 50, f"registry has {len(q)} entries; driver cap is 50"
 
 
 def test_operator_ids_cover_survey_families():

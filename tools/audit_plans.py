@@ -24,7 +24,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from feasibility_etl_spark.driver_queries import QUERIES  # noqa: E402
+from feasibility_etl_spark.driver_queries import ALL_QUERIES  # noqa: E402
 from feasibility_etl_spark.flagship import flagship  # noqa: E402
 from feasibility_etl_spark.session import build_session  # noqa: E402
 
@@ -36,10 +36,10 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: surrogate id) onto the dim-sized additions frame — a broadcast of one
 #: row, the canonical way to attach a scalar offset without a collect.
 #: SIM-PQ's cross join is queries x codebooks (both tiny, ADC tables)
-CARTESIAN_OK = {"SIM-TOPK", "SIM-IVF", "SIM-PQ", "J-LOOKUP-INSERT"}
+CARTESIAN_OK = {"SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-ANN", "J-LOOKUP-INSERT"}
 
 #: Queries that legitimately run Arrow-batched Python (multimodal decode).
-PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE"}
+PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL"}
 
 
 def audit(name: str, plan: str) -> tuple[list[str], list[str]]:
@@ -63,7 +63,7 @@ def main() -> None:
     only = set(sys.argv[2:])
     spark = build_session("plan-audit")
     failures = 0
-    items = {"FLAGSHIP": flagship, **QUERIES}
+    items = {"FLAGSHIP": flagship, **ALL_QUERIES}
     for name, fn in items.items():
         if only and name not in only:
             continue

@@ -7,6 +7,11 @@ stringified form). Use while iterating; the driver's real check is the
 authority.
 
 Usage: python tools/check_correctness.py [sf_dir] [QUERY ...]
+       python tools/check_correctness.py --all [sf_dir] [QUERY ...]
+
+``--all`` checks the GRANULAR registry (every singleton op, including the
+ones the driver sees only through combined entries) instead of the driver
+contract.
 """
 
 from __future__ import annotations
@@ -39,8 +44,12 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    use_all = "--all" in argv
+    if use_all:
+        argv.remove("--all")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -55,8 +64,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if use_all:
+        from feasibility_etl_spark.driver_queries import ALL_ORACLES, ALL_QUERIES
+
+        queries, oracles = dict(ALL_QUERIES), dict(ALL_ORACLES)
+    else:
+        queries = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     failures, passed, rows_only = [], 0, 0
     for name, fn in queries.items():
         if only and name not in only:
