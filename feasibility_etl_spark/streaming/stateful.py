@@ -114,19 +114,32 @@ def denormalizing_sink(
             batch_df, specs, dims, existing_fact=existing,
             fact_key=fact_key, required=required,
         )
-        # materialize BEFORE overwriting inputs (lazy plans read the old files)
-        new_dims = {name: df.collect() for name, df in res.dims.items()}
-        new_fact = res.fact.collect()
+        # Everything below is executor-side — NOTHING collects to the driver.
+        # A catch-up micro-batch after downtime can be arbitrarily large; the
+        # fact increment must flow executor→storage, never through the driver.
+        #
+        # 1. Fact increment: plain append. The input file listing for
+        #    `existing` was pinned when it was read above, so appending new
+        #    files to the same path is safe, and the idempotency anti-join
+        #    inside write_denormalized keeps retried batches exactly-once.
+        res.fact.write.mode("append").parquet(fact_path)
+        # 2. Dims: their updated plans READ the live dim files we're about to
+        #    replace (overwrite-in-place would delete a job's own input), so
+        #    materialize each to a staging path, then swap via read-back.
+        #    Dims are small; the extra write is noise.
+        staging = os.path.join(parquet_root, "_staging", str(batch_id))
         for spec in specs:
-            spark.createDataFrame(
-                new_dims[spec.name], res.dims[spec.name].schema
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(parquet_root, spec.name)
+            res.dims[spec.name].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(staging, spec.name)
             )
-        if new_fact:
-            spark.createDataFrame(new_fact, res.fact.schema).write.mode(
-                "append"
-            ).parquet(fact_path)
+        for spec in specs:
+            spark.read.parquet(os.path.join(staging, spec.name)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(parquet_root, spec.name))
+        # drop staging through the Hadoop FS API (works on HDFS/S3A too,
+        # unlike a local shutil.rmtree)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(staging)
+        jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
 
     return (
         stream.writeStream.foreachBatch(process)
