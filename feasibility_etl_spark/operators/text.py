@@ -218,11 +218,23 @@ def winnow_fingerprints_rows(
 
     Docs shorter than k chars emit nothing; with fewer than w hashes the
     single global minimum is the fingerprint (matching the Column version).
+
+    Partitioning: the doc frame is repartitioned on ``id_col`` BEFORE the
+    char explode. This (1) satisfies the window's required distribution up
+    front, so the shuffle moves compressed documents, not the ~1-row-per-
+    char exploded stream (orders of magnitude more bytes), and (2) spreads
+    the explode itself across the cluster instead of leaving it serialized
+    inside however few tasks the scan produced (at sf0.1 the single-file
+    scan pinned the explode to ONE task). The partition count is explicit
+    (defaultParallelism): AQE sizes post-shuffle partitions from the
+    PRE-explode bytes and would coalesce the small doc shuffle back to one
+    task, re-serializing the ~1-row-per-char blow-up it can't see coming.
     """
     from pyspark.sql.window import Window
 
     pows = [pow(WINNOW_BASE, j, WINNOW_MOD) for j in range(k)]
     c = F.lower(F.col(text_col))
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     chars = df.select(
         F.col(id_col),
         F.length(c).alias("_n"),
