@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "A-WORKLOG",
     "A-COLLECT",
     "VIEW-CTE",
+    "VIEW-IDIOMATIC",
     "WIN-SESSION",
     "WIN-SLIDE",
     "DEDUP-EXACT",

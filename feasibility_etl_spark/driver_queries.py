@@ -816,13 +816,44 @@ LEFT JOIN cte_seg cs ON o.o_orderkey = cs.o_orderkey
 def q_view_cte(spark: SparkSession, sf: str) -> DataFrame:
     """VIEW-CTE: the reference-faithful view shape (schema.sql:66-94): three
     CTEs each re-scanning the fact to attach one attribute, re-joined on the
-    key. Catalyst's CTE inlining collapses the redundant scans (PG ≤11
-    materializes them — SURVEY §3.3); results identical, plan better."""
+    key. Catalyst's CTE inlining removes PG ≤11's materialization fences and
+    broadcasts every dim join, but it does NOT deduplicate the repeated fact
+    scans — this plan still reads orders 4× (8 parquet scans total). Kept
+    verbatim for reference fidelity; VIEW-IDIOMATIC below is the production
+    default (1 fact scan, benched side by side)."""
     register_views(spark, sf, ["orders", "customer", "nation"])
     return spark.sql(_VIEW_CTE_SQL)
 
 
 ORACLE_VIEW_CTE = _VIEW_CTE_SQL
+
+
+def q_view_idiomatic(spark: SparkSession, sf: str) -> DataFrame:
+    """VIEW-IDIOMATIC: the single-pass production twin of VIEW-CTE — one
+    orders scan + two broadcast joins, identical rows (same oracle). At
+    100 TB the faithful CTE shape pays 4× the fact-scan IO for the same
+    result; this is the default read path."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "left"
+        )
+        .join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "left"
+        )
+        .select(
+            orders["o_orderkey"],
+            "o_orderstatus",
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+
+ORACLE_VIEW_IDIOMATIC = _VIEW_CTE_SQL
 
 
 # ------------------------------------------------------------- windowing
@@ -2382,6 +2413,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "TEXT-CLEAN": q_text_clean,
     "MM-IMAGE": q_mm_image,
     "MM-RESIZE": q_mm_resize,
+    "VIEW-IDIOMATIC": q_view_idiomatic,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -2414,4 +2446,5 @@ ALL_ORACLES: dict[str, str] = {
     "TEXT-CLEAN": ORACLE_TEXT_CLEAN,
     "MM-IMAGE": ORACLE_MM_IMAGE,
     "MM-RESIZE": ORACLE_MM_RESIZE,
+    "VIEW-IDIOMATIC": ORACLE_VIEW_IDIOMATIC,
 }

@@ -8,12 +8,18 @@ fence, so the view costs four fact scans.
 
 Two variants, asserted result-identical in tests:
 
-- ``faithful_view_sql`` — the same ``WITH`` query as Spark SQL. Catalyst
-  inlines CTEs (CTESubstitution) and collapses the redundant scans; same
-  results, better plan, zero engine code.
-- ``idiomatic_view`` — the single-pass formulation: fact ⋈ user(reviewer)
-  ⋈ user(reporter) ⋈ project, all broadcast. This is the plan you want at
-  100 TB: one fact scan, three broadcast-hash joins, no shuffle.
+- ``faithful_view_sql`` — the same ``WITH`` query as Spark SQL, kept for
+  reference/oracle fidelity. Catalyst inlines CTEs (CTESubstitution), which
+  removes PG's materialization fences and lets every dim join broadcast —
+  but inlining does NOT deduplicate the repeated fact scans: the physical
+  plan still reads the fact once per CTE plus once for the outer query
+  (4 fact scans, 8 parquet scans total at the driver query's shape).
+- ``idiomatic_view`` — the single-pass formulation and the PRODUCTION
+  DEFAULT: fact ⋈ user(reviewer) ⋈ user(reporter) ⋈ project, all
+  broadcast. One fact scan, three broadcast-hash joins, no shuffle — at
+  100 TB the faithful shape pays 4× the scan IO for identical rows
+  (hash-equality asserted in tests/test_view.py; scan counts asserted in
+  test_idiomatic_view_single_scan_vs_faithful).
 """
 
 from __future__ import annotations

@@ -55,3 +55,36 @@ def test_faithful_view_collapses_to_broadcast_joins(spark, star):
     star.dims["project"].createOrReplaceTempView("project")
     plan = spark.sql(faithful_view_sql())._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_idiomatic_view_single_scan_vs_faithful(spark, tmp_path):
+    # CTE inlining != scan dedup: the faithful shape re-reads the fact once
+    # per CTE (+ the outer query); the idiomatic production default reads it
+    # exactly once. Pin both counts from parquet-backed frames so the claim
+    # in feasibility_view's docstring stays honest.
+    import re
+
+    from golden import golden_wide_df
+    from test_writer import SPECS, empty_dim
+
+    dims = {"jira_user": empty_dim(spark, "username"), "project": empty_dim(spark, "name")}
+    res = write_denormalized(golden_wide_df(spark), SPECS, dims)
+    root = str(tmp_path)
+    res.fact.write.parquet(f"{root}/fact")
+    res.dims["jira_user"].write.parquet(f"{root}/jira_user")
+    res.dims["project"].write.parquet(f"{root}/project")
+    fact = spark.read.parquet(f"{root}/fact")
+    users = spark.read.parquet(f"{root}/jira_user")
+    projects = spark.read.parquet(f"{root}/project")
+
+    def n_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Scan parquet", plan))
+
+    fact.createOrReplaceTempView("feasibility")
+    users.createOrReplaceTempView("jira_user")
+    projects.createOrReplaceTempView("project")
+    faithful_scans = n_scans(spark.sql(faithful_view_sql()))
+    idiomatic_scans = n_scans(idiomatic_view(fact, users, projects))
+    assert idiomatic_scans == 4  # 1 fact + 3 dims
+    assert faithful_scans == 7  # 4 fact + 3 dim scans — inlining dedupes nothing
