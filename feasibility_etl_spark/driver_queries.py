@@ -63,6 +63,7 @@ from .operators.similarity import (
     cosine_topk_lsh,
     embedding_near_dups,
     ivf_topk,
+    ivfpq_topk,
     pq_topk,
 )
 from .operators.text import (
@@ -1290,6 +1291,23 @@ def q_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_sim_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-IVFPQ: fused IVF-PQ top-k — coarse k-means cells + per-cell
+    residual PQ codes in one index (rows-only; recall vs standalone PQ at a
+    fraction of the scanned code bytes pinned in tests)."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, n_subspaces=8, n_codes=16,
+        train_fraction=0.5, max_iter=4, refine=4,
+    )
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 def q_sim_pq(spark: SparkSession, sf: str) -> DataFrame:
     """SIM-PQ: product-quantization top-k — per-subspace k-means codebooks
     (pyspark.ml, fixed seeds), ADC over the compressed code table, exact
@@ -2237,9 +2255,11 @@ def q_dedup_candidates(spark: SparkSession, sf: str) -> DataFrame:
 def q_sim_ann(spark: SparkSession, sf: str) -> DataFrame:
     """SIM-ANN: the approximate-nearest-neighbor tier union-tagged — covers
     SIM-LSH (hyperplane buckets + multiprobe), SIM-IVF (k-means cells +
-    nprobe), SIM-PQ (product-quantization ADC + exact re-rank). Rows-only
-    by design (seeded hyperplanes / iterative k-means have no SQL twin);
-    recall vs the SIM-TOPK exact baseline pinned in tests."""
+    nprobe), SIM-PQ (product-quantization ADC + exact re-rank), and
+    SIM-IVFPQ (fused coarse cells + residual PQ codes — the production
+    serving shape). Rows-only by design (seeded hyperplanes / iterative
+    k-means have no SQL twin); recall vs the SIM-TOPK exact baseline pinned
+    in tests."""
     emb = load(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -2252,12 +2272,16 @@ def q_sim_ann(spark: SparkSession, sf: str) -> DataFrame:
         emb, queries, k=10, n_subspaces=8, n_codes=16,
         train_fraction=0.5, max_iter=4, refine=4,
     )
+    ivfpq = ivfpq_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, n_subspaces=8, n_codes=16,
+        train_fraction=0.5, max_iter=4, refine=4,
+    )
     parts = [
         df.select(
             F.lit(method).alias("method"), "query_id", "vec_id", "cos_sim",
             F.col("rank").cast("long").alias("rank"),
         )
-        for method, df in (("lsh", lsh), ("ivf", ivf), ("pq", pq))
+        for method, df in (("lsh", lsh), ("ivf", ivf), ("pq", pq), ("ivfpq", ivfpq))
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2406,6 +2430,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "SIM-LSH": q_sim_lsh,
     "SIM-IVF": q_sim_ivf,
     "SIM-PQ": q_sim_pq,
+    "SIM-IVFPQ": q_sim_ivfpq,
     "TEXT-TOKENS": q_text_tokens,
     "TEXT-QUALITY": q_text_quality,
     "TEXT-LANGID": q_text_langid,

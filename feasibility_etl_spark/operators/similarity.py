@@ -235,6 +235,7 @@ def pq_encode(
     max_iter: int = 10,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    carry: tuple[str, ...] = (),
 ):
     """Product-quantization codebooks + corpus codes.
 
@@ -245,9 +246,11 @@ def pq_encode(
     TPAMI'11): D×4 bytes → M×1 byte at M=8, K≤256.
 
     Returns ``(codes_df, codebooks)``: codes_df is
-    (corpus_id, corpus_vec, code_0..code_{M-1}) — one narrow JVM map pass
-    per subspace (model.transform, no shuffle); codebooks is
+    (corpus_id, corpus_vec, *carry, code_0..code_{M-1}) — one narrow JVM map
+    pass per subspace (model.transform, no shuffle); codebooks is
     ``[(m, c, centroid: list[float])]`` for the ADC distance tables.
+    ``carry`` names extra columns to thread through unchanged (e.g. the IVF
+    cell id in the fused index).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -284,7 +287,7 @@ def pq_encode(
         models = list(pool.map(fit, range(n_subspaces)))
     train.unpersist()
 
-    encoded = corpus.select(F.col(corpus_id), F.col(corpus_vec))
+    encoded = corpus.select(F.col(corpus_id), F.col(corpus_vec), *carry)
     codebooks: list[tuple[int, int, list[float]]] = []
     for m, model in enumerate(models):
         codebooks += [
@@ -389,6 +392,169 @@ def pq_topk(
         .select(query_id, corpus_id)
     )
     # exact re-rank over the k·refine survivors only
+    scored = (
+        candidates.join(corpus.select(corpus_id, corpus_vec), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    max_iter: int = 8,
+    refine: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Fused IVF-PQ approximate top-k — the production ANN serving shape
+    (Jégou et al., TPAMI'11 §V): a k-means coarse quantizer routes each
+    vector to a cell, and per-subspace PQ codebooks quantize the RESIDUAL
+    (x − cell centroid) instead of the raw vector. Residuals concentrate
+    near zero, so the same K codes spend their resolution on a much smaller
+    ball — finer distances than standalone PQ at identical code bytes —
+    while the cell routing means a query's ADC scan touches only the
+    ``nprobe``/``n_cells`` fraction of the code table standalone PQ reads
+    in full.
+
+    Plan shape: coarse train (sampled) + M residual codebook fits happen
+    once; centroids and codebooks broadcast. The serving path is all
+    codegen'd relational ops: the query fans out to ``nprobe`` cells, its
+    per-cell residual builds an (nprobe × M × K)-row ADC table (broadcast),
+    the code table inner-joins on (cell, m, code) — rows outside probed
+    cells never match — and a groupBy sums the M partial distances. Top
+    ``k·refine`` ADC candidates re-rank by exact cosine. With the code
+    table written partitioned by cell, the join prunes at the file level
+    and the scan reads nprobe cells × M bytes/vector.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    # ---- coarse quantizer (the ivf_topk shape)
+    train = corpus if train_fraction >= 1.0 else corpus.sample(train_fraction, seed)
+    featurized = train.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    )
+    coarse = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(
+        featurized
+    )
+    centroids = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())],
+            "_cell int, _centroid array<double>",
+        )
+    )
+    assigned = coarse.transform(
+        corpus.select(
+            F.col(corpus_id),
+            F.col(corpus_vec),
+            array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features"),
+        )
+    ).select(F.col(corpus_id), F.col(corpus_vec), F.col("prediction").alias("_cell"))
+
+    # ---- residual encoding: codebooks train on x − centroid(cell)
+    residuals = assigned.join(centroids, "_cell").select(
+        F.col(corpus_id),
+        F.col("_cell"),
+        F.zip_with(
+            F.col(corpus_vec).cast("array<double>"),
+            F.col("_centroid"),
+            lambda x, y: x - y,
+        ).alias("_res"),
+    )
+    encoded, codebooks = pq_encode(
+        residuals, n_subspaces, n_codes, seed, train_fraction, max_iter,
+        corpus_id=corpus_id, corpus_vec="_res", carry=("_cell",),
+    )
+    books = F.broadcast(
+        spark.createDataFrame(codebooks, "_m int, _code int, _pqcent array<double>")
+    )
+    sub_d = len(codebooks[0][2])
+
+    # ---- query side: nprobe nearest cells, residual per probed cell
+    probe_w = Window.partitionBy(query_id).orderBy(F.col("_dist2"), F.col("_cell"))
+    probes = (
+        queries.crossJoin(centroids)
+        .select(
+            F.col(query_id),
+            F.col(query_vec),
+            F.col("_cell"),
+            F.col("_centroid"),
+            F.aggregate(
+                F.zip_with(
+                    F.col(query_vec),
+                    F.col("_centroid"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("_dist2"),
+        )
+        .withColumn("_probe_rank", F.row_number().over(probe_w))
+        .where(F.col("_probe_rank") <= nprobe)
+        .select(
+            F.col(query_id),
+            F.col("_cell"),
+            F.zip_with(
+                F.col(query_vec).cast("array<double>"),
+                F.col("_centroid"),
+                lambda x, y: x - y,
+            ).alias("_qres"),
+        )
+    )
+    # ---- ADC tables per (query, probed cell, m, code)
+    tables = probes.crossJoin(books).select(
+        F.col(query_id),
+        F.col("_cell"),
+        F.col("_m"),
+        F.col("_code"),
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_qres"), (F.col("_m") * sub_d + 1).cast("int"), sub_d),
+                F.col("_pqcent"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("_dist2"),
+    )
+    code_cols = [
+        F.struct(F.lit(m).alias("_m"), F.col(f"code_{m}").alias("_code"))
+        for m in range(n_subspaces)
+    ]
+    unpivoted = encoded.select(
+        F.col(corpus_id), F.col("_cell"), F.explode(F.array(*code_cols)).alias("_mc")
+    ).select(
+        corpus_id, "_cell", F.col("_mc._m").alias("_m"), F.col("_mc._code").alias("_code")
+    )
+    approx = (
+        unpivoted.join(F.broadcast(tables), ["_cell", "_m", "_code"])
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum("_dist2").alias("_adc_dist2"))
+        .where(F.col(query_id) != F.col(corpus_id))
+    )
+    cand_w = Window.partitionBy(query_id).orderBy(F.col("_adc_dist2"), F.col(corpus_id))
+    candidates = (
+        approx.withColumn("_cand_rank", F.row_number().over(cand_w))
+        .where(F.col("_cand_rank") <= k * refine)
+        .select(query_id, corpus_id)
+    )
     scored = (
         candidates.join(corpus.select(corpus_id, corpus_vec), corpus_id)
         .join(F.broadcast(queries.select(query_id, query_vec)), query_id)

@@ -146,6 +146,34 @@ def test_pq_topk_recall_on_clustered_data(spark):
     assert recall > 0.9, f"recall {recall}"
 
 
+def test_ivfpq_recall_at_fraction_of_scan_bytes(spark):
+    from feasibility_etl_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    corpus = clustered_embeddings(spark)  # dim 16, 8 clusters x 40
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(corpus, queries, k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    fused = ivfpq_topk(
+        corpus, queries, k=10, n_cells=8, nprobe=2,
+        n_subspaces=4, n_codes=16, refine=4,
+    )
+    a = {(r.query_id, r.vec_id) for r in fused.collect()}
+    recall_fused = len(e & a) / len(e)
+
+    standalone = pq_topk(corpus, queries, k=10, n_subspaces=4, n_codes=16, refine=4)
+    p = {(r.query_id, r.vec_id) for r in standalone.collect()}
+    recall_pq = len(e & p) / len(e)
+
+    # residual quantization at IDENTICAL code bytes (same M, K) while the
+    # ADC join touches only nprobe/n_cells of the code table — recall must
+    # hold up against standalone PQ scanning everything
+    assert recall_fused > 0.9, f"fused recall {recall_fused}"
+    assert recall_fused >= recall_pq - 0.05, (recall_fused, recall_pq)
+
+
 def test_pq_rejects_indivisible_subspaces(spark):
     import pytest
 

@@ -36,7 +36,7 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: surrogate id) onto the dim-sized additions frame — a broadcast of one
 #: row, the canonical way to attach a scalar offset without a collect.
 #: SIM-PQ's cross join is queries x codebooks (both tiny, ADC tables)
-CARTESIAN_OK = {"SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-ANN", "J-LOOKUP-INSERT"}
+CARTESIAN_OK = {"SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN", "J-LOOKUP-INSERT"}
 
 #: Queries that legitimately run Arrow-batched Python (multimodal decode).
 PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL"}
