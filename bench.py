@@ -109,6 +109,54 @@ def run_stream_bench(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_rows
 
 
+def run_denorm_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """foreachBatch write path at bench SF: the events stream (4 micro-
+    batches) through denormalizing_sink — every batch runs the full
+    write_denormalized decomposition (dim lookup-or-insert + idempotent
+    fact anti-join) and lands parquet, all executor-side."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.sources.catalog import load as cat_load
+    from feasibility_etl_spark.streaming.stateful import denormalizing_sink
+    from feasibility_etl_spark.writer.denormalized import DimSpec
+
+    staging = "/tmp/spark_graft_denorm_stage"
+    ckpt = staging + "_ckpt"
+    out_root = staging + "_out"
+    for p in (staging, ckpt, out_root):
+        shutil.rmtree(p, ignore_errors=True)
+    events = cat_load(spark, sf_dir, "events")
+    n_rows = events.count()
+    events.repartition(8).write.mode("overwrite").parquet(staging)
+
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging)
+        .select(
+            F.col("event_id").alias("key"),
+            F.concat(F.lit("user_"), F.col("user_id")).alias("actor"),
+            F.col("event_type").alias("kind"),
+            "value",
+        )
+    )
+    specs = [
+        DimSpec(name="actor_dim", natural_key="actor", roles={"actor": "fk_actor"}),
+        DimSpec(name="kind_dim", natural_key="kind", roles={"kind": "fk_kind"}),
+    ]
+    q = denormalizing_sink(
+        stream, specs, out_root, ckpt, fact_key="key", available_now=True
+    )
+    q.awaitTermination()
+    return time.time() - t0, n_rows
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -146,6 +194,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error stream-window: {e}", file=sys.stderr)
     timings["stream-window"] = stream_s
+    denorm_s, n_denorm = -1.0, 0
+    try:
+        denorm_s, n_denorm = run_denorm_sink_bench(spark, sf_dir)
+        denorm_s = round(denorm_s, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error stream-denorm-sink: {e}", file=sys.stderr)
+    timings["stream-denorm-sink"] = denorm_s
 
     print(
         json.dumps(
@@ -156,6 +211,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "stream_rows_per_sec": round(n_events / stream_s) if stream_s > 0 else None,
+                "stream_denorm_rows_per_sec": (
+                    round(n_denorm / denorm_s) if denorm_s > 0 else None
+                ),
             }
         )
     )

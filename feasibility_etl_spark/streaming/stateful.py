@@ -76,6 +76,7 @@ def denormalizing_sink(
     checkpoint: str,
     fact_key: str = "key",
     required=None,
+    available_now: bool = False,
 ):
     """Stream → denormalized star schema: foreachBatch bridges Structured
     Streaming to the batch writer (SURVEY §3.2's trigger replacement).
@@ -141,9 +142,12 @@ def denormalizing_sink(
         jpath = spark._jvm.org.apache.hadoop.fs.Path(staging)
         jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .start()
     )
+    if available_now:
+        # drain-everything-then-stop mode (bench / backfill runs)
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

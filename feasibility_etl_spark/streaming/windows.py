@@ -93,6 +93,60 @@ def stream_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    max_lag: str = "1 hour",
+    how: str = "inner",
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Stream-stream equi-join with DUAL watermarks and a time-range bound.
+
+    Both inputs are unbounded, so each side must buffer rows that future
+    rows of the other side might still match. Two things bound that state:
+    a watermark on EACH side (how late its events may arrive) and the
+    ``max_lag`` range condition ``right_ts ∈ [left_ts − max_lag, left_ts +
+    max_lag]`` — together they let Spark compute a global eviction horizon
+    (state older than watermark + lag can never match again and is dropped).
+    Without the range bound an inner join buffers forever; for outer joins
+    Spark outright requires watermark + time constraint. This is the
+    correlation shape (clicks ⋈ impressions, request ⋈ response) that
+    stream-static ``enrich_stream`` can't express.
+
+    Right-side non-key/non-ts columns come back ``right_prefix``-renamed so
+    same-named metrics survive the join unambiguously. Works identically on
+    batch frames (watermarks are a no-op there), which is how the oracle
+    test pins the semantics.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lw = left.withWatermark(left_ts, left_watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, right_watermark) if right.isStreaming else right
+    renames = {
+        c: right_prefix + c for c in rw.columns if c not in keys
+    }
+    rw = rw.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(a) for c, a in renames.items()],
+    )
+    r_ts = right_prefix + right_ts
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (lw[k] == rw[k])
+    cond = (
+        cond
+        & (F.col(r_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_lag}"))
+    )
+    joined = lw.join(rw, cond, how)
+    # drop the duplicated right-side key columns (equi-join keeps one value)
+    return joined.drop(*[rw[k] for k in keys])
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

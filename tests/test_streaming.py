@@ -122,6 +122,87 @@ def test_stream_dedup_batch_fallback(spark):
     assert stream_dedup(df, ["k"], ts_col=None).count() == 2
 
 
+def test_join_streams_batch_semantics(spark):
+    from feasibility_etl_spark.streaming.windows import join_streams
+
+    clicks = spark.createDataFrame(
+        [("u1", ts(10), 1.0), ("u1", ts(40), 2.0), ("u2", ts(5), 3.0)],
+        "user string, ts timestamp, v double",
+    )
+    imps = spark.createDataFrame(
+        [("u1", ts(8), 100.0), ("u1", ts(39), 200.0), ("u3", ts(5), 300.0)],
+        "user string, ts timestamp, v double",
+    )
+    out = join_streams(
+        clicks, imps, on="user", max_lag="5 minutes", how="inner"
+    )
+    got = sorted((r.user, r.v, r.right_v) for r in out.collect())
+    # u1@10 matches imp@8 (lag 2m); u1@40 matches imp@39; the 10↔39 pair is
+    # outside the 5m bound; u2/u3 have no partner
+    assert got == [("u1", 1.0, 100.0), ("u1", 2.0, 200.0)]
+
+
+def test_join_streams_dual_watermarks_streaming(spark, tmp_path):
+    import json
+
+    from feasibility_etl_spark.streaming.windows import join_streams
+
+    l_dir, r_dir = tmp_path / "ss_left", tmp_path / "ss_right"
+    l_dir.mkdir(), r_dir.mkdir()
+    (l_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user": "u1", "ts": "2024-01-01T00:10:00", "v": 1},
+                {"user": "u1", "ts": "2024-01-01T00:40:00", "v": 2},
+                {"user": "u2", "ts": "2024-01-01T00:05:00", "v": 3},
+            ]
+        )
+    )
+    (r_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user": "u1", "ts": "2024-01-01T00:08:00", "score": 10},
+                {"user": "u1", "ts": "2024-01-01T00:39:00", "score": 20},
+                {"user": "u3", "ts": "2024-01-01T00:05:00", "score": 30},
+            ]
+        )
+    )
+    left = spark.readStream.schema("user string, ts timestamp, v long").json(str(l_dir))
+    right = spark.readStream.schema("user string, ts timestamp, score long").json(
+        str(r_dir)
+    )
+    out = join_streams(
+        left,
+        right,
+        on="user",
+        left_watermark="10 minutes",
+        right_watermark="10 minutes",
+        max_lag="5 minutes",
+        how="inner",
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user, r.v, r.right_score) for r in spark.table("ss_join_t").collect()
+        )
+        assert got == [("u1", 1, 10), ("u1", 2, 20)]
+        # dual watermarks registered → state is evictable, not unbounded
+        progress = q.lastProgress
+        assert progress is None or "watermark" in str(progress).lower()
+    finally:
+        q.stop()
+
+
 def test_enrich_stream_static_join(spark, tmp_path):
     import json
 
