@@ -67,6 +67,7 @@ def lookup_or_insert(
     incoming: DataFrame,
     natural_key: str,
     id_col: str = "id",
+    id_strategy: str = "dense",
 ) -> DataFrame:
     """Dimension upsert: return ``dim`` extended with rows for new natural keys.
 
@@ -74,25 +75,42 @@ def lookup_or_insert(
     ``get_project_id`` (schema.sql:105-134): SELECT by natural key, INSERT
     when missing, with surrogate ids continuing the existing sequence.
 
-    Surrogate strategy (SURVEY.md §4.3 choice (a)): dense ids assigned as
-    ``row_number() over (order by natural_key) + max(existing id)`` —
-    deterministic across runs (reproducible golden outputs), unlike
-    ``monotonically_increasing_id``. The window runs only over the *new
-    distinct names* (dim-sized, tiny), never over fact data, so the
-    single-partition sort the unpartitioned window implies is bounded by
-    dim cardinality, not data scale.
+    Two surrogate strategies (SURVEY.md §4.3):
+
+    - ``"dense"`` (default, the reference's SERIAL semantics): ids assigned
+      as ``row_number() over (order by natural_key) + max(existing id)`` —
+      deterministic across runs (reproducible golden outputs), unlike
+      ``monotonically_increasing_id``. The window runs only over the *new
+      distinct names* (dim-sized, tiny), never over fact data — but the
+      unpartitioned window does imply a single-task sort of the new names,
+      so a first load of a 100M-key dimension serializes one task.
+    - ``"hash"`` (the escape hatch for exactly that case): id =
+      ``xxhash64(natural_key)`` — stateless, fully parallel, no window, no
+      dependence on the existing max id (so concurrent loaders can't race).
+      Ids are sparse 64-bit values, not SERIAL-dense; use only when no
+      consumer relies on density, and keep a dim on one strategy for its
+      lifetime (mixing would hand the same key two ids). Collision odds are
+      birthday-bounded (~N²/2⁶⁵ — ~5e-9 for 100M keys), same trust level as
+      any hash-partitioned pipeline.
     """
     new_names = (
         incoming.select(F.col(natural_key)).where(F.col(natural_key).isNotNull()).distinct()
         .join(F.broadcast(dim.select(natural_key)), natural_key, "left_anti")
     )
-    base = dim.agg(F.coalesce(F.max(id_col), F.lit(0)).cast("long").alias("base"))
-    w = Window.orderBy(natural_key)
-    additions = (
-        new_names.withColumn("rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(base))
-        .select((F.col("rn") + F.col("base")).cast("long").alias(id_col), natural_key)
-    )
+    if id_strategy == "hash":
+        additions = new_names.select(
+            F.xxhash64(F.col(natural_key)).alias(id_col), natural_key
+        )
+    elif id_strategy == "dense":
+        base = dim.agg(F.coalesce(F.max(id_col), F.lit(0)).cast("long").alias("base"))
+        w = Window.orderBy(natural_key)
+        additions = (
+            new_names.withColumn("rn", F.row_number().over(w))
+            .crossJoin(F.broadcast(base))
+            .select((F.col("rn") + F.col("base")).cast("long").alias(id_col), natural_key)
+        )
+    else:
+        raise ValueError(f"id_strategy must be 'dense' or 'hash', got {id_strategy!r}")
     return dim.select(F.col(id_col).cast("long"), F.col(natural_key)).unionByName(additions)
 
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -47,6 +48,25 @@ def test_lookup_or_insert_ignores_nulls_and_is_stable(spark):
     out2 = sorted((r.id, r.name) for r in lookup_or_insert(dim, incoming, "name").collect())
     assert out1 == [(1, "a"), (2, "b")]  # ordered by natural key, no null row
     assert out1 == out2
+
+
+def test_lookup_or_insert_hash_strategy(spark):
+    # hash mode: stateless xxhash64 ids — no window sort, no max(id) scan;
+    # existing rows keep their ids, new rows get the hash of their key
+    dim = _dim(spark, [(1, "alice")])
+    incoming = spark.createDataFrame([("alice",), ("bob",), (None,)], "name string")
+    out = lookup_or_insert(dim, incoming, "name", id_strategy="hash")
+    got = {r.name: r.id for r in out.collect()}
+    expected_bob = spark.sql("SELECT xxhash64('bob') AS h").collect()[0].h
+    assert got == {"alice": 1, "bob": expected_bob}
+    # no Window/Sort node in the plan (the whole point of the escape hatch)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # deterministic across runs
+    got2 = {r.name: r.id for r in lookup_or_insert(dim, incoming, "name", id_strategy="hash").collect()}
+    assert got == got2
+    with pytest.raises(ValueError, match="id_strategy"):
+        lookup_or_insert(dim, incoming, "name", id_strategy="uuid")
 
 
 def test_salted_join_matches_plain_join(spark):
