@@ -9,7 +9,11 @@ are the ones that matter at that scale and are harmless on ``local[*]``:
   reference's only concurrency knob was a hardcoded request limit of 5,
   /root/reference/etl.js:206 — ours is a real parallelism control);
 - Arrow enabled for any Pandas-UDF extension path;
-- parquet filter pushdown / column pruning left on (Catalyst defaults).
+- parquet filter pushdown / column pruning left on (Catalyst defaults);
+- runtime bloom-filter join pruning left on (default): on fact-fact joins
+  with a selective parent predicate and a ≥10 GB detail scan, Spark builds
+  a bloom filter from the parent keys and pushes it into the detail scan —
+  plan-asserted on the J-ATTACH shape in tests/test_runtime_filter.py.
 """
 
 from __future__ import annotations
