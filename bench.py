@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "PIPE-DOCS",
     "PIPE-EVENTS",
     "TEXT-WINNOW",
+    "SCD2-APPLY",
 ]
 
 

@@ -2289,6 +2289,52 @@ def q_sim_ann(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("method", "query_id", "rank")
 
 
+def q_scd2_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2-APPLY: bootstrap an SCD2 history from the events log — each
+    user's event_type stream becomes validity intervals (a new version
+    opens when the type differs null-safely from the previous one; last
+    version per key is open/current). Oracle: lag-filter + lead windows.
+    version_sk (xxhash64) excluded — no DuckDB twin; pinned in
+    tests/test_scd2.py instead."""
+    from .writer.scd2 import scd2_apply
+
+    ev = load(spark, sf, "events")
+    hist = scd2_apply(
+        ev.select("user_id", "event_type", "ts"), "user_id", ["event_type"], ts_col="ts"
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        "is_current",
+    )
+
+
+ORACLE_SCD2_APPLY = """
+WITH dedup AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_type ASC NULLS FIRST) AS rn
+  FROM events
+), d AS (
+  SELECT user_id, event_type, ts FROM dedup WHERE rn = 1
+), changed AS (
+  SELECT user_id, event_type, ts FROM (
+    SELECT user_id, event_type, ts,
+           lag(event_type) OVER w AS prev_type,
+           (row_number() OVER w = 1) AS is_first
+    FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  ) WHERE is_first OR event_type IS DISTINCT FROM prev_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM changed WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
 # The DRIVER registry: every implemented operator is verified through ≤50
 # entries (the driver's correctness gate records a bounded prefix — round 1
 # captured exactly the first 50 rows, leaving 19 ops driver-unverified).
@@ -2312,6 +2358,7 @@ QUERIES: dict[str, QueryFn] = {
     "EMB-NEARDUP": q_emb_neardup,
     "SIM-ANN": q_sim_ann,
     "DEDUP-CANDIDATES": q_dedup_candidates,
+    "SCD2-APPLY": q_scd2_apply,
     # --- round-1 driver-green ops ---
     "S-SEARCH": q_s_search,
     "S-JDBC-SINK": q_s_jdbc_sink,
@@ -2357,6 +2404,7 @@ ORACLES: dict[str, str] = {
     "J-ASOF": ORACLE_ASOF,
     "J-RANGE": ORACLE_RANGE_JOIN,
     "A-SALTED": ORACLE_A_SALTED,
+    "SCD2-APPLY": ORACLE_SCD2_APPLY,
     "EMB-QUANT": ORACLE_EMB_QUANT,
     "MM-VISUAL": ORACLE_MM_VISUAL,
     "MM-AUDIO": ORACLE_MM_AUDIO,

@@ -35,8 +35,13 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: J-LOOKUP-INSERT cross-joins a literal 1-row aggregate (max existing
 #: surrogate id) onto the dim-sized additions frame — a broadcast of one
 #: row, the canonical way to attach a scalar offset without a collect.
-#: SIM-PQ's cross join is queries x codebooks (both tiny, ADC tables)
-CARTESIAN_OK = {"SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN", "J-LOOKUP-INSERT"}
+#: SIM-PQ's cross join is queries x codebooks (both tiny, ADC tables).
+#: E-AUDIT cross-joins two driver-built 1-row audit summaries (coalesce(1)
+#: on both sides) — a 1x1 product, not a data join.
+CARTESIAN_OK = {
+    "SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN",
+    "J-LOOKUP-INSERT", "E-AUDIT",
+}
 
 #: Queries that legitimately run Arrow-batched Python (multimodal decode).
 PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL"}
