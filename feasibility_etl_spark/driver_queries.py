@@ -2148,19 +2148,49 @@ FROM ({ORACLE_WIN_SLIDE})
 
 def q_corpus_assign(spark: SparkSession, sf: str) -> DataFrame:
     """CORPUS-ASSIGN: per-doc corpus assignments in one chained plan —
-    covers CORPUS-SPLIT (split) and CORPUS-PACK (n_tok/shard_id)."""
+    covers CORPUS-SPLIT (split), CORPUS-PACK (n_tok/shard_id), and
+    CORPUS-MIX (in_mix: domain-weighted subsample to a token budget,
+    md5-shuffled selection order)."""
+    from .operators.corpus import mix_sources
+
     docs = load(spark, sf, "documents")
     s = split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
     packed = pack_shards(
         s.withColumn("n_tok", token_count("text")), "n_tok", 2000, num_buckets=8
     )
-    return packed.select("doc_id", "split", "n_tok", "shard_id")
+    mixed = mix_sources(
+        docs.withColumn("n_tok", token_count("text")),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total_tokens=1500,
+        token_col="n_tok",
+    ).select("doc_id", F.lit(True).alias("in_mix"))
+    return packed.join(mixed, "doc_id", "left").select(
+        "doc_id", "split", "n_tok", "shard_id",
+        F.coalesce(F.col("in_mix"), F.lit(False)).alias("in_mix"),
+    )
 
 
 ORACLE_CORPUS_ASSIGN = f"""
-WITH s AS ({ORACLE_CORPUS_SPLIT}), p AS ({ORACLE_CORPUS_PACK})
-SELECT s.doc_id, s.split, p.n_tok, p.shard_id
-FROM s JOIN p ON s.doc_id = p.doc_id
+WITH s AS ({ORACLE_CORPUS_SPLIT}), p AS ({ORACLE_CORPUS_PACK}),
+tok AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+m AS (
+  SELECT doc_id FROM (
+    SELECT t.doc_id, t.n_tok, b.budget,
+           SUM(t.n_tok) OVER (PARTITION BY t.source
+                              ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+                              ROWS UNBOUNDED PRECEDING) - t.n_tok AS cb
+    FROM tok t
+    JOIN (VALUES ('src0', 750.0), ('src1', 450.0), ('src2', 300.0)) b(source, budget)
+      USING (source)
+  ) WHERE cb < budget
+)
+SELECT s.doc_id, s.split, p.n_tok, p.shard_id, (m.doc_id IS NOT NULL) AS in_mix
+FROM s JOIN p ON s.doc_id = p.doc_id LEFT JOIN m ON s.doc_id = m.doc_id
 """
 
 

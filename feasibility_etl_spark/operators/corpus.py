@@ -132,3 +132,54 @@ def decontaminate(
     return docs.join(contaminated, id_col, "left_anti").join(
         eval_ids, id_col, "left_anti"
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    token_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    shuffle: bool = True,
+) -> DataFrame:
+    """Domain-weighted subsample to a token budget — training-data mixing.
+
+    Given target mixture ``weights`` (e.g. ``{"web": 0.6, "code": 0.3,
+    "wiki": 0.1}``) and a ``total_tokens`` budget, keep documents so each
+    listed source contributes ``weight/sum(weights) * total_tokens`` tokens
+    (sources not listed are dropped — weight 0). Selection is the doc whose
+    *cumulative-before* token count is still under the source's budget, so
+    each source overshoots by at most one document — the same boundary
+    contract as :func:`pack_shards`. A source smaller than its budget
+    contributes everything it has (undersampling only; epoch-style
+    upsampling is the data loader's job).
+
+    ``shuffle=True`` (default) orders selection by ``md5(id)`` — a
+    deterministic, engine-portable shuffle so the kept subset is an
+    unbiased sample of the source rather than a temporal prefix (ids
+    usually correlate with crawl time). ``False`` keeps plain id order
+    (reproducing a prefix snapshot). Either way the plan is one broadcast
+    of the tiny budget table plus ONE window shuffle partitioned by
+    source; per-source skew is bounded because the window carries only
+    that source's rows.
+    """
+    spark = df.sparkSession
+    total_w = sum(weights.values())
+    budgets = spark.createDataFrame(
+        [(s, total_tokens * w / total_w) for s, w in weights.items()],
+        f"{source_col} string, _budget double",
+    )
+    order = F.md5(F.col(id_col).cast("string")) if shuffle else F.col(id_col)
+    w_cum = (
+        Window.partitionBy(source_col)
+        .orderBy(order, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(F.col(token_col)).over(w_cum) - F.col(token_col)
+    return (
+        df.join(F.broadcast(budgets), source_col)
+        .withColumn("_cum_before", cum_before)
+        .where(F.col("_cum_before") < F.col("_budget"))
+        .drop("_cum_before", "_budget")
+    )

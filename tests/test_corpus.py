@@ -73,3 +73,50 @@ def test_decontaminate_removes_overlap_and_eval(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = decontaminate(docs, docs.where(F.col("doc_id") == 3))
     assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_mix_sources_hits_budgets_with_one_doc_overshoot(spark):
+    from feasibility_etl_spark.operators.corpus import mix_sources
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = mix_sources(df, {"a": 0.75, "b": 0.25}, total_tokens=2000, token_col="n_tok")
+    per = {r.source: r.tok for r in out.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect()}
+    # budgets: a=1500, b=500; docs are 100 tokens -> exact fit, no overshoot
+    assert per == {"a": 1500, "b": 500}
+    # uneven doc size: budget boundary doc included (overshoot < one doc)
+    df2 = spark.createDataFrame([(i, "a", 70) for i in range(10)], "doc_id long, source string, n_tok long")
+    out2 = mix_sources(df2, {"a": 1.0}, total_tokens=100, token_col="n_tok")
+    assert out2.agg(F.sum("n_tok")).first()[0] == 140  # 70 < 100 -> next doc crosses
+
+
+def test_mix_sources_undersized_source_and_unlisted_dropped(spark):
+    from feasibility_etl_spark.operators.corpus import mix_sources
+
+    df = spark.createDataFrame(
+        [(1, "tiny", 10), (2, "tiny", 10), (3, "other", 10)],
+        "doc_id long, source string, n_tok long",
+    )
+    out = mix_sources(df, {"tiny": 1.0}, total_tokens=10_000, token_col="n_tok")
+    got = sorted((r.doc_id, r.source) for r in out.collect())
+    # tiny contributes all it has; 'other' has weight 0 -> dropped
+    assert got == [(1, "tiny"), (2, "tiny")]
+
+
+def test_mix_sources_shuffle_is_deterministic_and_unbiased_vs_prefix(spark):
+    from feasibility_etl_spark.operators.corpus import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, "a", 10) for i in range(1000)], "doc_id long, source string, n_tok long"
+    )
+    kept1 = sorted(r.doc_id for r in mix_sources(df, {"a": 1.0}, 1000, "n_tok").collect())
+    kept2 = sorted(r.doc_id for r in mix_sources(df, {"a": 1.0}, 1000, "n_tok").collect())
+    assert kept1 == kept2 and len(kept1) == 100
+    # md5 order is not the id prefix (temporal-bias guard)...
+    assert kept1 != list(range(100))
+    # ...but shuffle=False IS the deterministic prefix snapshot
+    prefix = sorted(
+        r.doc_id
+        for r in mix_sources(df, {"a": 1.0}, 1000, "n_tok", shuffle=False).collect()
+    )
+    assert prefix == list(range(100))
