@@ -147,9 +147,14 @@ def run_denorm_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
             "value",
         )
     )
+    # hash ids: the at-scale sink posture — no per-batch max(id) scan or
+    # single-task window over new names (dense/SERIAL stays the writer
+    # default for reference-faithful batch loads)
     specs = [
-        DimSpec(name="actor_dim", natural_key="actor", roles={"actor": "fk_actor"}),
-        DimSpec(name="kind_dim", natural_key="kind", roles={"kind": "fk_kind"}),
+        DimSpec(name="actor_dim", natural_key="actor", roles={"actor": "fk_actor"},
+                id_strategy="hash"),
+        DimSpec(name="kind_dim", natural_key="kind", roles={"kind": "fk_kind"},
+                id_strategy="hash"),
     ]
     q = denormalizing_sink(
         stream, specs, out_root, ckpt, fact_key="key", available_now=True

@@ -45,6 +45,12 @@ class DimSpec:
     natural_key: str  # dim-side natural-key column, e.g. "username"
     roles: dict[str, str] = field(default_factory=dict)  # wide col -> fk col
     id_col: str = "id"
+    #: surrogate strategy, passed through to ``lookup_or_insert``: "dense"
+    #: (SERIAL semantics, reference-faithful, default) or "hash" (stateless
+    #: xxhash64 ids — no window sort, no max(id) scan; the right call for
+    #: huge dims and high-frequency streaming micro-batches where SERIAL
+    #: density buys nothing)
+    id_strategy: str = "dense"
 
 
 @dataclass
@@ -80,7 +86,9 @@ def write_denormalized(
         for wide_col in spec.roles:
             part = ok.select(F.col(wide_col).alias(spec.natural_key))
             incoming = part if incoming is None else incoming.unionByName(part)
-        updated = lookup_or_insert(dim, incoming, spec.natural_key, spec.id_col)
+        updated = lookup_or_insert(
+            dim, incoming, spec.natural_key, spec.id_col, id_strategy=spec.id_strategy
+        )
         out_dims[spec.name] = updated
         # resolve each role column to its FK via broadcast join
         for wide_col, fk_col in spec.roles.items():

@@ -128,3 +128,28 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     # row-level check: pruned read returns exactly that day's rows
     want = events.where(F.col("event_date") == F.lit(one_day)).count()
     assert q.count() == want and want > 0
+
+
+def test_hash_id_dims_resolve_fks_consistently(spark, dims):
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    hash_specs = [replace(s, id_strategy="hash") for s in SPECS]
+    res = write_denormalized(golden_wide_df(spark), hash_specs, dims)
+    users = {r.username: r.id for r in res.dims["jira_user"].collect()}
+    # ids are the stateless xxhash64 of the natural key
+    expected = {
+        r.username: r.h
+        for r in spark.createDataFrame([(u,) for u in users], "username string")
+        .select("username", F.xxhash64("username").alias("h"))
+        .collect()
+    }
+    assert users == expected
+    # every fact FK points at the right hash id (role-played dim included)
+    fact = {r.key: r for r in res.fact.collect()}
+    assert fact["PROJECT5-2000"].fk_reviewer == users["user2"]
+    assert fact["PROJECT5-2000"].fk_reporter == users["user4"]
+    # no Window sort anywhere in the dim plan (the strategy's point)
+    plan = res.dims["jira_user"]._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
