@@ -229,3 +229,56 @@ def test_enrich_stream_static_join(spark, tmp_path):
         assert got == {("a", "Alpha"), ("z", None)}  # left join keeps unmatched
     finally:
         q.stop()
+
+
+def test_join_streams_left_outer_emits_unmatched_on_eviction(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched left row is held in
+    state until BOTH watermarks pass its eviction horizon, then emitted
+    with null right columns — late batches advance the watermark and flush
+    it."""
+    import json
+
+    from feasibility_etl_spark.streaming.windows import join_streams
+
+    l_dir, r_dir = tmp_path / "lo_left", tmp_path / "lo_right"
+    l_dir.mkdir(), r_dir.mkdir()
+
+    def w(d, name, rows):
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    # batch 1: u1 matches; u2 has no right partner
+    w(l_dir, "b1.json", [
+        {"user": "u1", "ts": "2024-01-01T00:10:00", "v": 1},
+        {"user": "u2", "ts": "2024-01-01T00:05:00", "v": 3},
+    ])
+    w(r_dir, "b1.json", [{"user": "u1", "ts": "2024-01-01T00:08:00", "score": 10}])
+
+    left = spark.readStream.schema("user string, ts timestamp, v long").json(str(l_dir))
+    right = spark.readStream.schema("user string, ts timestamp, score long").json(str(r_dir))
+    out = join_streams(
+        left, right, on="user",
+        left_watermark="10 minutes", right_watermark="10 minutes",
+        max_lag="5 minutes", how="left_outer",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ss_lo_t").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "lo_ckpt")).start()
+    )
+    try:
+        q.processAllAvailable()
+        matched = {(r.user, r.v): r.right_score for r in spark.table("ss_lo_t").collect()}
+        assert matched == {("u1", 1): 10}  # u2 still buffered, not yet emitted
+
+        # far-future rows on BOTH sides push both watermarks past u2's horizon
+        w(l_dir, "b2.json", [{"user": "u9", "ts": "2024-01-01T02:00:00", "v": 9}])
+        w(r_dir, "b2.json", [{"user": "u9", "ts": "2024-01-01T02:00:00", "score": 90}])
+        q.processAllAvailable()
+        # one more cycle so the post-eviction emission lands in the sink
+        w(l_dir, "b3.json", [{"user": "u9", "ts": "2024-01-01T03:00:00", "v": 9}])
+        w(r_dir, "b3.json", [{"user": "u9", "ts": "2024-01-01T03:00:00", "score": 91}])
+        q.processAllAvailable()
+
+        rows = {(r.user, r.v): r.right_score for r in spark.table("ss_lo_t").collect()}
+        assert rows[("u2", 3)] is None, "evicted unmatched left row must emit with nulls"
+    finally:
+        q.stop()
