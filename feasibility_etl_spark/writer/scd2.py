@@ -30,6 +30,7 @@ so re-applying the same batch yields byte-identical history (idempotent).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -168,3 +169,80 @@ def scd2_enrich(
         right_ts="valid_from",
         right_prefix=right_prefix,
     )
+
+
+@dataclass(frozen=True)
+class Scd2DimSpec:
+    """A history-tracked dimension in the denormalizing writer.
+
+    ``wide_key`` is the wide-frame column holding the natural key;
+    ``tracked`` are the wide-frame attribute columns whose changes open new
+    versions. The fact keeps ``fk_col`` = the version surrogate in effect
+    at the fact row's own timestamp. One spec per role; role-playing the
+    same history twice means two specs sharing a pre-updated ``hist`` (pass
+    the same frame, update it once upstream).
+    """
+
+    name: str
+    wide_key: str
+    natural_key: str
+    tracked: tuple[str, ...] = field(default_factory=tuple)
+    fk_col: str = "fk"
+    id_col: str = "version_sk"
+
+
+@dataclass
+class PitResult:
+    fact: DataFrame
+    hists: dict[str, DataFrame]
+
+
+def write_denormalized_scd2(
+    wide: DataFrame,
+    specs: list[Scd2DimSpec],
+    hists: dict[str, DataFrame | None],
+    ts_col: str = "ts",
+) -> PitResult:
+    """Decompose a denormalized frame into fact + SCD2 dim histories (pure,
+    no I/O — the history-tracking twin of ``write_denormalized``).
+
+    Per spec: the wide frame's (key, tracked, ts) observations fold into
+    the dimension's history via :func:`scd2_apply`, then every fact row
+    resolves ``fk_col`` to the version in effect AT ITS OWN event time via
+    :func:`scd2_enrich` — never the latest version, so replaying old facts
+    yields the FKs they had then (point-in-time correctness), and a later
+    attribute change never rewrites an already-written fact. Natural-key
+    and tracked columns leave the fact (they live in the history).
+    """
+    out_hists: dict[str, DataFrame] = {}
+    fact = wide
+    for spec in specs:
+        tracked = list(spec.tracked)
+        incoming = wide.select(
+            F.col(spec.wide_key).alias(spec.natural_key),
+            *[F.col(c) for c in tracked],
+            F.col(ts_col),
+        ).where(F.col(spec.wide_key).isNotNull())
+        hist = scd2_apply(
+            incoming,
+            spec.natural_key,
+            tracked,
+            ts_col=ts_col,
+            hist=hists.get(spec.name),
+            id_col=spec.id_col,
+        )
+        out_hists[spec.name] = hist
+        enriched = scd2_enrich(
+            fact.withColumnRenamed(spec.wide_key, spec.natural_key),
+            hist,
+            on=spec.natural_key,
+            ts_col=ts_col,
+            right_prefix="_pit_",
+        )
+        keep = [
+            c
+            for c in enriched.columns
+            if not c.startswith("_pit_") and c != spec.natural_key and c not in tracked
+        ]
+        fact = enriched.select(*keep, F.col(f"_pit_{spec.id_col}").alias(spec.fk_col))
+    return PitResult(fact=fact, hists=out_hists)

@@ -108,3 +108,44 @@ def test_scd2_enrich_point_in_time_fk_resolution(spark):
     # fact@9 sees the gold version (not the later platinum one); fact@12 the
     # new version (inclusive); fact@7 predates history -> nulls
     assert out == {1.0: ("gold", True), 2.0: ("platinum", True), 3.0: (None, False)}
+
+
+def test_write_denormalized_scd2_point_in_time_fks(spark):
+    from feasibility_etl_spark.writer.scd2 import Scd2DimSpec, write_denormalized_scd2
+
+    spec = Scd2DimSpec(
+        name="actor", wide_key="actor", natural_key="k",
+        tracked=("tier",), fk_col="fk_actor",
+    )
+    wide1 = spark.createDataFrame(
+        [("A", "alice", "gold", _ts(8), 1.0), ("B", "bob", "silver", _ts(8), 2.0)],
+        "key string, actor string, tier string, ts timestamp, v double",
+    )
+    r1 = write_denormalized_scd2(wide1, [spec], {"actor": None})
+    hist1 = r1.hists["actor"]
+    fact1 = {r.key: r.fk_actor for r in r1.fact.collect()}
+    v1 = {r.k: r.version_sk for r in hist1.where("is_current").collect()}
+    assert fact1 == {"A": v1["alice"], "B": v1["bob"]}
+    # dim columns left the fact
+    assert set(r1.fact.columns) == {"key", "ts", "v", "fk_actor"}
+
+    # batch 2: alice changes tier @12; order C lands @13 (new version),
+    # order D replays an old timestamp @9 (must resolve to the OLD version)
+    wide2 = spark.createDataFrame(
+        [("C", "alice", "platinum", _ts(13), 3.0), ("D", "alice", "gold", _ts(9), 4.0),
+         ("E", "alice", "platinum", _ts(12), 5.0)],
+        "key string, actor string, tier string, ts timestamp, v double",
+    )
+    r2 = write_denormalized_scd2(wide2, [spec], {"actor": hist1})
+    hist2 = r2.hists["actor"]
+    by_tier = {(r.k, r.tier): r.version_sk for r in hist2.collect()}
+    fact2 = {r.key: r.fk_actor for r in r2.fact.collect()}
+    # C and E sit at/after the platinum version's start
+    assert fact2["C"] == by_tier[("alice", "platinum")]
+    assert fact2["E"] == by_tier[("alice", "platinum")]
+    # D's event time predates the change -> the gold version, though the
+    # history now has a newer one (no retroactive FK rewrite)
+    assert fact2["D"] == by_tier[("alice", "gold")]
+    # the old interval is closed at the platinum valid_from
+    gold = hist2.where("tier = 'gold'").collect()[0]
+    assert str(gold.valid_to) == "2024-01-01 12:00:00" and not gold.is_current
