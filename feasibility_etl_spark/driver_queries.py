@@ -1254,13 +1254,22 @@ ORACLE_SIM_TOPK = _COS_SQL
 
 
 def q_emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """EMB-NEARDUP: embedding-cosine near-duplicate pairs via LSH self-join +
-    exact verify (rows-only: LSH banding has engine-specific false negatives
-    an all-pairs SQL oracle would flag; exactness is covered by SIM-TOPK and
-    tests)."""
-    return embedding_near_dups(
-        load(spark, sf, "embeddings"), threshold=0.3, dim=64, n_planes=8
-    ).orderBy("id_a", "id_b")
+    """EMB-NEARDUP: embedding near-duplicate pairs, union-tagged by method —
+    'lsh' (hyperplane self-join + exact verify) and 'semdedup' (SemDeDup:
+    k-means cluster-scoped exact verify, the semantic-redundancy pruning
+    recipe). Rows-only: LSH banding / k-means cells have engine-specific
+    candidate sets an all-pairs SQL oracle would flag; precision-1 and
+    recall pinned in tests/test_similarity.py."""
+    from .operators.similarity import semantic_dedup_pairs
+
+    emb = load(spark, sf, "embeddings")
+    lsh = embedding_near_dups(emb, threshold=0.3, dim=64, n_planes=8).select(
+        F.lit("lsh").alias("method"), "id_a", "id_b", "cos_sim"
+    )
+    sem = semantic_dedup_pairs(
+        emb, threshold=0.3, n_cells=16, train_fraction=0.5
+    ).select(F.lit("semdedup").alias("method"), "id_a", "id_b", "cos_sim")
+    return lsh.unionByName(sem).orderBy("method", "id_a", "id_b")
 
 
 def q_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:

@@ -626,3 +626,69 @@ def quantize_int8(
     return exploded.select(
         corpus_id, "scale", "idx", code.cast("int").alias("code")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    max_iter: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means cluster the
+    embeddings, then exact-cosine-verify pairs WITHIN each cluster only
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — arXiv:2303.09540).
+
+    The complement of :func:`embedding_near_dups`' LSH buckets: clustering
+    groups by global semantic neighborhoods rather than random hyperplane
+    sign patterns, which is the published recipe for pruning *semantically
+    redundant* (not just near-identical) training data. Cross-cluster
+    near-dups are missed by construction — the accepted trade that makes
+    the cost ~Σ|cell|² instead of N².
+
+    Scale shape: training samples ``train_fraction`` with capped
+    iterations; assignment is a JVM map (model.transform, no shuffle); the
+    self-join keys on the cell id, so each task sees one cluster's rows.
+    At 100 TB, grow ``n_cells`` ∝ corpus size to hold |cell| roughly
+    constant (the paper uses 50k clusters for LAION-scale); skewed hot
+    cells split fine under AQE since the join is a plain equi-join.
+    Returns (id_a < id_b, cos_sim ≥ threshold) pairs — compose with
+    ``dedup.connected_components`` + ``prune_components`` to drop all but
+    one representative per semantic group.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus if train_fraction >= 1.0 else corpus.sample(train_fraction, seed)
+    featurized = train.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(
+        featurized
+    )
+    assigned = model.transform(
+        corpus.select(
+            F.col(corpus_id),
+            F.col(corpus_vec),
+            array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features"),
+        )
+    ).select(F.col(corpus_id), F.col(corpus_vec), F.col("prediction").alias("_cell"))
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col(f"a.{corpus_id}") < F.col(f"b.{corpus_id}")),
+        )
+        .select(
+            F.col(f"a.{corpus_id}").alias("id_a"),
+            F.col(f"b.{corpus_id}").alias("id_b"),
+            cosine(F.col(f"a.{corpus_vec}"), F.col(f"b.{corpus_vec}")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -187,3 +187,31 @@ def test_pq_rejects_indivisible_subspaces(spark):
     # misalign with the corpus codebook subspaces — must refuse
     with pytest.raises(ValueError, match="dim % n_subspaces"):
         pq_topk(corpus, queries, k=5, n_subspaces=3, n_codes=4)
+
+
+def test_semantic_dedup_pairs_precision_and_recall(spark):
+    from feasibility_etl_spark.operators.similarity import cosine, semantic_dedup_pairs
+
+    corpus = clustered_embeddings(spark, n_clusters=4, per_cluster=20)
+    got = semantic_dedup_pairs(corpus, threshold=0.9, n_cells=4, seed=3)
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in got.collect()}
+    # exact all-pairs ground truth
+    a, b = corpus.alias("a"), corpus.alias("b")
+    truth = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.9)
+        .collect()
+    }
+    # exact verify -> precision 1 (every emitted pair is a true near-dup)
+    assert set(pairs) <= set(truth)
+    # tight clusters land in one kmeans cell -> near-total recall
+    recall = len(pairs) / len(truth)
+    assert recall > 0.9, f"recall {recall}"
+    # ordering contract
+    assert all(ia < ib for ia, ib in pairs)
