@@ -2374,6 +2374,41 @@ FROM changed WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 """
 
 
+def q_e_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """E-QUANTILE: relative quality gate — keep documents at/above the
+    per-language median quality score (exact percentile, broadcast
+    threshold join; the data never shuffles, only its per-key summary
+    does). Oracle: quantile_cont (same linear interpolation as Spark's
+    exact percentile)."""
+    from .quality.gates import filter_by_quantile
+
+    docs = load(spark, sf, "documents")
+    scored = docs.select("doc_id", "lang", quality_score("text").alias("quality"))
+    return filter_by_quantile(scored, "quality", 0.5, keys=["lang"])
+
+
+ORACLE_E_QUANTILE = (
+    "WITH "
+    + _QUALITY_SQL_FRAGMENTS
+    + """
+, qual AS (
+  SELECT doc_id,
+         LEAST(n_tok / 200.0, 1.0) * 0.4
+           + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.3
+           + LEAST(stop_ratio * 4.0, 1.0) * 0.3 AS quality
+  FROM sig
+), j AS (
+  SELECT d.doc_id, d.lang, q.quality
+  FROM documents d JOIN qual q USING (doc_id)
+), thr AS (
+  SELECT lang, quantile_cont(quality, 0.5) AS t FROM j GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.quality
+FROM j JOIN thr USING (lang) WHERE j.quality >= thr.t
+"""
+)
+
+
 # The DRIVER registry: every implemented operator is verified through ≤50
 # entries (the driver's correctness gate records a bounded prefix — round 1
 # captured exactly the first 50 rows, leaving 19 ops driver-unverified).
@@ -2398,6 +2433,7 @@ QUERIES: dict[str, QueryFn] = {
     "SIM-ANN": q_sim_ann,
     "DEDUP-CANDIDATES": q_dedup_candidates,
     "SCD2-APPLY": q_scd2_apply,
+    "E-QUANTILE": q_e_quantile,
     # --- round-1 driver-green ops ---
     "S-SEARCH": q_s_search,
     "S-JDBC-SINK": q_s_jdbc_sink,
@@ -2444,6 +2480,7 @@ ORACLES: dict[str, str] = {
     "J-RANGE": ORACLE_RANGE_JOIN,
     "A-SALTED": ORACLE_A_SALTED,
     "SCD2-APPLY": ORACLE_SCD2_APPLY,
+    "E-QUANTILE": ORACLE_E_QUANTILE,
     "EMB-QUANT": ORACLE_EMB_QUANT,
     "MM-VISUAL": ORACLE_MM_VISUAL,
     "MM-AUDIO": ORACLE_MM_AUDIO,

@@ -78,3 +78,32 @@ def validate_not_null(
     if cond is None:
         return df, df.limit(0)
     return df.where(cond), df.where(~cond)
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` is at or above the (per-``keys``)
+    exact ``q``-quantile — the relative quality gate a corpus pipeline
+    uses ("drop the worst 25% per language") where a fixed threshold
+    would mis-cut as score distributions drift.
+
+    Exact ``percentile`` (not approx) so results are deterministic and
+    engine-portable. Scale shape: the quantile is ONE aggregate — per-key
+    partial aggregation map-side, a keys-cardinality-sized result — then a
+    broadcast join feeds the threshold back to the full scan; the data
+    never shuffles, only its tiny summary does. Exact percentile does
+    buffer each group's scores in the aggregate; at extreme per-key
+    cardinality switch to ``percentile_approx`` (documented trade:
+    determinism for memory).
+    """
+    keys = list(keys or [])
+    thr = F.percentile(F.col(score_col), F.lit(q)).alias("_thr")
+    if keys:
+        joined = df.join(F.broadcast(df.groupBy(*keys).agg(thr)), keys)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(thr)))
+    return joined.where(F.col(score_col) >= F.col("_thr")).drop("_thr")

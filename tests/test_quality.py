@@ -54,3 +54,21 @@ def test_validate_not_null_no_constraints(spark):
     df = spark.createDataFrame([("a",)], "k string")
     ok, bad = validate_not_null(df, [])
     assert ok.count() == 1 and bad.count() == 0
+
+
+def test_filter_by_quantile_global_and_per_key(spark):
+    from feasibility_etl_spark.quality.gates import filter_by_quantile
+
+    df = spark.createDataFrame(
+        [("en", float(i)) for i in range(1, 5)] + [("de", 10.0), ("de", 20.0)],
+        "lang string, score double",
+    )
+    # per-key median: en median 2.5 -> keeps 3,4; de median 15 -> keeps 20
+    got = sorted((r.lang, r.score) for r in
+                 filter_by_quantile(df, "score", 0.5, keys=["lang"]).collect())
+    assert got == [("de", 20.0), ("en", 3.0), ("en", 4.0)]
+    # global: median of {1,2,3,4,10,20} = 3.5 -> keeps 4,10,20
+    got_g = sorted(r.score for r in filter_by_quantile(df, "score", 0.5).collect())
+    assert got_g == [4.0, 10.0, 20.0]
+    # q=0 keeps everything
+    assert filter_by_quantile(df, "score", 0.0).count() == 6
