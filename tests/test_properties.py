@@ -213,3 +213,48 @@ def test_pack_shards_matches_greedy_model(spark, rows):
         want[doc_id] = cum // budget
         cum += n_tok
     assert got == want
+
+
+# --- SCD2: incremental fold == bootstrap over the concatenated log --------
+
+scd2_events = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),          # natural key
+        st.sampled_from(["a", "b", "c", None]),       # tracked attr
+        st.integers(min_value=0, max_value=30),       # event hour offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(scd2_events, st.integers(min_value=1, max_value=24))
+def test_scd2_incremental_equals_bootstrap(spark, events, cut):
+    """Folding a change log in two time-ordered batches must yield exactly
+    the history a single bootstrap over the whole log yields (no late rows
+    across the cut: batch 2 contains only events after batch 1's per-key
+    maximum — guaranteed by cutting on the global timestamp)."""
+    import datetime as dt
+
+    from feasibility_etl_spark.writer.scd2 import scd2_apply
+
+    rows = [
+        (k, a, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)) for k, a, h in events
+    ]
+    schema = "k string, tier string, ts timestamp"
+    full = spark.createDataFrame(rows, schema)
+    boot = scd2_apply(full, "k", ["tier"])
+
+    b1 = [r for r in rows if r[2].hour < cut and r[2].day == 1]
+    b2 = [r for r in rows if not (r[2].hour < cut and r[2].day == 1)]
+    if b1 and b2:
+        h1 = scd2_apply(spark.createDataFrame(b1, schema), "k", ["tier"])
+        inc = scd2_apply(spark.createDataFrame(b2, schema), "k", ["tier"], hist=h1)
+    else:
+        inc = boot
+    key = lambda df: sorted(  # noqa: E731
+        (r.version_sk, r.k, str(r.tier), str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in df.collect()
+    )
+    assert key(inc) == key(boot)
