@@ -25,8 +25,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from feasibility_etl_spark.operators import corpus, dedup, text  # noqa: E402
 from feasibility_etl_spark.operators.aggregates import worklog_rollup_relational  # noqa: E402
+from feasibility_etl_spark.quality.gates import filter_by_quantile  # noqa: E402
 from feasibility_etl_spark.session import build_session  # noqa: E402
 from feasibility_etl_spark.sources.catalog import load  # noqa: E402
+from feasibility_etl_spark.writer.scd2 import scd2_apply  # noqa: E402
 
 
 def replicate(df: DataFrame, id_col: str, factor: int) -> DataFrame:
@@ -75,10 +77,34 @@ def main() -> None:
         "corpus_decontam": lambda d: corpus.decontaminate(
             d, docs1.where(F.col("doc_id") % 97 == 0)
         ),
+        "corpus_mix": lambda d: corpus.mix_sources(
+            d.withColumn("n_tok", text.token_count("text")),
+            {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            total_tokens=100_000,
+            token_col="n_tok",
+        ),
+        "quantile_gate": lambda d: filter_by_quantile(
+            d.select("doc_id", "lang", text.quality_score("text").alias("q")),
+            "q",
+            0.5,
+            keys=["lang"],
+        ),
     }
     fact_ops = {
         "worklog_rollup": lambda d: worklog_rollup_relational(
             d, "l_orderkey", "l_quantity"
+        ),
+    }
+    # replicate on user_id: 10x distinct keys, same per-key version depth —
+    # the axis an SCD2 dimension actually grows along
+    events1 = load(spark, sf_dir, "events")
+    eventsN = replicate(events1, "user_id", factor)
+    event_ops = {
+        "scd2_apply": lambda d: scd2_apply(
+            d.select("user_id", "event_type", "ts"),
+            "user_id",
+            ["event_type"],
+            ts_col="ts",
         ),
     }
 
@@ -96,6 +122,16 @@ def main() -> None:
         pair = []
         run(lambda: fn(li1), "base", pair)
         run(lambda: fn(liN), "scaled", pair)
+        t1, tn = pair[0][1], pair[1][1]
+        print(json.dumps({
+            "op": name, "factor": factor, "t_base": round(t1, 2),
+            "t_scaled": round(tn, 2), "ratio": round(tn / t1, 2),
+            "per_row_ratio": round(tn / t1 / factor, 3),
+        }))
+    for name, fn in event_ops.items():
+        pair = []
+        run(lambda: fn(events1), "base", pair)
+        run(lambda: fn(eventsN), "scaled", pair)
         t1, tn = pair[0][1], pair[1][1]
         print(json.dumps({
             "op": name, "factor": factor, "t_base": round(t1, 2),
