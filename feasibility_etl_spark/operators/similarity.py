@@ -185,16 +185,33 @@ def ivf_topk(
         .select(F.col(corpus_id), F.col(corpus_vec), F.col("prediction").alias("_cell"))
     )
 
-    centroids = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-            "_cell int, _centroid array<double>",
-        )
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "_cell int, _centroid array<double>",
     )
-    # nprobe nearest centroids per query (euclidean, matching KMeans predict)
+    return _ivf_probe_score(
+        assigned, centroids, queries, k, nprobe, corpus_id, corpus_vec, query_id, query_vec
+    )
+
+
+def _ivf_probe_score(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """The serve-time half of IVF: nprobe nearest centroids per query
+    (euclidean, matching KMeans predict), then exact cosine rank within the
+    probed cells only. Shared by ivf_topk (train-inline) and ivf_search
+    (pre-built index)."""
     probe_w = Window.partitionBy(query_id).orderBy(F.col("_dist2"), F.col("_cell"))
     probes = (
-        queries.crossJoin(centroids)
+        queries.crossJoin(F.broadcast(centroids))
         .select(
             F.col(query_id),
             F.col(query_vec),
@@ -224,6 +241,75 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    max_iter: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Train the IVF coarse quantizer ONCE and persist the index:
+    ``<path>/centroids`` (n_cells tiny rows) and ``<path>/assigned`` — the
+    corpus with its cell id, written ``partitionBy(_cell)`` so a search
+    probing ``nprobe`` cells prunes at the FILE level (PartitionFilters):
+    the scan reads ~nprobe/n_cells of the index, the train/serve split a
+    production ANN deployment actually runs (index refreshed offline,
+    queries served without retraining)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus if train_fraction >= 1.0 else corpus.sample(train_fraction, seed)
+    featurized = train.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(
+        featurized
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "_cell int, _centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        model.transform(
+            corpus.select(
+                F.col(corpus_id),
+                F.col(corpus_vec),
+                array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features"),
+            )
+        )
+        .select(F.col(corpus_id), F.col(corpus_vec), F.col("prediction").alias("_cell"))
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(f"{path}/assigned")
+    )
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Serve top-k from an :func:`ivf_build` index — no retraining, no full
+    scan: centroids load broadcast-sized, and the assigned table's probe
+    join keys on the partition column, so only probed cells' files are
+    read."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.parquet(f"{path}/assigned")
+    return _ivf_probe_score(
+        assigned, centroids, queries, k, nprobe, corpus_id, corpus_vec, query_id, query_vec
+    )
 
 
 def pq_encode(

@@ -215,3 +215,31 @@ def test_semantic_dedup_pairs_precision_and_recall(spark):
     assert recall > 0.9, f"recall {recall}"
     # ordering contract
     assert all(ia < ib for ia, ib in pairs)
+
+
+def test_ivf_build_search_matches_inline_and_prunes_partitions(spark, tmp_path):
+    import os
+
+    from feasibility_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+        ivf_topk,
+    )
+
+    corpus = clustered_embeddings(spark)  # dim 16, 8 clusters x 40
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "ivf_idx")
+    ivf_build(corpus, path, n_cells=8, seed=5)
+    served = ivf_search(spark, path, queries, k=10, nprobe=2)
+    inline = ivf_topk(corpus, queries, k=10, nprobe=2, n_cells=8, seed=5)
+    assert sorted((r.query_id, r.vec_id, r.rank) for r in served.collect()) == sorted(
+        (r.query_id, r.vec_id, r.rank) for r in inline.collect()
+    ), "pre-built index must serve exactly what inline training serves"
+    # the index is physically partitioned by cell (file-level pruning)
+    cells = [d for d in os.listdir(f"{path}/assigned") if d.startswith("_cell=")]
+    assert len(cells) == 8
+    # a second search reuses the index — no retraining required
+    again = ivf_search(spark, path, queries, k=10, nprobe=2)
+    assert again.count() == served.count()
