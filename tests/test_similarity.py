@@ -237,9 +237,13 @@ def test_ivf_build_search_matches_inline_and_prunes_partitions(spark, tmp_path):
     assert sorted((r.query_id, r.vec_id, r.rank) for r in served.collect()) == sorted(
         (r.query_id, r.vec_id, r.rank) for r in inline.collect()
     ), "pre-built index must serve exactly what inline training serves"
-    # the index is physically partitioned by cell (file-level pruning)
+    # the index is physically partitioned by cell (file-level pruning)...
     cells = [d for d in os.listdir(f"{path}/assigned") if d.startswith("_cell=")]
     assert len(cells) == 8
+    # ...and the probe join drives dynamic partition pruning into the scan:
+    # unprobed cells' files are skipped, not read-then-filtered
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
     # a second search reuses the index — no retraining required
     again = ivf_search(spark, path, queries, k=10, nprobe=2)
     assert again.count() == served.count()
