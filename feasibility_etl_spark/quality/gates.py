@@ -85,23 +85,32 @@ def filter_by_quantile(
     score_col: str,
     q: float,
     keys: Sequence[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Keep rows whose ``score_col`` is at or above the (per-``keys``)
     exact ``q``-quantile — the relative quality gate a corpus pipeline
     uses ("drop the worst 25% per language") where a fixed threshold
     would mis-cut as score distributions drift.
 
-    Exact ``percentile`` (not approx) so results are deterministic and
+    Exact ``percentile`` by default so results are deterministic and
     engine-portable. Scale shape: the quantile is ONE aggregate — per-key
     partial aggregation map-side, a keys-cardinality-sized result — then a
     broadcast join feeds the threshold back to the full scan; the data
-    never shuffles, only its tiny summary does. Exact percentile does
-    buffer each group's scores in the aggregate; at extreme per-key
-    cardinality switch to ``percentile_approx`` (documented trade:
-    determinism for memory).
+    never shuffles, only its tiny summary does. Exact percentile buffers
+    each group's scores in the aggregate, so at extreme per-key cardinality
+    (billions of rows per key) pass ``exact=False``: ``percentile_approx``
+    keeps a bounded sketch (``accuracy`` relative-error knob) at the cost
+    of a threshold that is approximate — and no longer bit-matched by an
+    exact SQL oracle.
     """
     keys = list(keys or [])
-    thr = F.percentile(F.col(score_col), F.lit(q)).alias("_thr")
+    if exact:
+        thr = F.percentile(F.col(score_col), F.lit(q)).alias("_thr")
+    else:
+        thr = F.percentile_approx(
+            F.col(score_col), F.lit(q), F.lit(accuracy)
+        ).alias("_thr")
     if keys:
         joined = df.join(F.broadcast(df.groupBy(*keys).agg(thr)), keys)
     else:

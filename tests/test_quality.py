@@ -72,3 +72,14 @@ def test_filter_by_quantile_global_and_per_key(spark):
     assert got_g == [4.0, 10.0, 20.0]
     # q=0 keeps everything
     assert filter_by_quantile(df, "score", 0.0).count() == 6
+
+
+def test_filter_by_quantile_approx_mode(spark):
+    from feasibility_etl_spark.quality.gates import filter_by_quantile
+
+    df = spark.range(1000).selectExpr("'en' AS lang", "CAST(id AS DOUBLE) AS score")
+    exact = filter_by_quantile(df, "score", 0.5, keys=["lang"])
+    approx = filter_by_quantile(df, "score", 0.5, keys=["lang"], exact=False)
+    # sketch threshold lands within its accuracy bound of the true median
+    n_exact, n_approx = exact.count(), approx.count()
+    assert abs(n_exact - n_approx) <= 2
