@@ -295,3 +295,48 @@ def clean_text(text: Column | str) -> Column:
         c = F.regexp_replace(c, ent, repl)
     c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    ``chunk_tokens``-sized windows with ``overlap`` tokens carried between
+    consecutive chunks (stride = chunk_tokens − overlap) — the standard
+    prep for fixed-context training and RAG indexing.
+
+    Fully relational fan-out: tokenize once, ``posexplode`` the chunk-start
+    sequence (0, stride, 2·stride, …), slice per start. Row multiplication
+    is ⌈n/stride⌉ — linear in corpus tokens, no Python, no shuffle (the
+    explode is map-side). Tail rule: a final window that would add no new
+    tokens vs its predecessor (start + overlap ≥ n) is dropped; empty
+    documents produce no chunks. Returns (id, chunk_id, chunk_text,
+    n_tok) with chunk_id dense from 0 in document order.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    ex = df.select(
+        id_col,
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+        ).alias("chunk_id", "_start"),
+    )
+    keep = (F.col("_start") < F.col("_n")) & (
+        (F.col("_start") == 0) | (F.col("_start") + overlap < F.col("_n"))
+    )
+    return ex.where(keep).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start")).cast("long").alias("n_tok"),
+    )

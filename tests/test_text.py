@@ -136,3 +136,29 @@ def test_clean_text_semantics(spark):
     assert got[3] == "ctrl chars here tab newline"
     assert got[4] == "already clean"
     assert got[5] == "&lt; double-encoded"
+
+
+def test_chunk_documents_overlap_and_tail_rules(spark):
+    import pytest
+
+    from feasibility_etl_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tok)
+           for r in chunk_documents(docs, chunk_tokens=4, overlap=2).collect()}
+    # doc 1: 10 tokens, stride 2 -> starts 0,2,4,6 kept; start 8 adds no new
+    # tokens beyond the overlap (8+2 >= 10) -> dropped
+    assert out[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert out[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert (1, 4) not in out
+    # doc 2 shorter than one window -> single short chunk
+    assert out[(2, 0)] == ("a b", 2)
+    # empty/whitespace docs produce no chunks
+    assert not any(d in (3, 4) for d, _ in out)
+    # chunk ids stay dense
+    assert sorted(c for d, c in out if d == 1) == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
