@@ -2438,6 +2438,45 @@ WHERE start < n AND (start = 0 OR start + 8 < n)
 """
 
 
+def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-ROWS: the row-exploding text ops union-tagged — covers
+    TEXT-WINNOW (part='winnow': winnowing fingerprints, fixed-base rolling
+    hash reproduced exactly by the oracle) and TEXT-CHUNK (part='chunk':
+    context-window chunking, 32-token windows / 8 overlap, no-new-token
+    tails dropped)."""
+    from .operators.text import chunk_documents
+
+    docs = load(spark, sf, "documents")
+    win = winnow_fingerprints_rows(docs).select(
+        F.lit("winnow").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.lit(None).cast("string").alias("chunk_text"),
+        F.lit(None).cast("long").alias("n_tok"),
+        F.col("fp"),
+    )
+    ch = chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        F.lit("chunk").alias("part"),
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        "n_tok",
+        F.lit(None).cast("long").alias("fp"),
+    )
+    return win.unionByName(ch)
+
+
+ORACLE_TEXT_ROWS = f"""
+SELECT 'winnow' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
+       CAST(NULL AS VARCHAR) AS chunk_text, CAST(NULL AS BIGINT) AS n_tok, fp
+FROM ({ORACLE_TEXT_WINNOW}) w
+UNION ALL
+SELECT 'chunk' AS part, doc_id, chunk_id, chunk_text, n_tok,
+       CAST(NULL AS BIGINT) AS fp
+FROM ({ORACLE_TEXT_CHUNK}) c
+"""
+
+
 # The DRIVER registry: every implemented operator is verified through ≤50
 # entries (the driver's correctness gate records a bounded prefix — round 1
 # captured exactly the first 50 rows, leaving 19 ops driver-unverified).
@@ -2447,7 +2486,7 @@ WHERE start < n AND (start = 0 OR start + 8 < n)
 QUERIES: dict[str, QueryFn] = {
     # --- round-1 driver-unverified ops (now first) ---
     "TEXT-PROFILE": q_text_profile,
-    "TEXT-WINNOW": q_text_winnow,
+    "TEXT-ROWS": q_text_rows,
     "PIPE-DOCS": q_pipe_docs,
     "PIPE-EVENTS": q_pipe_events,
     "J-SALTED": q_j_salted,
@@ -2501,7 +2540,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "TEXT-PROFILE": ORACLE_TEXT_PROFILE,
-    "TEXT-WINNOW": ORACLE_TEXT_WINNOW,
+    "TEXT-ROWS": ORACLE_TEXT_ROWS,
     "PIPE-DOCS": ORACLE_PIPE_DOCS,
     "PIPE-EVENTS": ORACLE_PIPE_EVENTS,
     "J-SALTED": ORACLE_J_SALTED,
@@ -2593,6 +2632,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "MM-RESIZE": q_mm_resize,
     "VIEW-IDIOMATIC": q_view_idiomatic,
     "TEXT-CHUNK": q_text_chunk,
+    "TEXT-WINNOW": q_text_winnow,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -2627,4 +2667,5 @@ ALL_ORACLES: dict[str, str] = {
     "MM-RESIZE": ORACLE_MM_RESIZE,
     "VIEW-IDIOMATIC": ORACLE_VIEW_IDIOMATIC,
     "TEXT-CHUNK": ORACLE_TEXT_CHUNK,
+    "TEXT-WINNOW": ORACLE_TEXT_WINNOW,
 }
