@@ -93,3 +93,77 @@ def test_denormalizing_sink_across_microbatches(spark, tmp_path):
     assert set(fact) == {"K-1", "K-2", "K-3"}
     assert fact["K-2"].v == 2.0, "re-delivered key must not overwrite"
     assert fact["K-3"].fk_reviewer == 3
+
+
+def _run_sessionize(spark, tmp_path, factory):
+    """Shared harness: sessions emit exactly when watermark passes end+gap."""
+    import json
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def write_batch(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    write_batch("b1.json", [
+        {"key": "a", "ts": "2026-01-01 10:00:00"},
+        {"key": "a", "ts": "2026-01-01 10:00:10"},
+        {"key": "b", "ts": "2026-01-01 10:00:05"},
+    ])
+    stream = spark.readStream.schema("key string, ts timestamp").json(str(src))
+    out = factory(stream)
+    name = f"sessions_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0  # gap not yet passed
+
+        # extend a's session; far-future key z drags the watermark forward
+        write_batch("b2.json", [
+            {"key": "a", "ts": "2026-01-01 10:00:20"},
+            {"key": "z", "ts": "2026-01-01 11:00:00"},
+        ])
+        q.processAllAvailable()
+        # watermark advances at the NEXT batch start; nudge once more
+        write_batch("b3.json", [{"key": "z", "ts": "2026-01-01 11:00:01"}])
+        q.processAllAvailable()
+        rows = {r.key: r for r in spark.table(name).collect()}
+        assert set(rows) == {"a", "b"}, rows  # z's session is still open
+        assert rows["a"].n_events == 3
+        assert rows["a"].session_start.isoformat().startswith("2026-01-01T10:00:00")
+        assert rows["a"].session_end.isoformat().startswith("2026-01-01T10:00:20")
+        assert rows["b"].n_events == 1
+    finally:
+        q.stop()
+
+
+def test_sessionize_stream_timer_driven(spark, tmp_path):
+    from feasibility_etl_spark.streaming.stateful import sessionize_stream
+
+    _run_sessionize(
+        spark, tmp_path, lambda s: sessionize_stream(s, "key", "ts", gap_seconds=60)
+    )
+
+
+def test_sessionize_stream_tws(spark, tmp_path):
+    """Spark-4 transformWithState variant — skips where protobuf is absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from feasibility_etl_spark.streaming.stateful import sessionize_stream_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _run_sessionize(
+            spark, tmp_path,
+            lambda s: sessionize_stream_tws(s, "key", "ts", gap_seconds=60),
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
