@@ -163,6 +163,69 @@ def run_denorm_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_rows
 
 
+def run_rest_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """REST ingest plumbing at volume over an in-memory transport: the
+    paged search fans (orders-count / 100) pages out to executors and
+    parses each page's JSON array against the declared schema; the per-key
+    N+1 lookup then fetches details for ~1/13th of the items. Rates are set
+    effectively unthrottled so the timing measures the Spark plumbing
+    (range fan-out, Arrow batches, JSON parse, error columns), not sleeps.
+    The paged result is staged to parquet between the two stages so each
+    transport call happens exactly once."""
+    import json as _json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.sources.catalog import load as cat_load
+    from feasibility_etl_spark.sources.rest import fetch_paged, fetch_per_key
+
+    staging = "/tmp/spark_graft_rest_stage"
+    shutil.rmtree(staging, ignore_errors=True)
+    total = cat_load(spark, sf_dir, "orders").count()
+    page_size = 100
+
+    def fetch_page(i: int) -> str:
+        base = i * page_size
+        return _json.dumps(
+            [
+                {
+                    "key": f"K-{base + j}",
+                    "status": "open" if (base + j) % 3 else "closed",
+                    "points": (base + j) % 13,
+                }
+                for j in range(min(page_size, total - base))
+            ]
+        )
+
+    def fetch_one(key: str) -> str:
+        kid = int(key.split("-")[1])
+        return _json.dumps({"assignee": f"user_{kid % 97}", "worklogs": kid % 7})
+
+    t0 = time.time()
+    items = fetch_paged(
+        spark,
+        fetch_page,
+        "key string, status string, points long",
+        count_total=lambda: total,
+        page_size=page_size,
+    )
+    items.write.mode("overwrite").parquet(staging)
+    keys = spark.read.parquet(staging).filter(F.col("points") == 0).select("key")
+    detail = fetch_per_key(
+        keys,
+        "key",
+        fetch_one,
+        "assignee string, worklogs long",
+        max_parallel=32,
+        requests_per_sec=1e9,
+    )
+    detail.write.format("noop").mode("overwrite").save()
+    elapsed = time.time() - t0
+    n_keys = keys.count()
+    return elapsed, total + n_keys
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -207,6 +270,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error stream-denorm-sink: {e}", file=sys.stderr)
     timings["stream-denorm-sink"] = denorm_s
+    rest_s, n_rest = -1.0, 0
+    try:
+        rest_s, n_rest = run_rest_bench(spark, sf_dir)
+        rest_s = round(rest_s, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error rest-ingest: {e}", file=sys.stderr)
+    timings["rest-ingest"] = rest_s
 
     print(
         json.dumps(
@@ -220,6 +290,7 @@ def main() -> None:
                 "stream_denorm_rows_per_sec": (
                     round(n_denorm / denorm_s) if denorm_s > 0 else None
                 ),
+                "rest_rows_per_sec": round(n_rest / rest_s) if rest_s > 0 else None,
             }
         )
     )
