@@ -67,9 +67,12 @@ from .operators.similarity import (
     pq_topk,
 )
 from .operators.text import (
+    PII_PATTERNS,
     bpe_ish_token_count,
     clean_text,
     fingerprint,
+    pii_counts,
+    redact_pii,
     winnow_fingerprints_rows,
     lang_id,
     mean_word_length,
@@ -2157,10 +2160,11 @@ FROM ({ORACLE_WIN_SLIDE})
 
 def q_corpus_assign(spark: SparkSession, sf: str) -> DataFrame:
     """CORPUS-ASSIGN: per-doc corpus assignments in one chained plan —
-    covers CORPUS-SPLIT (split), CORPUS-PACK (n_tok/shard_id), and
-    CORPUS-MIX (in_mix: domain-weighted subsample to a token budget,
-    md5-shuffled selection order)."""
-    from .operators.corpus import mix_sources
+    covers CORPUS-SPLIT (split), CORPUS-PACK (n_tok/shard_id), CORPUS-MIX
+    (in_mix: domain-weighted subsample to a token budget, md5-shuffled
+    selection order), and CORPUS-SAMPLE (in_sample: deterministic
+    exact-fraction stratified sample per source)."""
+    from .operators.corpus import mix_sources, stratified_sample
 
     docs = load(spark, sf, "documents")
     s = split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
@@ -2173,9 +2177,17 @@ def q_corpus_assign(spark: SparkSession, sf: str) -> DataFrame:
         total_tokens=1500,
         token_col="n_tok",
     ).select("doc_id", F.lit(True).alias("in_mix"))
-    return packed.join(mixed, "doc_id", "left").select(
-        "doc_id", "split", "n_tok", "shard_id",
-        F.coalesce(F.col("in_mix"), F.lit(False)).alias("in_mix"),
+    sampled = stratified_sample(docs.select("doc_id", "source"), "source", 0.2).select(
+        "doc_id", F.lit(True).alias("in_sample")
+    )
+    return (
+        packed.join(mixed, "doc_id", "left")
+        .join(sampled, "doc_id", "left")
+        .select(
+            "doc_id", "split", "n_tok", "shard_id",
+            F.coalesce(F.col("in_mix"), F.lit(False)).alias("in_mix"),
+            F.coalesce(F.col("in_sample"), F.lit(False)).alias("in_sample"),
+        )
     )
 
 
@@ -2197,9 +2209,20 @@ m AS (
     JOIN (VALUES ('src0', 750.0), ('src1', 450.0), ('src2', 300.0)) b(source, budget)
       USING (source)
   ) WHERE cb < budget
+),
+samp AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM documents
+  ) WHERE rn <= CEIL(CAST(0.2 AS DOUBLE) * n)
 )
-SELECT s.doc_id, s.split, p.n_tok, p.shard_id, (m.doc_id IS NOT NULL) AS in_mix
+SELECT s.doc_id, s.split, p.n_tok, p.shard_id, (m.doc_id IS NOT NULL) AS in_mix,
+       (samp.doc_id IS NOT NULL) AS in_sample
 FROM s JOIN p ON s.doc_id = p.doc_id LEFT JOIN m ON s.doc_id = m.doc_id
+LEFT JOIN samp ON s.doc_id = samp.doc_id
 """
 
 
@@ -2208,13 +2231,22 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     project (all codegen'd Column exprs, zero Python, zero shuffle) — covers
     TEXT-TOKENS (n_tokens/n_bpe_tokens/n_chars_calc), TEXT-QUALITY
     (punct_ratio/stop_ratio/mean_word_len/quality), TEXT-LANGID
-    (pred_lang), TEXT-FINGERPRINT (fp), TEXT-CLEAN (clean/n_dirty/n_clean).
+    (pred_lang), TEXT-FINGERPRINT (fp), TEXT-CLEAN (clean/n_dirty/n_clean),
+    and TEXT-PII (redacted/pii_* counts over synthetically PII-laced text —
+    the raw corpus contains none by construction).
     TEXT-WINNOW stays separate (row-exploding fingerprint stream)."""
     docs = load(spark, sf, "documents")
     dirty = F.concat(
         F.lit('<p id="x">'), F.col("text"), F.lit("</p> &amp; &lt;b&gt; \t")
     )
     cleaned = clean_text(dirty)
+    pii_src = F.concat(
+        F.col("text"),
+        F.lit(" doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com +1 555-123-4567 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
     return docs.select(
         "doc_id",
         "lang",
@@ -2230,23 +2262,46 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
         cleaned.alias("clean"),
         F.length(dirty).cast("long").alias("n_dirty"),
         F.length(cleaned).cast("long").alias("n_clean"),
+        redact_pii(pii_src).alias("redacted"),
+        *pii_counts(pii_src),
     )
 
+
+
+_PII_SRC_SQL = (
+    "text || ' doc' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com +1 555-123-4567 10.0.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR)"
+)
+_pii_red_sql = "ps"
+for _k, _pat in PII_PATTERNS:
+    _pii_red_sql = f"regexp_replace({_pii_red_sql}, '{_pat}', '[PII]', 'g')"
+_pii_cnt_sql = ", ".join(
+    f"CAST(len(regexp_extract_all(ps, '{_pat}')) AS BIGINT) AS pii_{_k}"
+    for _k, _pat in PII_PATTERNS
+)
+ORACLE_TEXT_PII = f"""
+SELECT doc_id, {_pii_red_sql} AS redacted, {_pii_cnt_sql}
+FROM (SELECT doc_id, {_PII_SRC_SQL} AS ps FROM documents)
+"""
 
 ORACLE_TEXT_PROFILE = f"""
 WITH t_tok AS ({ORACLE_TEXT_TOKENS}),
 t_q AS ({ORACLE_TEXT_QUALITY}),
 t_l AS ({ORACLE_TEXT_LANGID}),
 t_f AS ({ORACLE_TEXT_FINGERPRINT}),
-t_c AS ({ORACLE_TEXT_CLEAN})
+t_c AS ({ORACLE_TEXT_CLEAN}),
+t_p AS ({ORACLE_TEXT_PII})
 SELECT t_tok.doc_id, t_l.lang, t_tok.n_tokens, t_tok.n_bpe_tokens,
        t_tok.n_chars_calc, t_q.punct_ratio, t_q.stop_ratio, t_q.mean_word_len,
-       t_q.quality, t_l.pred_lang, t_f.fp, t_c.clean, t_c.n_dirty, t_c.n_clean
+       t_q.quality, t_l.pred_lang, t_f.fp, t_c.clean, t_c.n_dirty, t_c.n_clean,
+       t_p.redacted, t_p.pii_email, t_p.pii_ip, t_p.pii_phone
 FROM t_tok
 JOIN t_q ON t_tok.doc_id = t_q.doc_id
 JOIN t_l ON t_tok.doc_id = t_l.doc_id
 JOIN t_f ON t_tok.doc_id = t_f.doc_id
 JOIN t_c ON t_tok.doc_id = t_c.doc_id
+JOIN t_p ON t_tok.doc_id = t_p.doc_id
 """
 
 

@@ -183,3 +183,40 @@ def mix_sources(
         .where(F.col("_cum_before") < F.col("_budget"))
         .drop("_cum_before", "_budget")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float | dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic exact-fraction stratified sample: within each stratum,
+    order rows by ``md5(id)`` (a seedless, engine-portable shuffle) and
+    keep the first ``ceil(fraction * n)`` — so every stratum is represented
+    at exactly its target rate, unlike ``df.sample`` whose per-stratum
+    counts are binomial noise. ``fraction`` is one rate, or a per-stratum
+    dict (unlisted strata → dropped).
+
+    Plan shape: ONE window shuffle partitioned by stratum serves both the
+    stratum count and the rank — no second pass, no driver-side count map.
+    Scale note: the per-stratum sort bounds throughput on mega-strata; when
+    exactness isn't required at that size, ``df.sampleBy`` (hash-based,
+    approximate) is the cheaper tier — this operator is the reproducible /
+    auditable one (re-runs and engines agree row-for-row).
+    """
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w_rank = Window.partitionBy(strata_col).orderBy(*order)
+    w_all = Window.partitionBy(strata_col)
+    if isinstance(fraction, dict):
+        frac = F.create_map(
+            *[F.lit(x) for kv in fraction.items() for x in kv]
+        )[F.col(strata_col)]
+    else:
+        frac = F.lit(float(fraction))
+    return (
+        df.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .where(F.col("_rn") <= F.ceil(frac * F.col("_n")))
+        .drop("_rn", "_n")
+    )

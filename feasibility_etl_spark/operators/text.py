@@ -297,6 +297,43 @@ def clean_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+#: PII patterns, applied in this fixed order (emails first so their digit
+#: runs can't be re-matched as phone fragments; IPs before phones for the
+#: same reason). Deliberately RE2-safe: identical semantics under Spark's
+#: Java regex and DuckDB's RE2 (oracle side needs the 'g' flag).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+]
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Per-kind PII match counts on the RAW text, one ``pii_<kind>`` column
+    per pattern. Counts are per-pattern (a string matching two patterns
+    counts in both); redaction below is sequential, so the redacted text is
+    single-pass consistent. Pure ``regexp_count`` — codegen'd, zero Python.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"pii_{kind}")
+        for kind, pat in PII_PATTERNS
+    ]
+
+
+def redact_pii(text: Column | str, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token``, patterns applied in the
+    fixed ``PII_PATTERNS`` order — the scrub a training corpus gets before
+    packing. Chain of ``regexp_replace`` (replace-all on both engines), so
+    the whole scrub stays inside whole-stage codegen; at 100 TB this is a
+    map-only pass with no shuffle and no Python.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

@@ -120,3 +120,34 @@ def test_mix_sources_shuffle_is_deterministic_and_unbiased_vs_prefix(spark):
         for r in mix_sources(df, {"a": 1.0}, 1000, "n_tok", shuffle=False).collect()
     )
     assert prefix == list(range(100))
+
+
+def test_stratified_sample_exact_per_stratum_counts(spark):
+    from feasibility_etl_spark.operators.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 20 else "b") for i in range(25)],
+        "doc_id long, source string",
+    )
+    out = stratified_sample(df, "source", 0.2)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.source, []).append(r.doc_id)
+    assert len(by["a"]) == 4  # ceil(0.2 * 20)
+    assert len(by["b"]) == 1  # ceil(0.2 * 5)
+    # deterministic: same subset on re-run, and not the id prefix
+    again = {(r.source, r.doc_id) for r in stratified_sample(df, "source", 0.2).collect()}
+    assert again == {(s, d) for s, ds in by.items() for d in ds}
+
+
+def test_stratified_sample_per_stratum_dict(spark):
+    from feasibility_etl_spark.operators.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(40)],
+        "doc_id long, source string",
+    )
+    out = stratified_sample(df, "source", {"a": 0.5})
+    rows = out.collect()
+    assert all(r.source == "a" for r in rows)  # unlisted stratum dropped
+    assert len(rows) == 10  # ceil(0.5 * 20)

@@ -162,3 +162,60 @@ def test_chunk_documents_overlap_and_tail_rules(spark):
     assert sorted(c for d, c in out if d == 1) == [0, 1, 2, 3]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_pii_redaction_and_counts(spark):
+    from feasibility_etl_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice@example.com and bob.smith+x@corp.co.uk here"),
+            (2, "host 10.0.0.1 dialed +1 555-123-4567 twice"),
+            (3, "clean text, no identifiers at all"),
+            (4, "overlap 123.456.789.1234 stays ip-then-phone ordered"),
+        ],
+        "id long, text string",
+    )
+    out = df.select("id", redact_pii("text").alias("red"), *pii_counts("text"))
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].pii_email == 2 and rows[1].red == "mail [PII] and [PII] here"
+    assert rows[2].pii_ip == 1 and rows[2].pii_phone == 1
+    assert "[PII]" in rows[2].red and "10.0.0.1" not in rows[2].red
+    assert rows[3].red == "clean text, no identifiers at all"
+    assert rows[3].pii_email == 0
+    # 1234 breaks the ip's trailing \b, so the phone pattern claims the span
+    assert rows[4].pii_ip == 0 and rows[4].pii_phone == 1
+    assert rows[4].red == "overlap 123.[PII] stays ip-then-phone ordered"
+
+
+def test_pii_semantics_match_duckdb_oracle(spark):
+    """The exact regex chain the driver oracle uses, on adversarial strings."""
+    import duckdb
+
+    from feasibility_etl_spark.operators.text import PII_PATTERNS, pii_counts, redact_pii
+
+    samples = [
+        (1, "a@b.io c@d.org 1.2.3.4 999-888-7777 +44 020-7946-0958"),
+        (2, "no-pii &amp; 1.2 12.34.56 aaa@bbb"),
+        (3, "edge .5 255.255.255.255x e@x.co, (555) 123-4567"),
+    ]
+    df = spark.createDataFrame(samples, "id long, text string")
+    got = {
+        r.id: (r.red, r.pii_email, r.pii_ip, r.pii_phone)
+        for r in df.select("id", redact_pii("text").alias("red"), *pii_counts("text")).collect()
+    }
+    con = duckdb.connect()
+    red_sql = "text"
+    for _, pat in PII_PATTERNS:
+        red_sql = f"regexp_replace({red_sql}, '{pat}', '[PII]', 'g')"
+    cnt_sql = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS pii_{kind}"
+        for kind, pat in PII_PATTERNS
+    )
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", samples)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(f"SELECT id, {red_sql}, {cnt_sql} FROM t").fetchall()
+    }
+    assert got == want, (got, want)
