@@ -2162,9 +2162,11 @@ def q_corpus_assign(spark: SparkSession, sf: str) -> DataFrame:
     """CORPUS-ASSIGN: per-doc corpus assignments in one chained plan —
     covers CORPUS-SPLIT (split), CORPUS-PACK (n_tok/shard_id), CORPUS-MIX
     (in_mix: domain-weighted subsample to a token budget, md5-shuffled
-    selection order), and CORPUS-SAMPLE (in_sample: deterministic
-    exact-fraction stratified sample per source)."""
-    from .operators.corpus import mix_sources, stratified_sample
+    selection order), CORPUS-SAMPLE (in_sample: deterministic
+    exact-fraction stratified sample per source), and CORPUS-EPOCH
+    (epoch_pos: seeded global training order via distributed rank —
+    bucket-by-hash-prefix + offsets, no single-partition sort)."""
+    from .operators.corpus import epoch_order, mix_sources, stratified_sample
 
     docs = load(spark, sf, "documents")
     s = split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
@@ -2180,13 +2182,16 @@ def q_corpus_assign(spark: SparkSession, sf: str) -> DataFrame:
     sampled = stratified_sample(docs.select("doc_id", "source"), "source", 0.2).select(
         "doc_id", F.lit(True).alias("in_sample")
     )
+    epochs = epoch_order(docs.select("doc_id"), seed=0).select("doc_id", "epoch_pos")
     return (
         packed.join(mixed, "doc_id", "left")
         .join(sampled, "doc_id", "left")
+        .join(epochs, "doc_id")
         .select(
             "doc_id", "split", "n_tok", "shard_id",
             F.coalesce(F.col("in_mix"), F.lit(False)).alias("in_mix"),
             F.coalesce(F.col("in_sample"), F.lit(False)).alias("in_sample"),
+            "epoch_pos",
         )
     )
 
@@ -2218,11 +2223,18 @@ samp AS (
            COUNT(*) OVER (PARTITION BY source) AS n
     FROM documents
   ) WHERE rn <= CEIL(CAST(0.2 AS DOUBLE) * n)
+),
+ep AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id)
+           - 1 AS epoch_pos
+  FROM documents
 )
 SELECT s.doc_id, s.split, p.n_tok, p.shard_id, (m.doc_id IS NOT NULL) AS in_mix,
-       (samp.doc_id IS NOT NULL) AS in_sample
+       (samp.doc_id IS NOT NULL) AS in_sample, ep.epoch_pos
 FROM s JOIN p ON s.doc_id = p.doc_id LEFT JOIN m ON s.doc_id = m.doc_id
 LEFT JOIN samp ON s.doc_id = samp.doc_id
+JOIN ep ON s.doc_id = ep.doc_id
 """
 
 

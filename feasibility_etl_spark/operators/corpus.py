@@ -220,3 +220,41 @@ def stratified_sample(
         .where(F.col("_rn") <= F.ceil(frac * F.col("_n")))
         .drop("_rn", "_n")
     )
+
+
+def epoch_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Deterministic global training order: ``epoch_pos`` = the row's rank
+    in the ``md5(seed:id)``-shuffled permutation of the corpus — what a
+    data loader consumes to stream one epoch in a reproducible random
+    order (new ``seed`` → new permutation).
+
+    The naive formulation — ``row_number() OVER (ORDER BY hash)`` — is the
+    classic single-partition trap: one task sorts the universe. Here the
+    rank is computed distributed, exploiting that a string's hex prefix
+    orders consistently with the string: bucket rows by the first
+    ``prefix_len`` hex chars of the hash (256 / 4096 buckets), rank within
+    each bucket (one bounded window shuffle), then add per-bucket offsets
+    from a tiny cumulative count that broadcasts back. Global order is
+    exactly ``ORDER BY md5, id`` — same rows, same positions, any cluster
+    size. Raise ``prefix_len`` to 3 at 100 TB so the window shuffle fans
+    over 4096 tasks.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    withb = df.withColumn("_h", h).withColumn("_b", F.substring("_h", 1, prefix_len))
+    w_rank = Window.partitionBy("_b").orderBy("_h", id_col)
+    ranked = withb.withColumn("_rn", F.row_number().over(w_rank))
+    counts = withb.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .withColumn("epoch_pos", (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_h", "_b", "_rn", "_off")
+    )

@@ -151,3 +151,28 @@ def test_stratified_sample_per_stratum_dict(spark):
     rows = out.collect()
     assert all(r.source == "a" for r in rows)  # unlisted stratum dropped
     assert len(rows) == 10  # ceil(0.5 * 20)
+
+
+def test_epoch_order_is_exact_global_rank(spark):
+    from pyspark.sql import Window as W
+
+    from feasibility_etl_spark.operators.corpus import epoch_order
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = epoch_order(df, seed=7)
+    got = {r.doc_id: r.epoch_pos for r in out.collect()}
+    # exact permutation of 0..n-1
+    assert sorted(got.values()) == list(range(500))
+    # equals the single-partition reference formulation
+    ref_df = df.withColumn(
+        "epoch_pos",
+        F.row_number().over(
+            W.orderBy(F.md5(F.concat(F.lit("7:"), F.col("doc_id").cast("string"))),
+                      "doc_id")
+        ) - 1,
+    )
+    ref = {r.doc_id: r.epoch_pos for r in ref_df.collect()}
+    assert got == ref
+    # seeded: a different seed is a different permutation
+    other = {r.doc_id: r.epoch_pos for r in epoch_order(df, seed=8).collect()}
+    assert other != got and sorted(other.values()) == list(range(500))
