@@ -2508,12 +2508,23 @@ WHERE start < n AND (start = 0 OR start + 8 < n)
 def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-ROWS: the row-exploding text ops union-tagged — covers
     TEXT-WINNOW (part='winnow': winnowing fingerprints, fixed-base rolling
-    hash reproduced exactly by the oracle) and TEXT-CHUNK (part='chunk':
+    hash reproduced exactly by the oracle), TEXT-CHUNK (part='chunk':
     context-window chunking, 32-token windows / 8 overlap, no-new-token
-    tails dropped)."""
-    from .operators.text import chunk_documents
+    tails dropped), and TEXT-TOPTERMS (part='topterms': per-language
+    top-10 vocabulary — map-side-combined token counts, per-group window
+    rank, cnt-desc/term-asc tiebreak; lang:term in chunk_text, cnt in
+    n_tok, rank in chunk_id)."""
+    from .operators.text import chunk_documents, top_terms
 
     docs = load(spark, sf, "documents")
+    tt = top_terms(docs, "text", "lang", k=10).select(
+        F.lit("topterms").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("rank").alias("chunk_id"),
+        F.concat("lang", F.lit(":"), "term").alias("chunk_text"),
+        F.col("cnt").alias("n_tok"),
+        F.lit(None).cast("long").alias("fp"),
+    )
     win = winnow_fingerprints_rows(docs).select(
         F.lit("winnow").alias("part"),
         "doc_id",
@@ -2530,7 +2541,7 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
         "n_tok",
         F.lit(None).cast("long").alias("fp"),
     )
-    return win.unionByName(ch)
+    return win.unionByName(ch).unionByName(tt)
 
 
 ORACLE_TEXT_ROWS = f"""
@@ -2541,6 +2552,22 @@ UNION ALL
 SELECT 'chunk' AS part, doc_id, chunk_id, chunk_text, n_tok,
        CAST(NULL AS BIGINT) AS fp
 FROM ({ORACLE_TEXT_CHUNK}) c
+UNION ALL
+SELECT 'topterms' AS part, CAST(NULL AS BIGINT) AS doc_id,
+       rnk AS chunk_id, lang || ':' || term AS chunk_text,
+       cnt AS n_tok, CAST(NULL AS BIGINT) AS fp
+FROM (
+  SELECT lang, term, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk
+  FROM (
+    SELECT lang, term, COUNT(*) AS cnt FROM (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ) GROUP BY lang, term
+  )
+) WHERE rnk <= 10
 """
 
 

@@ -8,8 +8,9 @@ whole-stage codegen with filters pushed to the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Tiny per-language stopword lists for the n-gram/stopword heuristic.
 #: Deliberately small: the operator's job is the *Spark shape* of language
@@ -377,3 +378,39 @@ def chunk_documents(
         ),
         F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start")).cast("long").alias("n_tok"),
     )
+
+
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent tokens, per group or corpus-global — vocabulary
+    building / heavy-hitter inspection over a training corpus.
+
+    Plan shape at scale: the token explode is map-side; the (group, token)
+    count pre-aggregates map-side (partial aggregation) before its single
+    shuffle; the top-k never globally sorts the vocabulary — grouped, it
+    is a window partitioned by group (rank streams per group); global, it
+    is ``orderBy(...).limit(k)``, which Spark executes as
+    TakeOrderedAndProject (per-partition partial top-k, merged on the
+    driver: k rows, not the vocabulary). Ties break by term ascending so
+    re-runs and engines agree. Returns (group?, term, cnt, rank).
+    """
+    toks = tokens(F.col(text_col))
+    keys = [group_col] if group_col else []
+    counts = (
+        df.select(*keys, F.explode(toks).alias("term"))
+        .groupBy(*keys, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("term"))
+        return (
+            counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+        )
+    ordered = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))  # k rows only
+    return ordered.withColumn("rank", F.row_number().over(w).cast("long"))

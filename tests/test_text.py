@@ -219,3 +219,36 @@ def test_pii_semantics_match_duckdb_oracle(spark):
         for r in con.execute(f"SELECT id, {red_sql}, {cnt_sql} FROM t").fetchall()
     }
     assert got == want, (got, want)
+
+
+def test_top_terms_grouped_and_global(spark):
+    from feasibility_etl_spark.operators.text import top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a a a b b c"),
+            (2, "en", "b d"),
+            (3, "fr", "x x y"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = [
+        (r.lang, r.term, r.cnt, r.rank)
+        for r in top_terms(df, "text", "lang", k=2)
+        .orderBy("lang", "rank")
+        .collect()
+    ]
+    assert got == [
+        ("en", "a", 3, 1),
+        ("en", "b", 3, 2),  # tie with a -> term asc
+        ("fr", "x", 2, 1),
+        ("fr", "y", 1, 2),
+    ]
+    top_global = [
+        (r.term, r.cnt, r.rank)
+        for r in top_terms(df, "text", k=3).orderBy("rank").collect()
+    ]
+    assert top_global == [("a", 3, 1), ("b", 3, 2), ("x", 2, 3)]
+    # global path must be TakeOrderedAndProject, not a global sort+window
+    plan = top_terms(df, "text", k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
