@@ -2396,25 +2396,53 @@ def q_sim_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_scd2_apply(spark: SparkSession, sf: str) -> DataFrame:
-    """SCD2-APPLY: bootstrap an SCD2 history from the events log — each
-    user's event_type stream becomes validity intervals (a new version
+    """SCD2-APPLY: the dimension-maintenance writers union-tagged —
+    part='scd2': bootstrap an SCD2 history from the events log (each
+    user's event_type stream becomes validity intervals; a new version
     opens when the type differs null-safely from the previous one; last
-    version per key is open/current). Oracle: lag-filter + lead windows.
+    version per key is open/current; oracle: lag-filter + lead windows;
     version_sk (xxhash64) excluded — no DuckDB twin; pinned in
-    tests/test_scd2.py instead."""
+    tests/test_scd2.py). part='scd1': MERGE-INTO upsert (SCD1-MERGE) —
+    current state from even event_ids, change batch from odd ones
+    (purchase = delete), latest change per key wins."""
+    from .writer.merge import merge_upsert
     from .writer.scd2 import scd2_apply
 
     ev = load(spark, sf, "events")
     hist = scd2_apply(
         ev.select("user_id", "event_type", "ts"), "user_id", ["event_type"], ts_col="ts"
     )
-    return hist.select(
+    scd2 = hist.select(
+        F.lit("scd2").alias("part"),
         "user_id",
         "event_type",
         F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
         "is_current",
     )
+    w_cur = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    current = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .withColumn("_rn", F.row_number().over(w_cur))
+        .where("_rn = 1")
+        .select("user_id", "event_type")
+    )
+    changes = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_type", "ts", "event_id",
+        (F.col("event_type") == "purchase").alias("_del"),
+    )
+    merged = merge_upsert(
+        current, changes, "user_id", order_cols=["ts", "event_id"], delete_col="_del"
+    )
+    scd1 = merged.select(
+        F.lit("scd1").alias("part"),
+        "user_id",
+        "event_type",
+        F.lit(None).cast("string").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+    return scd2.unionByName(scd1)
 
 
 ORACLE_SCD2_APPLY = """
@@ -2433,11 +2461,37 @@ WITH dedup AS (
     FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)
   ) WHERE is_first OR event_type IS DISTINCT FROM prev_type
 )
-SELECT user_id, event_type,
+SELECT 'scd2' AS part, user_id, event_type,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
        strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
        (lead(ts) OVER w IS NULL) AS is_current
 FROM changed WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+UNION ALL
+SELECT 'scd1' AS part, user_id, event_type,
+       CAST(NULL AS VARCHAR) AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+       CAST(NULL AS BOOLEAN) AS is_current
+FROM (
+  WITH cur AS (
+    SELECT user_id, event_type FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 2 = 0
+    ) WHERE rn = 1
+  ), ch AS (
+    SELECT user_id, event_type, (event_type = 'purchase') AS dead FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 2 = 1
+    ) WHERE rn = 1
+  )
+  SELECT COALESCE(ch.user_id, cur.user_id) AS user_id,
+         CASE WHEN ch.user_id IS NOT NULL THEN ch.event_type
+              ELSE cur.event_type END AS event_type
+  FROM cur FULL OUTER JOIN ch ON cur.user_id = ch.user_id
+  WHERE ch.user_id IS NULL OR NOT ch.dead
+)
 """
 
 
