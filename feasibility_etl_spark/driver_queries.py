@@ -1613,10 +1613,31 @@ WHERE k2.doc_id NOT IN (SELECT id_b FROM pairs)
 
 
 def q_emb_quant(spark: SparkSession, sf: str) -> DataFrame:
-    """EMB-QUANT: symmetric int8 scalar quantization of the embedding
-    column, exploded to (vec_id, scale, idx, code) rows — identical
-    floor/scale arithmetic on both engines, full hash check."""
-    return quantize_int8(load(spark, sf, "embeddings"))
+    """EMB-QUANT: the embedding column-math family union-tagged —
+    part='quant': symmetric int8 scalar quantization exploded to
+    (vec_id, scale, idx, code) rows, identical floor/scale arithmetic on
+    both engines; part='centroid' (EMB-CENTROID): per-label mean
+    embeddings via posexplode + map-side-combined (group, idx) aggregation
+    — float-order-proof because the mean sums floor(x*1e6) BIGINTs
+    (exact, associative) and divides back out once."""
+    from .operators.similarity import emb_centroids
+
+    emb = load(spark, sf, "embeddings")
+    quant = quantize_int8(emb).select(
+        F.lit("quant").alias("part"), "vec_id", "scale", "idx", "code",
+        F.lit(None).cast("long").alias("n_vecs"),
+        F.lit(None).cast("double").alias("centroid"),
+    )
+    cent = emb_centroids(emb, "label").select(
+        F.lit("centroid").alias("part"),
+        F.col("label").cast("long").alias("vec_id"),
+        F.lit(None).cast("double").alias("scale"),
+        "idx",
+        F.lit(None).cast("int").alias("code"),
+        "n_vecs",
+        "centroid",
+    )
+    return quant.unionByName(cent)
 
 
 ORACLE_EMB_QUANT = """
@@ -1627,12 +1648,24 @@ WITH scaled AS (
          embedding
   FROM embeddings
 )
-SELECT vec_id, scale,
+SELECT 'quant' AS part, vec_id, scale,
        CAST(u.i - 1 AS INTEGER) AS idx,
        CAST(CASE WHEN scale = 0 THEN 0
                  ELSE floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) / scale + 0.5)
-            END AS INTEGER) AS code
+            END AS INTEGER) AS code,
+       CAST(NULL AS BIGINT) AS n_vecs, CAST(NULL AS DOUBLE) AS centroid
 FROM scaled, unnest(range(1, len(embedding) + 1)) AS u(i)
+UNION ALL
+SELECT 'centroid' AS part, CAST(label AS BIGINT) AS vec_id,
+       CAST(NULL AS DOUBLE) AS scale, idx, CAST(NULL AS INTEGER) AS code,
+       n_vecs, CAST(sq AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0) AS centroid
+FROM (
+  SELECT label, CAST(u.i - 1 AS INTEGER) AS idx, COUNT(*) AS n_vecs,
+         SUM(CAST(floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * 1000000.0)
+                  AS BIGINT)) AS sq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+  GROUP BY label, CAST(u.i - 1 AS INTEGER)
+)
 """
 
 

@@ -778,3 +778,41 @@ def semantic_dedup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def emb_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group embedding centroids → (group, idx, n_vecs, centroid) rows
+    — the array-aggregation primitive behind SemDeDup cluster centers,
+    per-domain mean embeddings, and drift monitoring.
+
+    Plan shape at 100 TB: ``posexplode`` fans each vector into dim rows
+    map-side (no shuffle), then ONE (group, idx) aggregation whose partial
+    combine happens before the shuffle — the wire carries n_groups × dim
+    partial sums, not the corpus.
+
+    Determinism: float summation is order-dependent, so the mean is
+    computed over ``floor(x · id_scale)`` BIGINT summands (exact,
+    associative — same answer under any partial-aggregation order and in
+    any engine) and divided back out once. Centroids are exact to
+    1/id_scale — the repo's cents-BIGINT convention applied to vectors.
+    """
+    ex = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("idx", "_v"),
+    )
+    q = F.floor(F.col("_v").cast("double") * F.lit(float(id_scale))).cast("long")
+    agg = ex.groupBy("grp", "idx").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(q).alias("_sq"),
+    )
+    centroid = F.col("_sq").cast("double") / (
+        F.col("n_vecs").cast("double") * F.lit(float(id_scale))
+    )
+    return agg.select(
+        F.col("grp").alias(group_col), "idx", "n_vecs", centroid.alias("centroid")
+    )

@@ -247,3 +247,33 @@ def test_ivf_build_search_matches_inline_and_prunes_partitions(spark, tmp_path):
     # a second search reuses the index — no retraining required
     again = ivf_search(spark, path, queries, k=10, nprobe=2)
     assert again.count() == served.count()
+
+
+def test_emb_centroids_exact_and_order_independent(spark):
+    from feasibility_etl_spark.operators.similarity import emb_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], "a"),
+            (2, [3.0, 4.0], "a"),
+            (3, [10.0, 20.0], "b"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    got = {
+        (r.label, r.idx): (r.n_vecs, r.centroid)
+        for r in emb_centroids(df, "label").collect()
+    }
+    assert got == {
+        ("a", 0): (2, 2.0),
+        ("a", 1): (2, 3.0),
+        ("b", 0): (1, 10.0),
+        ("b", 1): (1, 20.0),
+    }
+    # order independence: reversed input, repartitioned, same bits
+    rev = df.orderBy(F.desc("vec_id")).repartition(7)
+    got2 = {
+        (r.label, r.idx): (r.n_vecs, r.centroid)
+        for r in emb_centroids(rev, "label").collect()
+    }
+    assert got2 == got
