@@ -163,6 +163,46 @@ def run_denorm_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_rows
 
 
+def run_sessionize_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """Stateful-streaming throughput: the events table replayed as a file
+    stream (4 micro-batches) through the timer-driven sessionizer
+    (applyInPandasWithState, event-time timeout) into a noop sink — the
+    per-key state path under real volume, not just the semantics test."""
+    import shutil
+
+    from feasibility_etl_spark.sources.catalog import load as cat_load
+    from feasibility_etl_spark.streaming.stateful import sessionize_stream
+
+    staging = "/tmp/spark_graft_sess_stage"
+    ckpt = staging + "_ckpt"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    events = cat_load(spark, sf_dir, "events")
+    n_rows = events.count()
+    events.repartition(8).write.mode("overwrite").parquet(staging)
+
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging)
+        .selectExpr("CAST(user_id AS STRING) AS key", "ts")
+    )
+    sessions = sessionize_stream(stream, "key", "ts", gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.time() - t0, n_rows
+
+
 def run_rest_bench(spark, sf_dir: str) -> tuple[float, int]:
     """REST ingest plumbing at volume over an in-memory transport: the
     paged search fans (orders-count / 100) pages out to executors and
@@ -270,6 +310,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error stream-denorm-sink: {e}", file=sys.stderr)
     timings["stream-denorm-sink"] = denorm_s
+    sess_s, n_sess = -1.0, 0
+    try:
+        sess_s, n_sess = run_sessionize_bench(spark, sf_dir)
+        sess_s = round(sess_s, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error stream-sessionize: {e}", file=sys.stderr)
+    timings["stream-sessionize"] = sess_s
     rest_s, n_rest = -1.0, 0
     try:
         rest_s, n_rest = run_rest_bench(spark, sf_dir)
@@ -291,6 +338,9 @@ def main() -> None:
                     round(n_denorm / denorm_s) if denorm_s > 0 else None
                 ),
                 "rest_rows_per_sec": round(n_rest / rest_s) if rest_s > 0 else None,
+                "stream_sessionize_rows_per_sec": (
+                    round(n_sess / sess_s) if sess_s > 0 else None
+                ),
             }
         )
     )

@@ -135,8 +135,12 @@ def sessionize_stream(
             end = hi if end is None else max(end, hi)
             n += len(pdf)
         state.update((start, end, n))
-        # re-arm: fires once the watermark passes last_event + gap
-        state.setTimeoutTimestamp(end + gap_ms)
+        # re-arm: fires once the watermark passes last_event + gap. If that
+        # moment is already behind the watermark (bulk replay / very late
+        # key), the session is closed per event time — clamp to the first
+        # legal instant so it emits at the next micro-batch instead of
+        # throwing INVALID_TIMEOUT_TIMESTAMP.
+        state.setTimeoutTimestamp(max(end + gap_ms, state.getCurrentWatermarkMs() + 1))
 
     return (
         df.withWatermark(ts_col, watermark_delay)
@@ -208,9 +212,13 @@ def sessionize_stream_tws(
                 n += len(pdf)
             self._state.update((start, end, n))
             # re-arm: exactly one live timer per key, at last_event + gap
+            # (clamped past the watermark — same late-replay rule as the
+            # applyInPandasWithState variant)
             for t in self._handle.listTimers():
                 self._handle.deleteTimer(t)
-            self._handle.registerTimer(end + gap_ms)
+            self._handle.registerTimer(
+                max(end + gap_ms, timer_values.getCurrentWatermarkInMs() + 1)
+            )
             return iter(())
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):

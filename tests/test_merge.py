@@ -45,3 +45,30 @@ def test_merge_upsert_broadcasts_small_change_batch(spark):
     out.collect()  # let AQE finalize join strategies
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # untouched-rows pass is map-side
+
+
+def test_merge_upsert_batch_composability(spark):
+    """Applying two change batches in sequence == applying their union once
+    (order_cols totally order the changes) — the property that makes the
+    operator safe to run per-micro-batch behind a stream."""
+    current = spark.createDataFrame(
+        [(i, "base") for i in range(20)], "id long, val string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "x", 10, False), (2, None, 11, True), (3, "y", 12, False)],
+        "id long, val string, ts long, dead boolean",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "z", 20, False), (2, "back", 21, False), (4, None, 22, True)],
+        "id long, val string, ts long, dead boolean",
+    )
+    from feasibility_etl_spark.writer.merge import merge_upsert
+
+    def apply(cur, ch):
+        return merge_upsert(cur, ch, "id", order_cols=["ts"], delete_col="dead")
+
+    seq = apply(apply(current, b1), b2)
+    once = apply(current, b1.unionByName(b2))
+    assert {(r.id, r.val) for r in seq.collect()} == {
+        (r.id, r.val) for r in once.collect()
+    }
