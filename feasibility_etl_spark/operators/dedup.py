@@ -353,24 +353,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component_id").alias("neighbor_label"))
         )
+        new_label = F.least(
+            F.col("component_id"), F.coalesce("neighbor_label", "component_id")
+        )
         updated = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component_id"), F.coalesce("neighbor_label", "component_id")
-                ).alias("component_id"),
+                new_label.alias("component_id"),
+                # fused convergence flag: rides the checkpoint materialization,
+                # so the changed-check below is a filter over cached rows — no
+                # extra per-round join against the previous labels
+                (new_label < F.col("component_id")).alias("_chg"),
             )
         )
         updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .where(F.col("u.component_id") != F.col("l.component_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.where("_chg").limit(1).count()
+        labels = updated.drop("_chg")
         if changed == 0:
             break
     if changed != 0:
