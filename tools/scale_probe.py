@@ -28,6 +28,8 @@ from feasibility_etl_spark.operators.aggregates import worklog_rollup_relational
 from feasibility_etl_spark.quality.gates import filter_by_quantile  # noqa: E402
 from feasibility_etl_spark.session import build_session  # noqa: E402
 from feasibility_etl_spark.sources.catalog import load  # noqa: E402
+from feasibility_etl_spark.operators.similarity import emb_centroids  # noqa: E402
+from feasibility_etl_spark.writer.merge import merge_upsert  # noqa: E402
 from feasibility_etl_spark.writer.scd2 import scd2_apply  # noqa: E402
 
 
@@ -89,6 +91,12 @@ def main() -> None:
             0.5,
             keys=["lang"],
         ),
+        "stratified_sample": lambda d: corpus.stratified_sample(d, "source", 0.2),
+        "epoch_order": lambda d: corpus.epoch_order(d.select("doc_id")),
+        "top_terms": lambda d: text.top_terms(d, "text", "lang", k=20),
+        "pii_scrub": lambda d: d.select(
+            "doc_id", text.redact_pii("text").alias("red"), *text.pii_counts("text")
+        ),
     }
     fact_ops = {
         "worklog_rollup": lambda d: worklog_rollup_relational(
@@ -99,7 +107,24 @@ def main() -> None:
     # the axis an SCD2 dimension actually grows along
     events1 = load(spark, sf_dir, "events")
     eventsN = replicate(events1, "user_id", factor)
+    emb1 = load(spark, sf_dir, "embeddings")
+    embN = replicate(emb1, "vec_id", factor)
+    emb_ops = {
+        "emb_centroids": lambda d: emb_centroids(d, "label"),
+    }
     event_ops = {
+        # change batch stays base-sized (a merge applies a day's changes to
+        # an ever-bigger table) — only the current side scales
+        "merge_upsert": lambda d: merge_upsert(
+            d.select("user_id", "event_type").dropDuplicates(["user_id"]),
+            events1.where(F.col("event_id") % 101 == 0).select(
+                "user_id", "event_type", "ts", "event_id",
+                (F.col("event_type") == "purchase").alias("_del"),
+            ),
+            "user_id",
+            order_cols=["ts", "event_id"],
+            delete_col="_del",
+        ),
         "scd2_apply": lambda d: scd2_apply(
             d.select("user_id", "event_type", "ts"),
             "user_id",
@@ -122,6 +147,16 @@ def main() -> None:
         pair = []
         run(lambda: fn(li1), "base", pair)
         run(lambda: fn(liN), "scaled", pair)
+        t1, tn = pair[0][1], pair[1][1]
+        print(json.dumps({
+            "op": name, "factor": factor, "t_base": round(t1, 2),
+            "t_scaled": round(tn, 2), "ratio": round(tn / t1, 2),
+            "per_row_ratio": round(tn / t1 / factor, 3),
+        }))
+    for name, fn in emb_ops.items():
+        pair = []
+        run(lambda: fn(emb1), "base", pair)
+        run(lambda: fn(embN), "scaled", pair)
         t1, tn = pair[0][1], pair[1][1]
         print(json.dumps({
             "op": name, "factor": factor, "t_base": round(t1, 2),
