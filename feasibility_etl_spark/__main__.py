@@ -5,6 +5,7 @@ into dims + fact → load). A reference user switches by running::
 
     python -m feasibility_etl_spark etl   --sf-dir ... --out /path/star
     python -m feasibility_etl_spark query A-WORKLOG --sf-dir ...
+    python -m feasibility_etl_spark sql "SELECT count(*) FROM orders" --sf-dir ...
     python -m feasibility_etl_spark list
 
 ``etl`` is the full §3.2 write path: wide frame → role-played dim
@@ -143,6 +144,23 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from .sources.catalog import register_views
+
+    spark, reused = _session("sql")
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.sql)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                          "out": args.out}))
+    else:
+        df.show(args.limit, truncate=False)
+    if not reused:
+        spark.stop()
+    return 0
+
+
 def cmd_list(args) -> int:
     from .driver_queries import ALL_ORACLES, ALL_QUERIES
 
@@ -170,6 +188,14 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--limit", type=int, default=20)
     pq.add_argument("--out", default=None)
     pq.set_defaults(fn=cmd_query)
+
+    ps = sub.add_parser("sql", help="ad-hoc Spark SQL over the catalog views")
+    ps.add_argument("sql")
+    ps.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    ps.add_argument("--limit", type=int, default=20)
+    ps.add_argument("--out", default=None)
+    ps.set_defaults(fn=cmd_sql)
 
     pl = sub.add_parser("list", help="list registered query ids")
     pl.set_defaults(fn=cmd_list)

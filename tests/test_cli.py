@@ -39,3 +39,14 @@ def test_query_and_list_commands(tmp_path, capsys):
     assert main(["query", "A-COUNT", "--sf-dir", SF0001, "--out", outp]) == 0
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert got["rows"] == 1
+
+
+def test_sql_command(spark, tmp_path, capsys):
+    outp = str(tmp_path / "sqlout")
+    assert main([
+        "sql",
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1",
+        "--sf-dir", SF0001, "--out", outp,
+    ]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["rows"] == 3
