@@ -78,6 +78,7 @@ from .operators.text import (
     mean_word_length,
     punct_ratio,
     quality_score,
+    repetition_signals,
     stopword_ratio,
     token_count,
 )
@@ -2272,15 +2273,19 @@ JOIN ep ON s.doc_id = ep.doc_id
 
 
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
-    """TEXT-PROFILE: the per-document text-analysis family in ONE scan +
-    project (all codegen'd Column exprs, zero Python, zero shuffle) — covers
+    """TEXT-PROFILE: the per-document text-analysis family — covers
     TEXT-TOKENS (n_tokens/n_bpe_tokens/n_chars_calc), TEXT-QUALITY
     (punct_ratio/stop_ratio/mean_word_len/quality), TEXT-LANGID
     (pred_lang), TEXT-FINGERPRINT (fp), TEXT-CLEAN (clean/n_dirty/n_clean),
-    and TEXT-PII (redacted/pii_* counts over synthetically PII-laced text —
-    the raw corpus contains none by construction).
+    TEXT-PII (redacted/pii_* counts over synthetically PII-laced text —
+    the raw corpus contains none by construction), and TEXT-REPETITION
+    (Gopher-style top{2,3}_frac / dup{2,5}_frac word-n-gram repetition
+    mass). The scalar families stay one scan + project (codegen'd Columns,
+    zero Python, zero shuffle); repetition adds its two doc-keyed
+    aggregations and an id-keyed join back — the only shuffles here.
     TEXT-WINNOW stays separate (row-exploding fingerprint stream)."""
     docs = load(spark, sf, "documents")
+    rep = repetition_signals(docs, top_ns=(2, 3), dup_ns=(2, 5))
     dirty = F.concat(
         F.lit('<p id="x">'), F.col("text"), F.lit("</p> &amp; &lt;b&gt; \t")
     )
@@ -2309,7 +2314,7 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.length(cleaned).cast("long").alias("n_clean"),
         redact_pii(pii_src).alias("redacted"),
         *pii_counts(pii_src),
-    )
+    ).join(rep, "doc_id")
 
 
 
@@ -2330,23 +2335,63 @@ SELECT doc_id, {_pii_red_sql} AS redacted, {_pii_cnt_sql}
 FROM (SELECT doc_id, {_PII_SRC_SQL} AS ps FROM documents)
 """
 
+# TEXT-REPETITION oracle: strict word n-grams per doc (no short-doc
+# fallback), top mass = MAX(cnt*length(gram)) — deterministic without a
+# gram-identity tie-break — and dup mass = SUM over grams with cnt >= 2.
+ORACLE_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_chars, ns.n,
+         array_to_string(ws[i.g:i.g+ns.n-1], ' ') AS gram
+  FROM w, (VALUES (2),(3),(5)) ns(n),
+       LATERAL unnest(generate_series(1, len(ws)-ns.n+1)) i(g)
+),
+c AS (SELECT doc_id, n_chars, n, gram, COUNT(*) AS cnt FROM g GROUP BY ALL),
+a AS (
+  SELECT doc_id, n_chars,
+    MAX(CASE WHEN n=2 THEN cnt*length(gram) END) AS t2,
+    MAX(CASE WHEN n=3 THEN cnt*length(gram) END) AS t3,
+    SUM(CASE WHEN n=2 AND cnt>=2 THEN cnt*length(gram) END) AS d2,
+    SUM(CASE WHEN n=5 AND cnt>=2 THEN cnt*length(gram) END) AS d5
+  FROM c GROUP BY doc_id, n_chars
+)
+SELECT d.doc_id,
+  CASE WHEN coalesce(a.n_chars,0)=0 THEN 0.0
+       ELSE CAST(coalesce(t2,0) AS DOUBLE)/a.n_chars END AS top2_frac,
+  CASE WHEN coalesce(a.n_chars,0)=0 THEN 0.0
+       ELSE CAST(coalesce(t3,0) AS DOUBLE)/a.n_chars END AS top3_frac,
+  CASE WHEN coalesce(a.n_chars,0)=0 THEN 0.0
+       ELSE CAST(coalesce(d2,0) AS DOUBLE)/a.n_chars END AS dup2_frac,
+  CASE WHEN coalesce(a.n_chars,0)=0 THEN 0.0
+       ELSE CAST(coalesce(d5,0) AS DOUBLE)/a.n_chars END AS dup5_frac
+FROM documents d LEFT JOIN a USING (doc_id)
+"""
+
 ORACLE_TEXT_PROFILE = f"""
 WITH t_tok AS ({ORACLE_TEXT_TOKENS}),
 t_q AS ({ORACLE_TEXT_QUALITY}),
 t_l AS ({ORACLE_TEXT_LANGID}),
 t_f AS ({ORACLE_TEXT_FINGERPRINT}),
 t_c AS ({ORACLE_TEXT_CLEAN}),
-t_p AS ({ORACLE_TEXT_PII})
+t_p AS ({ORACLE_TEXT_PII}),
+t_r AS ({ORACLE_TEXT_REPETITION})
 SELECT t_tok.doc_id, t_l.lang, t_tok.n_tokens, t_tok.n_bpe_tokens,
        t_tok.n_chars_calc, t_q.punct_ratio, t_q.stop_ratio, t_q.mean_word_len,
        t_q.quality, t_l.pred_lang, t_f.fp, t_c.clean, t_c.n_dirty, t_c.n_clean,
-       t_p.redacted, t_p.pii_email, t_p.pii_ip, t_p.pii_phone
+       t_p.redacted, t_p.pii_email, t_p.pii_ip, t_p.pii_phone,
+       t_r.top2_frac, t_r.top3_frac, t_r.dup2_frac, t_r.dup5_frac
 FROM t_tok
 JOIN t_q ON t_tok.doc_id = t_q.doc_id
 JOIN t_l ON t_tok.doc_id = t_l.doc_id
 JOIN t_f ON t_tok.doc_id = t_f.doc_id
 JOIN t_c ON t_tok.doc_id = t_c.doc_id
 JOIN t_p ON t_tok.doc_id = t_p.doc_id
+JOIN t_r ON t_tok.doc_id = t_r.doc_id
 """
 
 

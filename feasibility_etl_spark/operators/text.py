@@ -414,3 +414,104 @@ def top_terms(
     ordered = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(k)
     w = Window.orderBy(F.desc("cnt"), F.asc("term"))  # k rows only
     return ordered.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Strict word n-grams of the lower-cased token stream → array<string>.
+
+    Unlike ``dedup.shingles`` there is NO short-document fallback: a
+    document with fewer than ``n`` words yields an empty array, which is
+    what repetition statistics need (a 3-word doc has no 5-gram, duplicated
+    or otherwise). Same zip_with-shifted-arrays build as ``shingles``
+    (one concat per gram, no per-position slice allocation)."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    joined = toks
+    for i in range(2, n + 1):
+        joined = F.zip_with(
+            joined, F.slice(toks, i, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.filter(joined, lambda x: x.isNotNull())
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Per-document repetition statistics — the Gopher-style quality
+    signals (Rae et al. 2021, appendix A1.1) a training-data pipeline uses
+    to drop degenerate/boilerplate text:
+
+    - ``top{n}_frac`` for n in ``top_ns``: character mass of the single
+      most-covering word n-gram — max over grams of
+      ``count * length(gram) / length(text)``. Taking the max of the
+      *product* (not "count of the most frequent gram") makes the statistic
+      deterministic without a tie-break on gram identity.
+    - ``dup{n}_frac`` for n in ``dup_ns``: character mass of all word
+      n-grams occurring more than once —
+      ``sum(count * length(gram)) / length(text)`` over grams with
+      count ≥ 2. Overlapping occurrences are counted with multiplicity
+      (the cheap, join-free accounting every large-scale implementation
+      uses; exact overlap-dedup would need positional self-joins).
+
+    Documents with no n-gram of a given size (or empty text) score 0.0.
+
+    Plan shape at scale: ONE scan — every requested n is built as a tagged
+    struct array and flattened, so a single ``explode`` feeds a single
+    (id, n, gram) count, then one per-doc aggregation; both shuffles are
+    keyed by doc-id-derived keys (no hot keys), partials combine map-side.
+    The final join back to ``df`` is id-keyed and only re-attaches docs
+    with zero grams.
+
+    Reference parity: the reference engine has no corpus-quality layer
+    (schema.sql:22-173 is relational only); this extends the TEXT family
+    per the training-pipeline mandate.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+
+    # NB: the tag lambda must be 1-ary — F.transform feeds a 2-ary lambda
+    # (element, index), which would silently shadow a `n=n` default.
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = [F.transform(word_ngrams(text_col, n), _tag(n)) for n in ns]
+    grams = df.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.explode(F.flatten(F.array(*tagged))).alias("t"),
+    ).select(id_col, "n_chars", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+
+    counts = grams.groupBy(id_col, "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mass = F.col("cnt") * F.length("gram")
+    aggs = [
+        F.max(F.when(F.col("n") == n, mass)).alias(f"_top{n}") for n in top_ns
+    ] + [
+        F.sum(F.when((F.col("n") == n) & (F.col("cnt") >= 2), mass)).alias(f"_dup{n}")
+        for n in dup_ns
+    ]
+    per_doc = counts.groupBy(id_col, "n_chars").agg(*aggs)
+
+    def frac(raw: str) -> Column:
+        return F.when(
+            F.coalesce(F.col("n_chars"), F.lit(0)) == 0, F.lit(0.0)
+        ).otherwise(
+            F.coalesce(F.col(raw), F.lit(0)).cast("double")
+            / F.col("n_chars").cast("double")
+        )
+
+    out_cols = [f"top{n}_frac" for n in top_ns] + [f"dup{n}_frac" for n in dup_ns]
+    raw_cols = [f"_top{n}" for n in top_ns] + [f"_dup{n}" for n in dup_ns]
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            *[frac(raw).alias(out) for raw, out in zip(raw_cols, out_cols)],
+        )
+    )

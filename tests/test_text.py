@@ -252,3 +252,37 @@ def test_top_terms_grouped_and_global(spark):
     # global path must be TakeOrderedAndProject, not a global sort+window
     plan = top_terms(df, "text", k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_signals_hand_computed(spark):
+    from feasibility_etl_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # "ab cd ab cd ab" (14 chars): bigram "ab cd" x2, "cd ab" x2 →
+            # top2 mass = 2*5 = 10; dup2 mass = 2*5 + 2*5 = 20
+            (1, "ab cd ab cd ab"),
+            (2, "unique words only here"),  # no repeats → dup = 0
+            (3, "one"),                     # no bigram at all → all 0
+            (4, ""),                        # empty → all 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in repetition_signals(docs, top_ns=(2,), dup_ns=(2,)).collect()
+    }
+    assert got[1].top2_frac == 10 / 14 and got[1].dup2_frac == 20 / 14
+    # doc 2 has bigrams (longest "unique words" = 12 chars) but none repeated
+    assert got[2].top2_frac == 12 / 22 and got[2].dup2_frac == 0.0
+    assert got[3].top2_frac == 0.0 and got[3].dup2_frac == 0.0
+    assert got[4].top2_frac == 0.0 and got[4].dup2_frac == 0.0
+
+
+def test_word_ngrams_strict_no_short_doc_fallback(spark):
+    from feasibility_etl_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame([("a b c",), ("a b",), ("a",), ("",)], "text string")
+    rows = df.select(word_ngrams("text", 3).alias("g")).collect()
+    assert rows[0].g == ["a b c"]
+    assert rows[1].g == [] and rows[2].g == [] and rows[3].g == []
