@@ -2101,21 +2101,73 @@ FROM events
 
 
 def q_e_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """E-AUDIT: the eager audit summaries in one row — covers E-GATE
-    (n_before/n_after/loss_pct/passed), E-ISOLATE (n_ok/n_rejected), and
-    A-COUNT (n_before IS the orders cardinality, etl.js:253).
+    """E-AUDIT: the quality/audit family union-tagged — part='gate' covers
+    E-GATE (n_before/n_after/loss_pct/passed), E-ISOLATE (n_ok/n_rejected),
+    and A-COUNT (n_before IS the orders cardinality, etl.js:253); rows with
+    part='profile' cover E-PROFILE (one-pass Deequ-style per-column
+    completeness/cardinality/range/mean over orders, quality/profile.py —
+    exact-distinct mode so the oracle can twin it; the 100 TB path flips
+    ``approx_distinct=True`` for a plain HLL++ agg).
 
-    Both sides are driver-built 1-row frames; coalesce(1) keeps the cross
-    join at 1 task instead of default-parallelism²."""
-    return (
+    The profiled projection is hash-deterministic by construction: money
+    as cents-BIGINT, timestamps pre-formatted to strings (see module-head
+    rules); the gate sides are driver-built 1-row frames; coalesce(1)
+    keeps their cross join at 1 task instead of default-parallelism²."""
+    from .quality.profile import profile_columns
+
+    gate = (
         q_e_gate(spark, sf).coalesce(1).crossJoin(q_e_isolate(spark, sf).coalesce(1))
+        .select(F.lit("gate").alias("part"), "*")
     )
+    proj = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+    )
+    prof = profile_columns(proj).select(F.lit("profile").alias("part"), "*")
+    return gate.unionByName(prof, allowMissingColumns=True)
 
+
+def _profile_col_sql(c: str, mean: bool) -> str:
+    mean_sql = (
+        f"CAST(SUM({c}) AS DOUBLE)/COUNT({c})" if mean else "CAST(NULL AS DOUBLE)"
+    )
+    return f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val, CAST(MAX({c}) AS VARCHAR) AS max_val,
+       {mean_sql} AS mean_val
+FROM p"""
+
+
+ORACLE_E_PROFILE = f"""
+WITH p AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_date
+  FROM orders
+)
+{_profile_col_sql("o_orderkey", True)}
+UNION ALL {_profile_col_sql("o_orderstatus", False)}
+UNION ALL {_profile_col_sql("price_cents", True)}
+UNION ALL {_profile_col_sql("o_date", False)}
+"""
 
 ORACLE_E_AUDIT = f"""
-WITH g AS ({ORACLE_E_GATE}), i AS ({ORACLE_E_ISOLATE})
-SELECT g.n_before, g.n_after, g.loss_pct, g.passed, i.n_ok, i.n_rejected
+WITH g AS ({ORACLE_E_GATE}), i AS ({ORACLE_E_ISOLATE}), pr AS ({ORACLE_E_PROFILE})
+SELECT 'gate' AS part, g.n_before, g.n_after, g.loss_pct, g.passed,
+       i.n_ok, i.n_rejected,
+       CAST(NULL AS VARCHAR) AS col_name, CAST(NULL AS BIGINT) AS n_rows,
+       CAST(NULL AS BIGINT) AS n_nulls, CAST(NULL AS BIGINT) AS n_distinct,
+       CAST(NULL AS VARCHAR) AS min_val, CAST(NULL AS VARCHAR) AS max_val,
+       CAST(NULL AS DOUBLE) AS mean_val
 FROM g, i
+UNION ALL
+SELECT 'profile', NULL, NULL, NULL, NULL, NULL, NULL,
+       col_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val
+FROM pr
 """
 
 

@@ -83,3 +83,34 @@ def test_filter_by_quantile_approx_mode(spark):
     # sketch threshold lands within its accuracy bound of the true median
     n_exact, n_approx = exact.count(), approx.count()
     assert abs(n_exact - n_approx) <= 2
+
+
+def test_profile_columns_stats(spark):
+    from feasibility_etl_spark.quality.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None), (2, None, 1.0), (None, "a", 4.0)],
+        "k long, s string, v double",
+    )
+    got = {r.col_name: r for r in profile_columns(df).collect()}
+    assert set(got) == {"k", "s", "v"}
+    k = got["k"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct) == (4, 1, 2)
+    assert (k.min_val, k.max_val) == ("1", "2")
+    assert k.mean_val == (1 + 2 + 2) / 3  # exact integral mean over non-nulls
+    s = got["s"]
+    assert (s.n_nulls, s.n_distinct, s.min_val, s.max_val) == (1, 2, "a", "b")
+    assert s.mean_val is None  # non-integral: no order-dependent double mean
+    assert got["v"].mean_val is None
+
+
+def test_profile_columns_approx_mode_no_expand(spark):
+    from feasibility_etl_spark.quality.profile import profile_columns
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS g")
+    prof = profile_columns(df, approx_distinct=True, rsd=0.01)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # HLL++ keeps the plan a plain partial/final agg
+    got = {r.col_name: r for r in prof.collect()}
+    assert got["g"].n_distinct == 7  # HLL exact at tiny cardinality
+    assert abs(got["id"].n_distinct - 1000) <= 30
