@@ -36,6 +36,8 @@ from .operators.dedup import (
     connected_components,
     exact_dedup,
     exact_dup_groups,
+    incremental_near_dups,
+    minhash_index,
     near_dup_pairs,
     prune_components,
     simhash_candidates,
@@ -2473,9 +2475,13 @@ FROM i JOIN r ON i.media_id = r.media_id
 
 def q_dedup_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """DEDUP-CANDIDATES: hash-banded near-dup candidate pairs union-tagged —
-    covers DEDUP-MINHASH (MinHash+LSH, with verified Jaccard) and
-    DEDUP-SIMHASH (banded SimHash). Rows-only by design: xxhash64
-    signatures have no DuckDB twin; Jaccard/recall pinned in tests."""
+    covers DEDUP-MINHASH (MinHash+LSH, with verified Jaccard), DEDUP-SIMHASH
+    (banded SimHash), and DEDUP-INCR (method='incremental': the even-id half
+    indexed via minhash_index, the odd-id increment served against it with
+    signature-estimated Jaccard — the daily-drop path that never recomputes
+    the corpus; candidate-set parity with batch LSH pinned in
+    tests/test_dedup.py). Rows-only by design: xxhash64 signatures have no
+    DuckDB twin; Jaccard/recall pinned in tests."""
     docs = load(spark, sf, "documents")
     mh = near_dup_pairs(docs, threshold=0.5).select(
         F.lit("minhash").alias("method"), "id_a", "id_b",
@@ -2485,7 +2491,15 @@ def q_dedup_candidates(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("simhash").alias("method"), "id_a", "id_b",
         F.lit(None).cast("double").alias("score"),
     )
-    return mh.unionByName(sh).orderBy("method", "id_a", "id_b")
+    inc = incremental_near_dups(
+        docs.where("doc_id % 2 = 1"),
+        minhash_index(docs.where("doc_id % 2 = 0")),
+        threshold=0.5,
+    ).select(
+        F.lit("incremental").alias("method"), "id_a", "id_b",
+        F.col("est_jaccard").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(inc).orderBy("method", "id_a", "id_b")
 
 
 def q_sim_ann(spark: SparkSession, sf: str) -> DataFrame:

@@ -403,3 +403,105 @@ def prune_components(
         F.col("doc_id").alias(id_col)
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Self-contained per-doc MinHash index: ``(id, sig, band_hashes)``.
+
+    The persistable artifact of the LSH family — ONE row per document
+    (``sig`` = the k-minhash array, ``band_hashes`` = one xxhash64 per
+    band), so a 1B-doc index is ~(k+bands)×8 B/doc with no per-band row
+    duplication. ``incremental_near_dups`` explodes the band column at
+    serve time (cheap, map-side) instead of storing the index exploded;
+    column pruning means a serve scan reads ``sig`` only for the ids that
+    actually reach the estimation join. Persist with a plain parquet
+    write (or exploded + ``write_bucketed`` on band_hash to pre-pay the
+    candidate-join shuffle when the increment:corpus ratio is tiny).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_hashes = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(bands)
+    ]
+    return sig.select(
+        id_col,
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        F.array(*band_hashes).alias("band_hashes"),
+    )
+
+
+def est_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Jaccard estimate from two minhash signature arrays: the fraction of
+    agreeing components (unbiased, stderr ≈ 1/sqrt(k))."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda z: z))
+    return agree.cast("double") / F.size(sig_a).cast("double")
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs for an increment WITHOUT recomputing the corpus —
+    the daily-drop serve path over a persisted ``minhash_index``.
+
+    Returns ``(id_a, id_b, est_jaccard)`` (id_a < id_b) for every pair
+    with ≥1 new document: new-vs-indexed via a (band, band_hash) join of
+    the increment's bands against the exploded index, plus new-vs-new via
+    the same key self-joined within the increment. Candidates verify with
+    the signature-estimated Jaccard (the index does not retain shingles;
+    k=32 gives ±0.18 at 95% — pass ``threshold=None`` for the raw
+    candidate set, e.g. to re-verify exactly against the source texts).
+
+    Ids must be disjoint between index and increment (re-ingest dedupes
+    to one pair row via the candidate ``distinct()``).
+
+    100 TB shape: the increment side of the candidate join is tiny vs the
+    index, so AQE broadcasts it and the index scan never shuffles; the
+    estimation join is id-keyed against only the candidate ids. Build
+    params (num_hashes, bands, shingle_n) must match the index's.
+    """
+    new_idx = minhash_index(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
+
+    def banded(ix: DataFrame) -> DataFrame:
+        return ix.select(
+            F.col(id_col).alias("id"),
+            F.posexplode("band_hashes").alias("band", "band_hash"),
+        )
+
+    nb, ob = banded(new_idx), banded(index)
+    vs_old = nb.alias("n").join(
+        ob.alias("o"),
+        (F.col("n.band") == F.col("o.band"))
+        & (F.col("n.band_hash") == F.col("o.band_hash")),
+    ).select(
+        F.least("n.id", "o.id").alias("id_a"), F.greatest("n.id", "o.id").alias("id_b")
+    )
+    vs_new = nb.alias("x").join(
+        nb.alias("y"),
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.band_hash") == F.col("y.band_hash"))
+        & (F.col("x.id") < F.col("y.id")),
+    ).select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    cands = vs_old.unionByName(vs_new).distinct()
+
+    sigs = index.unionByName(new_idx).select(F.col(id_col).alias("id"), "sig")
+    out = (
+        cands.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select("id_a", "id_b", est_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"))
+    )
+    return out if threshold is None else out.where(F.col("est_jaccard") >= threshold)

@@ -9,10 +9,15 @@ from feasibility_etl_spark.operators.dedup import (
     blocked_jaccard_pairs,
     exact_dedup,
     exact_dup_groups,
+    incremental_near_dups,
     minhash_candidates,
+    minhash_index,
     near_dup_pairs,
     simhash_candidates,
 )
+from feasibility_etl_spark.sources.catalog import load
+
+from conftest import SF0001
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat watches the "
@@ -146,3 +151,46 @@ def test_prune_components_keeps_representatives_and_singletons(spark):
     kept = sorted(r.doc_id for r in prune_components(corpus, pairs).collect())
     # {1,2,3,5} form one near-dup component (keeper 1); 4 is untouched
     assert kept == [1, 4]
+
+
+class TestIncrementalMinhash:
+    def test_candidates_match_batch_lsh_on_union_corpus(self, spark):
+        docs = load(spark, SF0001, "documents")
+        old = docs.where("doc_id % 2 = 0")
+        new = docs.where("doc_id % 2 = 1")
+        idx = minhash_index(old)
+        inc = {
+            (r.id_a, r.id_b)
+            for r in incremental_near_dups(new, idx, threshold=None).collect()
+        }
+        batch = minhash_candidates(docs)
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        expected = {
+            (r.id_a, r.id_b)
+            for r in batch.collect()
+            if r.id_a in new_ids or r.id_b in new_ids
+        }
+        assert inc == expected  # same banding -> exactly the same candidates
+
+    def test_identical_cross_batch_doc_estimates_one(self, spark):
+        old = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(2, "alpha beta gamma delta epsilon zeta eta theta"),
+             (3, "completely different words about other things entirely now")],
+            "doc_id long, text string",
+        )
+        rows = incremental_near_dups(new, minhash_index(old), threshold=0.9).collect()
+        assert [(r.id_a, r.id_b, r.est_jaccard) for r in rows] == [(1, 2, 1.0)]
+
+    def test_index_roundtrips_through_parquet(self, spark, tmp_path):
+        docs = load(spark, SF0001, "documents")
+        old = docs.where("doc_id % 2 = 0")
+        new = docs.where("doc_id % 2 = 1")
+        path = str(tmp_path / "mh_index")
+        minhash_index(old).write.parquet(path)
+        served = incremental_near_dups(new, spark.read.parquet(path))
+        direct = incremental_near_dups(new, minhash_index(old))
+        assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
