@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "PIPE-EVENTS",
     "TEXT-WINNOW",
     "SCD2-APPLY",
+    "TEXT-REPETITION",
+    "E-PROFILE",
+    "DEDUP-INCR",
 ]
 
 

@@ -2883,6 +2883,38 @@ ORACLES: dict[str, str] = {
     "SIM-TOPK": ORACLE_SIM_TOPK,
 }
 
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-REPETITION granular: Gopher-style repetition mass per doc."""
+    return repetition_signals(
+        load(spark, sf, "documents"), top_ns=(2, 3), dup_ns=(2, 5)
+    )
+
+
+def q_e_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """E-PROFILE granular: one-pass column profiling of the deterministic
+    orders projection (see q_e_audit for the hash rules)."""
+    from .quality.profile import profile_columns
+
+    proj = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+    )
+    return profile_columns(proj)
+
+
+def q_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-INCR granular: odd-id increment served against the even-id
+    minhash index (rows-only: xxhash signatures)."""
+    docs = load(spark, sf, "documents")
+    return incremental_near_dups(
+        docs.where("doc_id % 2 = 1"),
+        minhash_index(docs.where("doc_id % 2 = 0")),
+        threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
 # The GRANULAR registry: one entry per original singleton op, kept for
 # bench.py (stable per-query timings vs BENCH_r01), tools/audit_plans.py,
 # and local per-op debugging. The driver sees only QUERIES/ORACLES above.
@@ -2925,6 +2957,9 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "VIEW-IDIOMATIC": q_view_idiomatic,
     "TEXT-CHUNK": q_text_chunk,
     "TEXT-WINNOW": q_text_winnow,
+    "TEXT-REPETITION": q_text_repetition,
+    "E-PROFILE": q_e_profile,
+    "DEDUP-INCR": q_dedup_incr,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -2960,4 +2995,6 @@ ALL_ORACLES: dict[str, str] = {
     "VIEW-IDIOMATIC": ORACLE_VIEW_IDIOMATIC,
     "TEXT-CHUNK": ORACLE_TEXT_CHUNK,
     "TEXT-WINNOW": ORACLE_TEXT_WINNOW,
+    "TEXT-REPETITION": ORACLE_TEXT_REPETITION,
+    "E-PROFILE": ORACLE_E_PROFILE,
 }
