@@ -206,6 +206,37 @@ def run_sessionize_bench(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_rows
 
 
+def run_dedup_gate_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """Streaming near-dup gate at bench SF: the documents table replayed as
+    a 4-micro-batch file stream through near_dup_gate_sink — every batch
+    runs the full incremental-MinHash gate against the index accumulated by
+    the previous batches and appends survivors to corpus + index, all
+    executor-side."""
+    import shutil
+
+    from feasibility_etl_spark.sources.catalog import load as cat_load
+    from feasibility_etl_spark.streaming.dedup_gate import near_dup_gate_sink
+
+    staging = "/tmp/spark_graft_gate_stage"
+    ckpt = staging + "_ckpt"
+    out = staging + "_out"
+    for p in (staging, ckpt, out):
+        shutil.rmtree(p, ignore_errors=True)
+    docs = cat_load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_rows = docs.count()
+    docs.repartition(8).write.mode("overwrite").parquet(staging)
+
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging)
+    )
+    q = near_dup_gate_sink(stream, out, ckpt)
+    q.awaitTermination()
+    return time.time() - t0, n_rows
+
+
 def run_rest_bench(spark, sf_dir: str) -> tuple[float, int]:
     """REST ingest plumbing at volume over an in-memory transport: the
     paged search fans (orders-count / 100) pages out to executors and
@@ -327,6 +358,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error rest-ingest: {e}", file=sys.stderr)
     timings["rest-ingest"] = rest_s
+    gate_s, n_gate = -1.0, 0
+    try:
+        gate_s, n_gate = run_dedup_gate_bench(spark, sf_dir)
+        gate_s = round(gate_s, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error stream-dedup-gate: {e}", file=sys.stderr)
+    timings["stream-dedup-gate"] = gate_s
 
     print(
         json.dumps(
@@ -343,6 +381,9 @@ def main() -> None:
                 "rest_rows_per_sec": round(n_rest / rest_s) if rest_s > 0 else None,
                 "stream_sessionize_rows_per_sec": (
                     round(n_sess / sess_s) if sess_s > 0 else None
+                ),
+                "stream_dedup_gate_rows_per_sec": (
+                    round(n_gate / gate_s) if gate_s > 0 else None
                 ),
             }
         )

@@ -1,0 +1,143 @@
+"""Streaming near-duplicate gate — incremental MinHash dedup at ingest.
+
+The streaming completion of ``operators.dedup.incremental_near_dups``: a
+``foreachBatch`` sink where every micro-batch of new documents is checked
+against the persisted MinHash index, near-dups are discarded, and the
+survivors are appended to BOTH the accepted corpus and the index — so the
+next batch (and the next job) dedups against everything accepted so far.
+
+This is the ingest shape of a training-data pipeline: documents arrive
+continuously, and the corpus downstream must stay near-dup-free without
+ever recomputing it.
+
+Scale/durability posture (same rules as ``denormalizing_sink``):
+
+- Nothing is collected to the driver. The batch is gated with the same
+  bucketed LSH joins as the batch operator; survivors land via a normal
+  executor-side parquet write.
+- Writes are idempotent under micro-batch replay: each batch overwrites
+  its OWN partition directory (``.../batch_id=N``), so a retried batch
+  replaces — never duplicates — its output. The corpus and index are the
+  partition-discovered unions of those directories.
+- The index read per batch is pruned to ``band_hashes`` until the
+  estimation join needs ``sig`` for candidate ids only (column pruning).
+
+Drop policy (deterministic, conservative): a new document is discarded if
+it near-dups ANY already-accepted document, or any batch-mate with a
+smaller id. Chains inside one batch (a~b~c, a<b<c, no a~c pair) drop both
+b and c — the same sequential-discard closure CCNet applies; use the batch
+``connected_components`` + ``prune_components`` pass instead when
+keep-one-per-component semantics matter more than ingest latency.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import incremental_near_dups, minhash_index
+
+
+def _read_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The accepted-so-far index: union of every batch's partition dir.
+    Empty-but-typed frame before the first batch commits."""
+    if os.path.isdir(index_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(index_dir)
+    ):
+        return spark.read.parquet(index_dir).drop("batch_id")
+    return spark.createDataFrame(
+        [], "doc_id long, sig array<bigint>, band_hashes array<bigint>"
+    )
+
+
+def gate_batch(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Pure gating step: the subset of ``batch`` that survives near-dup
+    checks against ``index`` and smaller-id batch-mates. Usable directly
+    for batch backfills; the streaming sink wraps it per micro-batch."""
+    pairs = incremental_near_dups(
+        batch, index, text_col, id_col, threshold, num_hashes, bands, shingle_n
+    )
+    new_ids = batch.select(F.col(id_col).alias("nid"))
+    flagged = (
+        pairs.join(
+            new_ids.select(F.col("nid").alias("id_a"), F.lit(True).alias("a_new")),
+            "id_a",
+            "left",
+        )
+        .join(
+            new_ids.select(F.col("nid").alias("id_b"), F.lit(True).alias("b_new")),
+            "id_b",
+            "left",
+        )
+        .select(
+            F.coalesce("a_new", F.lit(False)).alias("a_new"),
+            F.coalesce("b_new", F.lit(False)).alias("b_new"),
+            "id_a",
+            "id_b",
+        )
+    )
+    # both new -> drop the greater id; one new -> drop the new side
+    drops = flagged.select(
+        F.when(F.col("a_new") & F.col("b_new"), F.col("id_b"))
+        .when(F.col("a_new") & ~F.col("b_new"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias(id_col)
+    ).distinct()
+    return batch.join(drops, id_col, "left_anti")
+
+
+def near_dup_gate_sink(
+    docs_stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Start the gate as a ``foreachBatch`` streaming query.
+
+    Layout under ``base_dir``: ``docs/batch_id=N`` (accepted documents)
+    and ``index/batch_id=N`` (their MinHash index rows). The index written
+    for batch N is computed from the batch's *written* survivors read back
+    from parquet — one extra narrow scan instead of re-running the gating
+    joins, and the write stays executor-side.
+    """
+    docs_dir = os.path.join(base_dir, "docs")
+    index_dir = os.path.join(base_dir, "index")
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        index = _read_index(spark, index_dir)
+        survivors = gate_batch(
+            batch, index, text_col, id_col, threshold, num_hashes, bands, shingle_n
+        )
+        dst = os.path.join(docs_dir, f"batch_id={batch_id}")
+        survivors.write.mode("overwrite").parquet(dst)
+        accepted = spark.read.parquet(dst)
+        minhash_index(accepted, text_col, id_col, num_hashes, bands, shingle_n).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
