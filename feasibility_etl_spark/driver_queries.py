@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from .functions.scalar import delta_pair, hrs_to_sec, jira_ts, pct_change_abs, pct_diff
-from .operators.aggregates import horizontal_sum
+from .operators.aggregates import horizontal_sum, multilevel_agg
 from .operators.dedup import (
     blocked_jaccard_pairs,
     connected_components,
@@ -1505,10 +1505,15 @@ JOIN (VALUES ('A', 'async'), ('N', 'none'), ('R', 'returned'))
 
 
 def q_a_salted(spark: SparkSession, sf: str) -> DataFrame:
-    """A-SALTED: two-stage salted aggregation over the same skewed key;
-    algebraic partial/final split → identical to the one-shot groupBy."""
+    """A-SALTED: the beyond-plain-groupBy aggregation strategies
+    union-tagged — part='salted' covers the two-stage salted aggregation
+    over the skewed key (algebraic partial/final split → identical to the
+    one-shot groupBy); part='rollup'/'cube' cover A-MULTILEVEL (OLAP
+    grouping sets: hierarchy / all-subsets totals in ONE Expand-based
+    pass, levels tagged with grouping_id — same bitmask convention as
+    DuckDB GROUPING())."""
     li = load(spark, sf, "lineitem")
-    return salted_agg(
+    salted = salted_agg(
         li,
         ["l_returnflag"],
         partial_aggs=[
@@ -1521,13 +1526,44 @@ def q_a_salted(spark: SparkSession, sf: str) -> DataFrame:
         ],
         salt_col="l_orderkey",
         n_salts=16,
+    ).select(
+        F.lit("salted").alias("part"),
+        "l_returnflag",
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(None).cast("long").alias("gid"),
+        "n_items",
+        "price_cents",
     )
+    lvl_aggs = [
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_cents("l_extendedprice")).cast("long").alias("price_cents"),
+    ]
+    levels = [
+        multilevel_agg(li, ["l_returnflag", "l_linestatus"], lvl_aggs, mode=m).select(
+            F.lit(m).alias("part"), "l_returnflag", "l_linestatus", "gid",
+            "n_items", "price_cents",
+        )
+        for m in ("rollup", "cube")
+    ]
+    return salted.unionByName(levels[0]).unionByName(levels[1])
+
+
+def _multilevel_sql(mode: str) -> str:
+    return f"""
+SELECT '{mode}' AS part, l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_items,
+       {_sum_cents_sql("l_extendedprice", "price_cents")}
+FROM lineitem GROUP BY {mode.upper()} (l_returnflag, l_linestatus)"""
 
 
 ORACLE_A_SALTED = f"""
-SELECT l_returnflag, COUNT(*) AS n_items,
+SELECT 'salted' AS part, l_returnflag, CAST(NULL AS VARCHAR) AS l_linestatus,
+       CAST(NULL AS BIGINT) AS gid, COUNT(*) AS n_items,
        {_sum_cents_sql("l_extendedprice", "price_cents")}
 FROM lineitem GROUP BY l_returnflag
+UNION ALL {_multilevel_sql("rollup")}
+UNION ALL {_multilevel_sql("cube")}
 """
 
 

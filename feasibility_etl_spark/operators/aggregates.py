@@ -102,3 +102,35 @@ def horizontal_sum(
     # one simultaneous projection: every expression resolves against the
     # ORIGINAL columns (a sequential withColumn chain would convert twice)
     return df.withColumns({**converted, total_col: total})
+
+
+def multilevel_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    mode: str = "rollup",
+    gid_col: str = "gid",
+) -> DataFrame:
+    """OLAP multi-level aggregation: ROLLUP / CUBE / plain GROUPING SETS
+    levels in ONE pass, tagged with ``grouping_id``.
+
+    ``mode='rollup'`` produces the hierarchy prefixes (k1,k2), (k1), ();
+    ``mode='cube'`` every key subset. ``gid_col`` carries
+    ``F.grouping_id()`` (bitmask, first key = MSB — the same convention as
+    DuckDB/Postgres ``GROUPING(...)``) so subtotal rows are
+    distinguishable from genuine-NULL key rows.
+
+    Scale shape: Catalyst plans one scan + one Expand (one branch per
+    grouping set) + ONE partial/final hash aggregate — the shuffle carries
+    (#groups × #sets) pre-combined rows, not input×sets; vs running N
+    separate groupBys this reads and shuffles the fact exactly once. For
+    high-cardinality leaf keys at 100 TB prefer ``mode='rollup'`` (N+1
+    sets) over cube's 2^N.
+    """
+    if mode == "rollup":
+        grouped = df.rollup(*keys)
+    elif mode == "cube":
+        grouped = df.cube(*keys)
+    else:
+        raise ValueError(f"mode must be 'rollup' or 'cube', got {mode!r}")
+    return grouped.agg(F.grouping_id().cast("long").alias(gid_col), *aggs)

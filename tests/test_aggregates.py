@@ -89,3 +89,32 @@ def test_horizontal_sum_null_coalesces(spark):
     [r] = horizontal_sum(df, ["a", "b"], "total").collect()
     assert r.total == 7200.0
     assert r.a == 0.0
+
+
+def test_multilevel_rollup_matches_stacked_groupbys(spark):
+    from feasibility_etl_spark.operators.aggregates import multilevel_agg
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4), ("a", "x", 8)],
+        "k1 string, k2 string, v long",
+    )
+    out = multilevel_agg(df, ["k1", "k2"], [F.sum("v").alias("s")], mode="rollup")
+    got = {(r.k1, r.k2, r.gid): r.s for r in out.collect()}
+    assert got == {
+        ("a", "x", 0): 9, ("a", "y", 0): 2, ("b", "x", 0): 4,   # leaves
+        ("a", None, 1): 11, ("b", None, 1): 4,                   # k1 subtotals
+        (None, None, 3): 15,                                     # grand total
+    }
+    cube = multilevel_agg(df, ["k1", "k2"], [F.sum("v").alias("s")], mode="cube")
+    extra = {(r.k1, r.k2, r.gid): r.s for r in cube.collect() if r.gid == 2}
+    assert extra == {(None, "x", 2): 13, (None, "y", 2): 2}      # k2-only sets
+
+
+def test_multilevel_is_single_expand_single_agg_pass(spark):
+    from feasibility_etl_spark.operators.aggregates import multilevel_agg
+
+    df = spark.range(100).selectExpr("id % 3 AS k1", "id % 5 AS k2", "id AS v")
+    out = multilevel_agg(df, ["k1", "k2"], [F.sum("v").alias("s")], mode="cube")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1          # one branch-per-set expand
+    assert plan.count("Exchange") == 1        # one shuffle, partials map-side
