@@ -44,6 +44,7 @@ from .operators.dedup import (
 )
 from .operators.joins import (
     asof_join,
+    interval_overlap_join,
     range_join,
     attach_detail,
     dim_join,
@@ -1756,11 +1757,19 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
 
 
 def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
-    """J-RANGE: interval-containment join — every 20th event anchors a
-    2-hour window [ts, ts+2h]; count/sum the user's other events inside it.
-    Runs as the bucketed equi-join (1-hour buckets → each interval fans out
-    to ≤3 bucket rows) with the exact BETWEEN post-filter — never a
-    nested-loop. Sums in cents-BIGINT per the oracle parity rules."""
+    """J-RANGE: the inequality-join family union-tagged, both shapes
+    bucketed equi-joins (never a nested-loop):
+
+    part='contain' — interval-containment: every 20th event anchors a
+    2-hour window [ts, ts+2h]; count/sum the user's other events inside
+    it (1-hour buckets → each interval fans out to ≤3 bucket rows, exact
+    BETWEEN post-filter). Sums in cents-BIGINT per the oracle rules.
+
+    part='overlap' — J-OVERLAP, interval-vs-interval: the same anchors'
+    2-hour windows overlap-joined (per user) against the 10-offset
+    anchors' 1-hour windows; both sides explode into buckets, pairs emit
+    exactly once via the bucket-of-max-start rule, exact overlap
+    post-filter; reports the pair and its overlap seconds."""
     ev = load(spark, sf, "events")
     anchors = ev.where(F.col("event_id") % 20 == 0).select(
         F.col("event_id").alias("anchor_id"),
@@ -1775,22 +1784,59 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
         anchors, others, start="w_start", end="w_end", right_ts="ts",
         on="user_id", bucket="1 hour",
     )
-    return joined.groupBy("anchor_id", "user_id").agg(
+    contain = joined.groupBy("anchor_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_in_window"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    ).select(
+        F.lit("contain").alias("part"), "anchor_id", "user_id",
+        "n_in_window", "value_cents",
+        F.lit(None).cast("long").alias("b_id"),
+        F.lit(None).cast("long").alias("overlap_sec"),
     )
+    b_side = ev.where(F.col("event_id") % 20 == 10).select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("b_end"),
+    )
+    overlap = interval_overlap_join(
+        anchors, b_side, "w_start", "w_end", "b_start", "b_end",
+        on="user_id", bucket="1 hour",
+    ).select(
+        F.lit("overlap").alias("part"), "anchor_id", "user_id",
+        F.lit(None).cast("long").alias("n_in_window"),
+        F.lit(None).cast("long").alias("value_cents"),
+        "b_id",
+        (
+            F.unix_timestamp(F.least("w_end", "b_end"))
+            - F.unix_timestamp(F.greatest("w_start", "b_start"))
+        ).alias("overlap_sec"),
+    )
+    return contain.unionByName(overlap)
 
 
 ORACLE_RANGE_JOIN = r"""
-SELECT a.event_id AS anchor_id, a.user_id,
+SELECT 'contain' AS part, a.event_id AS anchor_id, a.user_id,
        COUNT(*) AS n_in_window,
-       SUM(CAST(FLOOR(o.value * 100) AS BIGINT)) AS value_cents
+       SUM(CAST(FLOOR(o.value * 100) AS BIGINT)) AS value_cents,
+       CAST(NULL AS BIGINT) AS b_id, CAST(NULL AS BIGINT) AS overlap_sec
 FROM events a
 JOIN events o
   ON o.user_id = a.user_id
  AND o.ts BETWEEN a.ts AND a.ts + INTERVAL 2 HOURS
 WHERE a.event_id % 20 = 0 AND o.event_id % 20 <> 0
-GROUP BY 1, 2
+GROUP BY 2, 3
+UNION ALL
+SELECT 'overlap', a.event_id, a.user_id, NULL, NULL,
+       b.event_id AS b_id,
+       CAST(FLOOR(epoch(least(a.ts + INTERVAL 2 HOURS, b.ts + INTERVAL 1 HOUR)))
+            - FLOOR(epoch(greatest(a.ts, b.ts))) AS BIGINT) AS overlap_sec
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND a.ts <= b.ts + INTERVAL 1 HOUR
+ AND b.ts <= a.ts + INTERVAL 2 HOURS
+WHERE a.event_id % 20 = 0 AND b.event_id % 20 = 10
 """
 
 

@@ -302,3 +302,63 @@ def range_join(
         .where(F.col(right_ts).between(F.col(start), F.col(end)))
         .drop("_rb")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    on: str | None = None,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval-overlap join: pair every left interval with every right
+    interval it overlaps (inclusive endpoints: ``l_start <= r_end AND
+    r_start <= l_end``), optionally under an equality key ``on``.
+
+    Same bucketed strategy as ``range_join``, generalized to
+    interval-vs-interval: BOTH sides explode into the coarse buckets they
+    span and the join is an EQUI-join on (key, bucket) with the exact
+    overlap predicate as a post-filter. An overlapping pair shares every
+    bucket in the overlap span, so rows are emitted exactly once via the
+    bucket-of-max-start condition (the pair is kept only in the bucket
+    containing ``greatest(l_start, r_start)``) — no distinct() pass, no
+    duplicate-carrying shuffle. Tune ``bucket`` to the typical interval
+    length (fan-out ≈ span/bucket + 1 per side); shuffle carries the
+    exploded rows, never a cross product — Spark's native plan for a pure
+    inequality join is a broadcast-nested-loop, unusable at scale.
+
+    Column names must be disjoint (except ``on``); returns left.* +
+    right.* minus the bucket key.
+    """
+    span = F.expr(f"INTERVAL {bucket}")
+    base = F.to_timestamp(F.lit("2000-01-03 00:00:00"))  # DST-free Monday
+    b_width = F.unix_timestamp(base + span) - F.unix_timestamp(base)
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_ob",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / b_width),
+                    F.floor(F.unix_timestamp(F.col(e)) / b_width),
+                )
+            ),
+        )
+
+    keys = ["_ob"] if on is None else [on, "_ob"]
+    emit_bucket = F.floor(
+        F.unix_timestamp(F.greatest(F.col(l_start), F.col(r_start))) / b_width
+    )
+    return (
+        bucketed(left, l_start, l_end)
+        .join(bucketed(right, r_start, r_end), keys)
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_ob") == emit_bucket)
+        )
+        .drop("_ob")
+    )

@@ -243,3 +243,60 @@ def test_range_join_matches_naive_and_avoids_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_matches_naive_emits_once(spark):
+    from datetime import datetime as dt, timedelta
+
+    from feasibility_etl_spark.operators.joins import interval_overlap_join
+
+    base = dt(2024, 3, 1, 0, 0)
+    # long (multi-bucket) intervals: overlapping pairs share MANY 1-hour
+    # buckets, so this fails if the emit-once rule double-counts
+    left = spark.createDataFrame(
+        [
+            (i, f"u{i % 2}", base + timedelta(minutes=50 * i),
+             base + timedelta(minutes=50 * i + 300))
+            for i in range(10)
+        ],
+        "lid long, user string, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (j, f"u{j % 2}", base + timedelta(minutes=70 * j),
+             base + timedelta(minutes=70 * j + 200))
+            for j in range(10)
+        ],
+        "rid long, user string, r_start timestamp, r_end timestamp",
+    )
+    out = interval_overlap_join(
+        left, right, "l_start", "l_end", "r_start", "r_end",
+        on="user", bucket="1 hour",
+    )
+    got = [(r.lid, r.rid) for r in out.collect()]
+    assert len(got) == len(set(got))  # exactly-once per pair
+    naive = {
+        (r.lid, r.rid)
+        for r in left.join(right, "user")
+        .where(
+            (F.col("l_start") <= F.col("r_end"))
+            & (F.col("r_start") <= F.col("l_end"))
+        )
+        .collect()
+    }
+    assert set(got) == naive and len(naive) > 0
+
+    # touching endpoints are inclusive
+    a = spark.createDataFrame(
+        [(1, base, base + timedelta(hours=1))], "lid long, l_start timestamp, l_end timestamp"
+    )
+    b = spark.createDataFrame(
+        [(1, base + timedelta(hours=1), base + timedelta(hours=2)),
+         (2, base + timedelta(hours=1, seconds=1), base + timedelta(hours=2))],
+        "rid long, r_start timestamp, r_end timestamp",
+    )
+    touch = interval_overlap_join(a, b, "l_start", "l_end", "r_start", "r_end")
+    assert [r.rid for r in touch.collect()] == [1]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
