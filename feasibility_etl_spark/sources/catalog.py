@@ -126,12 +126,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Column pruning + filter pushdown happen at the scan via Catalyst; callers
     should select/filter directly on the returned frame rather than caching.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS) parquet, which Spark
-    refuses to read as a timestamp; we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-convert to
-    microseconds (``ts div 1000`` — integer division; a double round-trip
-    would lose precision above 2^53). DuckDB floors ns→µs the same way, so
-    both engines see identical microsecond timestamps.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: INT64 TIMESTAMP(NANOS) (which Spark refuses to read as a
+    timestamp — we read nanos as long via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and floor-convert with
+    ``timestamp_micros(ts div 1000)``; integer division, since a double
+    round-trip loses precision above 2^53) and plain TIMESTAMP(MICROS)
+    (readable directly; NTZ/LTZ both normalized to session-tz TimestampType).
+    DuckDB floors ns→µs the same way, so both engines see identical
+    microsecond timestamps either way. We branch on the observed read dtype,
+    not the file footer, so the scan stays a single lazy parquet read.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLES)}")
@@ -141,7 +145,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return spark.read.parquet(path)
 
 

@@ -34,22 +34,43 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import incremental_near_dups, minhash_index
 
 
-def _read_index(spark: SparkSession, index_dir: str) -> DataFrame:
+def _read_index(
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "doc_id",
+    id_type: str = "bigint",
+    before_batch: int | None = None,
+) -> DataFrame:
     """The accepted-so-far index: union of every batch's partition dir.
-    Empty-but-typed frame before the first batch commits."""
-    if os.path.isdir(index_dir) and any(
-        e.startswith("batch_id=") for e in os.listdir(index_dir)
-    ):
-        return spark.read.parquet(index_dir).drop("batch_id")
-    return spark.createDataFrame(
-        [], "doc_id long, sig array<bigint>, band_hashes array<bigint>"
-    )
+
+    ``before_batch`` excludes partitions with ``batch_id >= before_batch``.
+    A replayed micro-batch N (foreachBatch is at-least-once) may find its
+    OWN index partition from a prior attempt; gating against it would make
+    every previously-accepted doc self-match at est_jaccard=1.0 and the
+    overwrite would replace the prior survivors with a near-empty set. The
+    sink therefore always reads with ``before_batch=batch_id``.
+
+    Probing is done by attempting the read and catching AnalysisException
+    (path missing or no files yet) — not via ``os.path``, which only sees
+    the driver's local filesystem and would silently disable cross-batch
+    dedup for s3://, hdfs:// or any remote ``index_dir``.
+    """
+    try:
+        idx = spark.read.parquet(index_dir)
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], f"{id_col} {id_type}, sig array<bigint>, band_hashes array<bigint>"
+        )
+    if before_batch is not None:
+        idx = idx.where(F.col("batch_id") < F.lit(before_batch))
+    return idx.drop("batch_id")
 
 
 def gate_batch(
@@ -122,7 +143,13 @@ def near_dup_gate_sink(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        index = _read_index(spark, index_dir)
+        index = _read_index(
+            spark,
+            index_dir,
+            id_col=id_col,
+            id_type=batch.schema[id_col].dataType.simpleString(),
+            before_batch=batch_id,
+        )
         survivors = gate_batch(
             batch, index, text_col, id_col, threshold, num_hashes, bands, shingle_n
         )

@@ -91,3 +91,52 @@ def test_batch_dir_overwrite_is_replay_idempotent(spark, tmp_path):
     for _ in range(2):  # replayed micro-batch overwrites its own dir
         gate_batch(batch, index).write.mode("overwrite").parquet(dst)
     assert spark.read.parquet(dst).count() == 2
+
+
+def test_replay_against_own_index_partition_keeps_survivors(spark, tmp_path):
+    # foreachBatch is at-least-once: a retry of batch N may find the index
+    # partition its prior attempt wrote. The gate must NOT dedup the batch
+    # against its own output (every doc would self-match at jaccard 1.0).
+    index_dir = str(tmp_path / "index")
+    batch = _df(spark, [(1, BASE), (2, ALT)])
+    # prior attempt of batch 0 committed its index partition
+    minhash_index(batch).write.parquet(index_dir + "/batch_id=0")
+
+    replay_view = _read_index(spark, index_dir, before_batch=0)
+    assert replay_view.count() == 0  # own partition excluded
+    kept = sorted(r.doc_id for r in gate_batch(batch, replay_view).collect())
+    assert kept == [1, 2]  # replay keeps the same survivors
+
+    # a LATER batch does see batch 0's index
+    later_view = _read_index(spark, index_dir, before_batch=1)
+    assert later_view.count() > 0
+    b1 = _df(spark, [(3, BASE.replace("lazy", "sleepy")), (4, THIRD)])
+    kept1 = sorted(r.doc_id for r in gate_batch(b1, later_view).collect())
+    assert kept1 == [4]
+
+
+def test_streaming_replay_of_committed_batch_is_idempotent(spark, tmp_path):
+    # End-to-end: run the sink once, then clear the checkpoint so the same
+    # source replays from scratch. Accepted docs/index must be unchanged.
+    b0 = _df(spark, [(1, BASE), (2, ALT), (3, BASE.replace("old", "new"))])
+    stage = str(tmp_path / "stage")
+    b0.coalesce(1).write.parquet(stage + "/f0")
+    base = str(tmp_path / "gated")
+
+    def run(ckpt):
+        src = spark.readStream.schema("doc_id long, text string").parquet(stage + "/f*")
+        near_dup_gate_sink(src, base, str(tmp_path / ckpt)).awaitTermination()
+
+    run("ckpt1")
+    first = sorted(r.doc_id for r in spark.read.parquet(base + "/docs").collect())
+    run("ckpt2")  # fresh checkpoint -> batch 0 replays over its own output
+    second = sorted(r.doc_id for r in spark.read.parquet(base + "/docs").collect())
+    assert first == second == [1, 2]
+    idx = sorted(r.doc_id for r in spark.read.parquet(base + "/index").collect())
+    assert idx == [1, 2]
+
+
+def test_read_index_custom_id_col_empty_frame(spark):
+    empty = _read_index(spark, "/nonexistent/dir", id_col="uid", id_type="string")
+    assert empty.columns == ["uid", "sig", "band_hashes"]
+    assert empty.schema["uid"].dataType.simpleString() == "string"
