@@ -2472,8 +2472,10 @@ FROM (SELECT doc_id, {_PII_SRC_SQL} AS ps FROM documents)
 """
 
 # TEXT-REPETITION oracle: strict word n-grams per doc (no short-doc
-# fallback), top mass = MAX(cnt*length(gram)) — deterministic without a
-# gram-identity tie-break — and dup mass = SUM over grams with cnt >= 2.
+# fallback), top mass = character mass of the argmax-by-count gram (the
+# Gopher A1.1 statistic; struct-max (cnt, mass, gram) makes the argmax
+# deterministic, and an equal-mass tie cannot change the emitted mass),
+# dup mass = SUM over grams with cnt >= 2.
 ORACLE_TEXT_REPETITION = """
 WITH w AS (
   SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -2490,8 +2492,10 @@ g AS (
 c AS (SELECT doc_id, n_chars, n, gram, COUNT(*) AS cnt FROM g GROUP BY ALL),
 a AS (
   SELECT doc_id, n_chars,
-    MAX(CASE WHEN n=2 THEN cnt*length(gram) END) AS t2,
-    MAX(CASE WHEN n=3 THEN cnt*length(gram) END) AS t3,
+    (MAX(CASE WHEN n=2 THEN struct_pack(
+        c := cnt, m := cnt*length(gram), g := gram) END)).m AS t2,
+    (MAX(CASE WHEN n=3 THEN struct_pack(
+        c := cnt, m := cnt*length(gram), g := gram) END)).m AS t3,
     SUM(CASE WHEN n=2 AND cnt>=2 THEN cnt*length(gram) END) AS d2,
     SUM(CASE WHEN n=5 AND cnt>=2 THEN cnt*length(gram) END) AS d5
   FROM c GROUP BY doc_id, n_chars

@@ -447,10 +447,12 @@ def repetition_signals(
     to drop degenerate/boilerplate text:
 
     - ``top{n}_frac`` for n in ``top_ns``: character mass of the single
-      most-covering word n-gram — max over grams of
-      ``count * length(gram) / length(text)``. Taking the max of the
-      *product* (not "count of the most frequent gram") makes the statistic
-      deterministic without a tie-break on gram identity.
+      most *frequently occurring* word n-gram —
+      ``count(argmax-by-count gram) * length(gram) / length(text)``, the
+      statistic as Gopher (Rae et al., A1.1) defines it, so published
+      thresholds transfer. Ties on count break by higher mass then gram
+      (deterministic; an equal-mass tie cannot change the output since
+      only the mass is emitted).
     - ``dup{n}_frac`` for n in ``dup_ns``: character mass of all word
       n-grams occurring more than once —
       ``sum(count * length(gram)) / length(text)`` over grams with
@@ -488,14 +490,21 @@ def repetition_signals(
     counts = grams.groupBy(id_col, "n_chars", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    mass = F.col("cnt") * F.length("gram")
+    mass = (F.col("cnt") * F.length("gram")).cast("long")
+    # argmax-by-count via lexicographic struct max: (cnt, mass, gram).
+    pick = F.struct(F.col("cnt").alias("c"), mass.alias("m"), F.col("gram").alias("g"))
     aggs = [
-        F.max(F.when(F.col("n") == n, mass)).alias(f"_top{n}") for n in top_ns
+        F.max(F.when(F.col("n") == n, pick)).alias(f"_pick{n}") for n in top_ns
     ] + [
         F.sum(F.when((F.col("n") == n) & (F.col("cnt") >= 2), mass)).alias(f"_dup{n}")
         for n in dup_ns
     ]
-    per_doc = counts.groupBy(id_col, "n_chars").agg(*aggs)
+    per_doc = counts.groupBy(id_col, "n_chars").agg(*aggs).select(
+        id_col,
+        "n_chars",
+        *[F.col(f"_pick{n}.m").alias(f"_top{n}") for n in top_ns],
+        *[F.col(f"_dup{n}") for n in dup_ns],
+    )
 
     def frac(raw: str) -> Column:
         return F.when(

@@ -60,7 +60,14 @@ def profile_columns(
         aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
         aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
         if isinstance(schema[c], _INTEGRAL):
-            mean = F.sum(c).cast("double") / F.count(F.col(c)).cast("double")
+            # Sum in decimal(38,0): Spark's LONG sum wraps silently on
+            # overflow (ANSI off), plausible at corpus scale (1e14 rows ×
+            # 1e6 cents > 2^63). Decimal partials stay algebraic — still
+            # one pass, map-side combine — and DuckDB's HUGEINT sum agrees.
+            mean = (
+                F.sum(F.col(c).cast(T.DecimalType(38, 0))).cast("double")
+                / F.count(F.col(c)).cast("double")
+            )
         else:
             mean = F.lit(None).cast("double")
         aggs.append(mean.alias(f"__mean_{c}"))

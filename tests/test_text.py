@@ -279,6 +279,19 @@ def test_repetition_signals_hand_computed(spark):
     assert got[4].top2_frac == 0.0 and got[4].dup2_frac == 0.0
 
 
+def test_repetition_top_frac_is_gopher_argmax_by_count(spark):
+    # Gopher A1.1: top{n}_frac is the char mass of the single MOST FREQUENT
+    # n-gram — a rare-but-long gram must not outscore it. Here "aa aa" (cnt
+    # 3, mass 15) wins over "verylongword1 verylongword2" (cnt 1, mass 27).
+    from feasibility_etl_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa aa verylongword1 verylongword2")], "doc_id long, text string"
+    )
+    row = repetition_signals(docs, top_ns=(2,), dup_ns=(2,)).collect()[0]
+    assert row.top2_frac == 15 / 39
+
+
 def test_word_ngrams_strict_no_short_doc_fallback(spark):
     from feasibility_etl_spark.operators.text import word_ngrams
 
