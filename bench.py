@@ -232,7 +232,7 @@ def run_dedup_gate_bench(spark, sf_dir: str) -> tuple[float, int]:
         .option("maxFilesPerTrigger", "2")
         .parquet(staging)
     )
-    q = near_dup_gate_sink(stream, out, ckpt)
+    q = near_dup_gate_sink(stream, out, ckpt, shuffle_partitions=8)
     q.awaitTermination()
     return time.time() - t0, n_rows
 

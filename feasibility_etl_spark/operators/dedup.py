@@ -454,6 +454,7 @@ def incremental_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for an increment WITHOUT recomputing the corpus —
     the daily-drop serve path over a persisted ``minhash_index``.
@@ -473,8 +474,19 @@ def incremental_near_dups(
     index, so AQE broadcasts it and the index scan never shuffles; the
     estimation join is id-keyed against only the candidate ids. Build
     params (num_hashes, bands, shingle_n) must match the index's.
+
+    ``new_index``: a prebuilt ``minhash_index(new_docs)`` frame. The plan
+    references the increment's index four times (two candidate joins, one
+    self-join side, the sig union); without common-subplan elimination
+    Spark recomputes the shingle+minhash expression once per reference.
+    Callers holding the increment in memory should build the index once,
+    ``persist()`` it, and pass it here (the streaming gate does).
     """
-    new_idx = minhash_index(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
+    new_idx = (
+        new_index
+        if new_index is not None
+        else minhash_index(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
+    )
 
     def banded(ix: DataFrame) -> DataFrame:
         return ix.select(
@@ -482,8 +494,13 @@ def incremental_near_dups(
             F.posexplode("band_hashes").alias("band", "band_hash"),
         )
 
+    # The increment (and everything derived from it — banded rows, the
+    # candidate set) is broadcast EXPLICITLY: the serve path runs inside
+    # foreachBatch where AQE is disabled, so without the hints every one
+    # of these joins shuffles the full index. With them the index is only
+    # ever scanned, never exchanged.
     nb, ob = banded(new_idx), banded(index)
-    vs_old = nb.alias("n").join(
+    vs_old = F.broadcast(nb).alias("n").join(
         ob.alias("o"),
         (F.col("n.band") == F.col("o.band"))
         & (F.col("n.band_hash") == F.col("o.band_hash")),
@@ -491,7 +508,7 @@ def incremental_near_dups(
         F.least("n.id", "o.id").alias("id_a"), F.greatest("n.id", "o.id").alias("id_b")
     )
     vs_new = nb.alias("x").join(
-        nb.alias("y"),
+        F.broadcast(nb).alias("y"),
         (F.col("x.band") == F.col("y.band"))
         & (F.col("x.band_hash") == F.col("y.band_hash"))
         & (F.col("x.id") < F.col("y.id")),
@@ -499,8 +516,11 @@ def incremental_near_dups(
     cands = vs_old.unionByName(vs_new).distinct()
 
     sigs = index.unionByName(new_idx).select(F.col(id_col).alias("id"), "sig")
+    half = F.broadcast(cands).join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    )
     out = (
-        cands.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        F.broadcast(half)  # still candidate-pair-sized: one sig column attached
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
         .select("id_a", "id_b", est_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"))
     )

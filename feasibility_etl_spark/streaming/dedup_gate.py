@@ -73,7 +73,7 @@ def _read_index(
     return idx.drop("batch_id")
 
 
-def gate_batch(
+def drop_ids(
     batch: DataFrame,
     index: DataFrame,
     text_col: str = "text",
@@ -82,22 +82,28 @@ def gate_batch(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
-    """Pure gating step: the subset of ``batch`` that survives near-dup
-    checks against ``index`` and smaller-id batch-mates. Usable directly
-    for batch backfills; the streaming sink wraps it per micro-batch."""
+    """The batch ids the near-dup gate rejects (one column, ``id_col``):
+    docs matching the accepted index, plus the greater id of each
+    batch-internal pair. ``gate_batch`` anti-joins these against the
+    batch; the streaming sink also anti-joins them against the batch's
+    prebuilt MinHash index so accepted index rows need no recompute."""
     pairs = incremental_near_dups(
-        batch, index, text_col, id_col, threshold, num_hashes, bands, shingle_n
+        batch, index, text_col, id_col, threshold, num_hashes, bands, shingle_n,
+        new_index=new_index,
     )
+    # batch-id membership frames are micro-batch-sized: broadcast them so
+    # the pair tagging never shuffles (AQE is off under foreachBatch).
     new_ids = batch.select(F.col(id_col).alias("nid"))
     flagged = (
         pairs.join(
-            new_ids.select(F.col("nid").alias("id_a"), F.lit(True).alias("a_new")),
+            F.broadcast(new_ids.select(F.col("nid").alias("id_a"), F.lit(True).alias("a_new"))),
             "id_a",
             "left",
         )
         .join(
-            new_ids.select(F.col("nid").alias("id_b"), F.lit(True).alias("b_new")),
+            F.broadcast(new_ids.select(F.col("nid").alias("id_b"), F.lit(True).alias("b_new"))),
             "id_b",
             "left",
         )
@@ -109,12 +115,32 @@ def gate_batch(
         )
     )
     # both new -> drop the greater id; one new -> drop the new side
-    drops = flagged.select(
+    return flagged.select(
         F.when(F.col("a_new") & F.col("b_new"), F.col("id_b"))
         .when(F.col("a_new") & ~F.col("b_new"), F.col("id_a"))
         .otherwise(F.col("id_b"))
         .alias(id_col)
     ).distinct()
+
+
+def gate_batch(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    new_index: DataFrame | None = None,
+) -> DataFrame:
+    """Pure gating step: the subset of ``batch`` that survives near-dup
+    checks against ``index`` and smaller-id batch-mates. Usable directly
+    for batch backfills; the streaming sink wraps it per micro-batch."""
+    drops = drop_ids(
+        batch, index, text_col, id_col, threshold, num_hashes, bands, shingle_n,
+        new_index=new_index,
+    )
     return batch.join(drops, id_col, "left_anti")
 
 
@@ -129,20 +155,38 @@ def near_dup_gate_sink(
     bands: int = 8,
     shingle_n: int = 3,
     trigger_available_now: bool = True,
+    shuffle_partitions: int | None = None,
 ):
     """Start the gate as a ``foreachBatch`` streaming query.
 
     Layout under ``base_dir``: ``docs/batch_id=N`` (accepted documents)
-    and ``index/batch_id=N`` (their MinHash index rows). The index written
-    for batch N is computed from the batch's *written* survivors read back
-    from parquet — one extra narrow scan instead of re-running the gating
-    joins, and the write stays executor-side.
+    and ``index/batch_id=N`` (their MinHash index rows).
+
+    Per-batch plan shape: the batch's MinHash index is built ONCE and
+    ``persist()``-ed — the gating joins reference it four times and the
+    accepted-index write is an anti-join of the cached frame against the
+    drop set, so the shingle+minhash expression (the dominant per-batch
+    CPU) evaluates exactly once per document instead of ~5×. Both writes
+    stay executor-side; the drop set is also cached (it is consumed by
+    both the docs filter and the index filter).
+
+    ``shuffle_partitions``: scoped override of
+    ``spark.sql.shuffle.partitions`` while a micro-batch plans (restored
+    after). AQE is disabled under streaming queries, so nothing coalesces
+    the gate's post-shuffle partitions; a micro-batch is small by
+    construction, and running its handful of shuffles at the session's
+    batch-sized parallelism mostly schedules empty tasks. Set it near the
+    per-batch row count / target partition size; leave None to keep the
+    session setting (e.g. when micro-batches are themselves huge).
     """
     docs_dir = os.path.join(base_dir, "docs")
     index_dir = os.path.join(base_dir, "index")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         index = _read_index(
             spark,
             index_dir,
@@ -150,15 +194,26 @@ def near_dup_gate_sink(
             id_type=batch.schema[id_col].dataType.simpleString(),
             before_batch=batch_id,
         )
-        survivors = gate_batch(
-            batch, index, text_col, id_col, threshold, num_hashes, bands, shingle_n
-        )
-        dst = os.path.join(docs_dir, f"batch_id={batch_id}")
-        survivors.write.mode("overwrite").parquet(dst)
-        accepted = spark.read.parquet(dst)
-        minhash_index(accepted, text_col, id_col, num_hashes, bands, shingle_n).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
+        new_idx = minhash_index(
+            batch, text_col, id_col, num_hashes, bands, shingle_n
+        ).persist()
+        drops = drop_ids(
+            batch, index, text_col, id_col, threshold, num_hashes, bands,
+            shingle_n, new_index=new_idx,
+        ).persist()
+        try:
+            survivors = batch.join(F.broadcast(drops), id_col, "left_anti")
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(docs_dir, f"batch_id={batch_id}")
+            )
+            new_idx.join(F.broadcast(drops), id_col, "left_anti").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
+        finally:
+            drops.unpersist()
+            new_idx.unpersist()
+            if shuffle_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     writer = (
         docs_stream.writeStream.foreachBatch(_process)
