@@ -102,14 +102,19 @@ def run_stream_bench(spark, sf_dir: str) -> tuple[float, int]:
         [F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")],
         keys=["event_type"],
     )
-    q = (
-        agg.writeStream.format("noop")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store partition count = shuffle partitions at query start; 32
+    # tiny stores per micro-batch is pure overhead at bench volume
+    from feasibility_etl_spark.streaming.conf import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return time.time() - t0, n_rows
 
 
@@ -160,7 +165,8 @@ def run_denorm_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
                 id_strategy="hash"),
     ]
     q = denormalizing_sink(
-        stream, specs, out_root, ckpt, fact_key="key", available_now=True
+        stream, specs, out_root, ckpt, fact_key="key", available_now=True,
+        shuffle_partitions=8,
     )
     q.awaitTermination()
     return time.time() - t0, n_rows
@@ -195,14 +201,17 @@ def run_sessionize_bench(spark, sf_dir: str) -> tuple[float, int]:
         .selectExpr("CAST(user_id AS STRING) AS key", "ts")
     )
     sessions = sessionize_stream(stream, "key", "ts", gap_seconds=1800)
-    q = (
-        sessions.writeStream.format("noop")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from feasibility_etl_spark.streaming.conf import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            sessions.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return time.time() - t0, n_rows
 
 

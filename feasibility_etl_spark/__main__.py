@@ -101,7 +101,10 @@ def cmd_etl(args) -> int:
         res.rejected.write.mode("append").parquet(os.path.join(args.out, "_rejected"))
     staging = os.path.join(args.out, "_staging_etl")
     for spec in specs:
-        res.dims[spec.name].coalesce(1).write.mode("overwrite").parquet(
+        # repartition(1), not coalesce(1): the dim plan is broadcast-join
+        # only (no shuffle boundary), so coalesce would serialize it into
+        # the single output task
+        res.dims[spec.name].repartition(1).write.mode("overwrite").parquet(
             os.path.join(staging, spec.name)
         )
     for spec in specs:

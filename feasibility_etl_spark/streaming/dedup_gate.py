@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import incremental_near_dups, minhash_index
+from .conf import scoped_shuffle_partitions
 
 
 def _read_index(
@@ -184,36 +185,32 @@ def near_dup_gate_sink(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        index = _read_index(
-            spark,
-            index_dir,
-            id_col=id_col,
-            id_type=batch.schema[id_col].dataType.simpleString(),
-            before_batch=batch_id,
-        )
-        new_idx = minhash_index(
-            batch, text_col, id_col, num_hashes, bands, shingle_n
-        ).persist()
-        drops = drop_ids(
-            batch, index, text_col, id_col, threshold, num_hashes, bands,
-            shingle_n, new_index=new_idx,
-        ).persist()
-        try:
-            survivors = batch.join(F.broadcast(drops), id_col, "left_anti")
-            survivors.write.mode("overwrite").parquet(
-                os.path.join(docs_dir, f"batch_id={batch_id}")
+        with scoped_shuffle_partitions(spark, shuffle_partitions):
+            index = _read_index(
+                spark,
+                index_dir,
+                id_col=id_col,
+                id_type=batch.schema[id_col].dataType.simpleString(),
+                before_batch=batch_id,
             )
-            new_idx.join(F.broadcast(drops), id_col, "left_anti").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
-        finally:
-            drops.unpersist()
-            new_idx.unpersist()
-            if shuffle_partitions is not None:
-                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            new_idx = minhash_index(
+                batch, text_col, id_col, num_hashes, bands, shingle_n
+            ).persist()
+            drops = drop_ids(
+                batch, index, text_col, id_col, threshold, num_hashes, bands,
+                shingle_n, new_index=new_idx,
+            ).persist()
+            try:
+                survivors = batch.join(F.broadcast(drops), id_col, "left_anti")
+                survivors.write.mode("overwrite").parquet(
+                    os.path.join(docs_dir, f"batch_id={batch_id}")
+                )
+                new_idx.join(F.broadcast(drops), id_col, "left_anti").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
+            finally:
+                drops.unpersist()
+                new_idx.unpersist()
 
     writer = (
         docs_stream.writeStream.foreachBatch(_process)

@@ -260,6 +260,7 @@ def denormalizing_sink(
     fact_key: str = "key",
     required=None,
     available_now: bool = False,
+    shuffle_partitions: int | None = None,
 ):
     """Stream → denormalized star schema: foreachBatch bridges Structured
     Streaming to the batch writer (SURVEY §3.2's trigger replacement).
@@ -271,15 +272,27 @@ def denormalizing_sink(
     anti-join (exactly-once effect on the fact under at-least-once
     delivery; Spark serializes foreachBatch calls, so read-modify-write per
     batch is single-writer). Returns the StreamingQuery.
+
+    ``shuffle_partitions``: scoped override of
+    ``spark.sql.shuffle.partitions`` while a micro-batch plans (restored
+    after) — AQE is off under streaming queries, so the writer's joins
+    otherwise run batch-sized partition counts over micro-batch-sized
+    data. Size to the expected per-batch volume; None keeps the session
+    setting.
     """
     import os
 
     from pyspark.sql import functions as F  # noqa: F811 — worker-side import
 
     from ..writer.denormalized import write_denormalized
+    from .conf import scoped_shuffle_partitions
 
     def process(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        with scoped_shuffle_partitions(spark, shuffle_partitions):
+            _process_batch(spark, batch_df, batch_id)
+
+    def _process_batch(spark, batch_df, batch_id: int) -> None:
         dims = {}
         for spec in specs:
             path = os.path.join(parquet_root, spec.name)
@@ -310,10 +323,14 @@ def denormalizing_sink(
         # 2. Dims: their updated plans READ the live dim files we're about to
         #    replace (overwrite-in-place would delete a job's own input), so
         #    materialize each to a staging path, then swap via read-back.
-        #    Dims are small; the extra write is noise.
+        #    Dims are small; the extra write is noise. repartition(1), NOT
+        #    coalesce(1): coalesce folds the whole dim plan (anti-join +
+        #    id assignment) into the single output task, serializing it;
+        #    repartition keeps the plan parallel and only the final write
+        #    runs one task.
         staging = os.path.join(parquet_root, "_staging", str(batch_id))
         for spec in specs:
-            res.dims[spec.name].coalesce(1).write.mode("overwrite").parquet(
+            res.dims[spec.name].repartition(1).write.mode("overwrite").parquet(
                 os.path.join(staging, spec.name)
             )
         for spec in specs:
