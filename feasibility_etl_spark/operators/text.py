@@ -462,65 +462,81 @@ def repetition_signals(
 
     Documents with no n-gram of a given size (or empty text) score 0.0.
 
-    Plan shape at scale: ONE scan — every requested n is built as a tagged
-    struct array and flattened, so a single ``explode`` feeds a single
-    (id, n, gram) count, then one per-doc aggregation; both shuffles are
-    keyed by doc-id-derived keys (no hot keys), partials combine map-side.
-    The final join back to ``df`` is id-keyed and only re-attaches docs
-    with zero grams.
+    Plan shape at scale: ZERO shuffle — a per-document statistic needs no
+    exchange. Each requested n sorts the doc's gram array
+    (``array_sort``) and folds it with ONE ``F.aggregate`` pass that
+    tracks the current run plus the best-(count, mass) and the
+    duplicated-mass accumulators, so the whole operator is a single
+    projected scan. The previous formulation (tagged explode → (id, n,
+    gram) count → per-doc agg) shuffled every gram string twice and
+    measured ~2× slower at sf0.1; per-doc sort+fold also never builds a
+    corpus-wide gram table, so it is insensitive to corpus size — only
+    to document length (sort is O(g log g) per doc).
 
     Reference parity: the reference engine has no corpus-quality layer
     (schema.sql:22-173 is relational only); this extends the TEXT family
     per the training-pipeline mandate.
     """
+    n_chars = F.length(text_col).cast("long")
+
+    def _run_stats(n: int) -> Column:
+        """Fold the sorted gram array into (best_mass, dup_mass)."""
+        grams = F.array_sort(word_ngrams(text_col, n))
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best_c"),
+            F.lit(0).cast("long").alias("best_m"),
+            F.lit(0).cast("long").alias("dup"),
+        )
+
+        def close_run(a: Column) -> Column:
+            # fold the finished (prev, run) run into the accumulators
+            m = a["run"] * F.length(a["prev"])
+            better = (a["run"] > a["best_c"]) | (
+                (a["run"] == a["best_c"]) & (m > a["best_m"])
+            )
+            return F.struct(
+                a["prev"].alias("prev"),
+                a["run"].alias("run"),
+                F.when(a["prev"].isNull(), a["best_c"])
+                .when(better, a["run"]).otherwise(a["best_c"]).alias("best_c"),
+                F.when(a["prev"].isNull(), a["best_m"])
+                .when(better, m).otherwise(a["best_m"]).alias("best_m"),
+                F.when(a["prev"].isNotNull() & (a["run"] >= 2), a["dup"] + m)
+                .otherwise(a["dup"]).alias("dup"),
+            )
+
+        def step(a: Column, x: Column) -> Column:
+            closed = close_run(a)
+            same = a["prev"] == x  # null-safe not needed: grams are non-null
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                F.when(same, a["best_c"]).otherwise(closed["best_c"]).alias("best_c"),
+                F.when(same, a["best_m"]).otherwise(closed["best_m"]).alias("best_m"),
+                F.when(same, a["dup"]).otherwise(closed["dup"]).alias("dup"),
+            )
+
+        return F.aggregate(grams, acc0, step, close_run)
+
+    def frac(raw: Column) -> Column:
+        return F.when(F.col("_nc") == 0, F.lit(0.0)).otherwise(
+            raw.cast("double") / F.col("_nc").cast("double")
+        )
+
+    # Materialize each n's fold once in an inner projection: an n in both
+    # top_ns and dup_ns is consumed twice, and the fold is expensive
+    # enough that CollapseProject keeps the two-level shape rather than
+    # inlining (duplicating) it.
     ns = sorted(set(top_ns) | set(dup_ns))
-
-    # NB: the tag lambda must be 1-ary — F.transform feeds a 2-ary lambda
-    # (element, index), which would silently shadow a `n=n` default.
-    def _tag(n: int):
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
-
-    tagged = [F.transform(word_ngrams(text_col, n), _tag(n)) for n in ns]
-    grams = df.select(
+    inner = df.select(
         id_col,
-        F.length(text_col).cast("long").alias("n_chars"),
-        F.explode(F.flatten(F.array(*tagged))).alias("t"),
-    ).select(id_col, "n_chars", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
-
-    counts = grams.groupBy(id_col, "n_chars", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+        n_chars.alias("_nc"),
+        *[_run_stats(n).alias(f"_s{n}") for n in ns],
     )
-    mass = (F.col("cnt") * F.length("gram")).cast("long")
-    # argmax-by-count via lexicographic struct max: (cnt, mass, gram).
-    pick = F.struct(F.col("cnt").alias("c"), mass.alias("m"), F.col("gram").alias("g"))
-    aggs = [
-        F.max(F.when(F.col("n") == n, pick)).alias(f"_pick{n}") for n in top_ns
-    ] + [
-        F.sum(F.when((F.col("n") == n) & (F.col("cnt") >= 2), mass)).alias(f"_dup{n}")
-        for n in dup_ns
-    ]
-    per_doc = counts.groupBy(id_col, "n_chars").agg(*aggs).select(
+    return inner.select(
         id_col,
-        "n_chars",
-        *[F.col(f"_pick{n}.m").alias(f"_top{n}") for n in top_ns],
-        *[F.col(f"_dup{n}") for n in dup_ns],
-    )
-
-    def frac(raw: str) -> Column:
-        return F.when(
-            F.coalesce(F.col("n_chars"), F.lit(0)) == 0, F.lit(0.0)
-        ).otherwise(
-            F.coalesce(F.col(raw), F.lit(0)).cast("double")
-            / F.col("n_chars").cast("double")
-        )
-
-    out_cols = [f"top{n}_frac" for n in top_ns] + [f"dup{n}_frac" for n in dup_ns]
-    raw_cols = [f"_top{n}" for n in top_ns] + [f"_dup{n}" for n in dup_ns]
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            *[frac(raw).alias(out) for raw, out in zip(raw_cols, out_cols)],
-        )
+        *[frac(F.col(f"_s{n}")["best_m"]).alias(f"top{n}_frac") for n in top_ns],
+        *[frac(F.col(f"_s{n}")["dup"]).alias(f"dup{n}_frac") for n in dup_ns],
     )
