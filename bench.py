@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "E-PROFILE",
     "DEDUP-INCR",
     "TEXT-BM25",
+    "SKETCH-HLL",
 ]
 
 

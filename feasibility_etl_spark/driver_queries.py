@@ -2191,7 +2191,14 @@ def q_e_audit(spark: SparkSession, sf: str) -> DataFrame:
     part='profile' cover E-PROFILE (one-pass Deequ-style per-column
     completeness/cardinality/range/mean over orders, quality/profile.py —
     exact-distinct mode so the oracle can twin it; the 100 TB path flips
-    ``approx_distinct=True`` for a plain HLL++ agg).
+    ``approx_distinct=True`` for a plain HLL++ agg); rows with part='hll'
+    cover SKETCH-HLL (operators/sketches.py: per-(user bucket, day)
+    DataSketches HLL sketches of event_type, MERGED across days by sketch
+    union, estimated per bucket — the build-once/union-endlessly distinct
+    story. The per-bucket cardinality is tiny, so the sketches stay in
+    exact coupon mode and the estimate hash-matches the oracle's exact
+    COUNT(DISTINCT); the error-bound regime is pinned in
+    tests/test_sketches.py).
 
     The profiled projection is hash-deterministic by construction: money
     as cents-BIGINT, timestamps pre-formatted to strings (see module-head
@@ -2210,7 +2217,36 @@ def q_e_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
     )
     prof = profile_columns(proj).select(F.lit("profile").alias("part"), "*")
-    return gate.unionByName(prof, allowMissingColumns=True)
+    return (
+        gate.unionByName(prof, allowMissingColumns=True)
+        .unionByName(q_sketch_hll(spark, sf), allowMissingColumns=True)
+    )
+
+
+def q_sketch_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """SKETCH-HLL granular: daily event_type sketches per user bucket,
+    merged across days by sketch union, estimated per bucket (coupon-mode
+    exact — see q_e_audit)."""
+    from .operators.sketches import distinct_sketches, merge_sketches, with_estimate
+
+    ev = load(spark, sf, "events").select(
+        (F.col("user_id") % 16).alias("bucket"),
+        F.to_date("ts").alias("d"),
+        "event_type",
+    )
+    daily = distinct_sketches(ev, ["bucket", "d"], "event_type")
+    return with_estimate(merge_sketches(daily, ["bucket"])).select(
+        F.lit("hll").alias("part"),
+        F.col("bucket").cast("string").alias("col_name"),
+        F.col("n_distinct_est").alias("n_distinct"),
+    )
+
+
+ORACLE_SKETCH_HLL = """
+SELECT 'hll' AS part, CAST(user_id % 16 AS VARCHAR) AS col_name,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events GROUP BY user_id % 16
+"""
 
 
 def _profile_col_sql(c: str, mean: bool) -> str:
@@ -2240,7 +2276,8 @@ UNION ALL {_profile_col_sql("o_date", False)}
 """
 
 ORACLE_E_AUDIT = f"""
-WITH g AS ({ORACLE_E_GATE}), i AS ({ORACLE_E_ISOLATE}), pr AS ({ORACLE_E_PROFILE})
+WITH g AS ({ORACLE_E_GATE}), i AS ({ORACLE_E_ISOLATE}), pr AS ({ORACLE_E_PROFILE}),
+h AS ({ORACLE_SKETCH_HLL})
 SELECT 'gate' AS part, g.n_before, g.n_after, g.loss_pct, g.passed,
        i.n_ok, i.n_rejected,
        CAST(NULL AS VARCHAR) AS col_name, CAST(NULL AS BIGINT) AS n_rows,
@@ -2252,6 +2289,10 @@ UNION ALL
 SELECT 'profile', NULL, NULL, NULL, NULL, NULL, NULL,
        col_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val
 FROM pr
+UNION ALL
+SELECT 'hll', NULL, NULL, NULL, NULL, NULL, NULL,
+       col_name, NULL, NULL, n_distinct, NULL, NULL, NULL
+FROM h
 """
 
 
@@ -3116,6 +3157,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "E-PROFILE": q_e_profile,
     "DEDUP-INCR": q_dedup_incr,
     "TEXT-BM25": q_text_bm25,
+    "SKETCH-HLL": q_sketch_hll,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -3154,4 +3196,5 @@ ALL_ORACLES: dict[str, str] = {
     "TEXT-REPETITION": ORACLE_TEXT_REPETITION,
     "E-PROFILE": ORACLE_E_PROFILE,
     "TEXT-BM25": ORACLE_TEXT_BM25,
+    "SKETCH-HLL": ORACLE_SKETCH_HLL,
 }

@@ -1,0 +1,79 @@
+"""HLL distinct sketches: merge correctness, error bounds, invariances."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feasibility_etl_spark.operators.sketches import (
+    distinct_sketches,
+    merge_sketches,
+    with_estimate,
+)
+
+
+@pytest.fixture()
+def events(spark):
+    # 4 "days" x 1000 rows; value cardinality 600 with cross-day overlap
+    return spark.range(4000).select(
+        (F.col("id") % 4).alias("day"),
+        (F.col("id") % 16).alias("bucket"),
+        ((F.col("id") * 7919) % 600).alias("value"),
+    )
+
+
+def test_small_cardinality_is_exact(spark, events):
+    small = events.withColumn("value", F.col("value") % 40)
+    got = {
+        r.bucket: r.n_distinct_est
+        for r in with_estimate(
+            merge_sketches(distinct_sketches(small, ["bucket", "day"], "value"), ["bucket"])
+        ).collect()
+    }
+    exact = {
+        r.bucket: r.n
+        for r in small.groupBy("bucket").agg(F.countDistinct("value").alias("n")).collect()
+    }
+    assert got == exact  # coupon-mode sketches are exact at tiny cardinality
+
+
+def test_merged_equals_direct_sketch_small(spark, events):
+    # coupon mode: union of daily sketches == one direct sketch, exactly
+    small = events.withColumn("value", F.col("value") % 40)
+    daily = distinct_sketches(small, ["day"], "value")
+    merged = with_estimate(merge_sketches(daily, []))
+    direct = with_estimate(distinct_sketches(small.withColumn("g", F.lit(1)), ["g"], "value"))
+    assert merged.collect()[0].n_distinct_est == direct.collect()[0].n_distinct_est == 40
+
+
+def test_merged_tracks_direct_sketch_large(spark, events):
+    # past coupon mode the union gadget (HLL_8) and the direct sketch
+    # (HLL_4) may disagree by a few counts — bound it, don't pin it
+    daily = distinct_sketches(events, ["day"], "value")
+    merged = with_estimate(merge_sketches(daily, [])).collect()[0].n_distinct_est
+    direct = with_estimate(
+        distinct_sketches(events.withColumn("g", F.lit(1)), ["g"], "value")
+    ).collect()[0].n_distinct_est
+    assert abs(merged - direct) / 600 < 0.02
+    assert abs(merged - 600) / 600 < 0.05
+
+
+def test_error_bound_at_large_cardinality(spark):
+    n = 50_000
+    df = spark.range(n).select((F.col("id") * 2654435761 % 2**31).alias("v"))
+    est = with_estimate(distinct_sketches(df.withColumn("g", F.lit(1)), ["g"], "v")).collect()[0]
+    exact = df.select("v").distinct().count()
+    assert abs(est.n_distinct_est - exact) / exact < 0.05  # rse ~1.6% at lg_k=12
+
+
+def test_partitioning_invariant_in_coupon_mode(spark, events):
+    # small-cardinality sketches are insertion-order-exact, so estimates
+    # are partition-invariant; past coupon promotion they are only
+    # bounded (order affects register state) — the driver oracle relies
+    # on the former only
+    small = events.withColumn("value", F.col("value") % 40)
+    a = with_estimate(
+        merge_sketches(distinct_sketches(small.repartition(1), ["day"], "value"), [])
+    ).collect()[0].n_distinct_est
+    b = with_estimate(
+        merge_sketches(distinct_sketches(small.repartition(13), ["day"], "value"), [])
+    ).collect()[0].n_distinct_est
+    assert a == b == 40
