@@ -2466,7 +2466,11 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     fingerprint stream)."""
     from .operators.search import bm25_scores
 
-    docs = load(spark, sf, "documents")
+    # spread the one-row-group bench corpus before the CPU-dense
+    # projections (see q_text_repetition); free at real input-split counts
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     scored = bm25_scores(docs, list(BM25_TERMS), carry=["doc_id", "lang", "text"])
     enriched = repetition_signals(
         scored, top_ns=(2, 3), dup_ns=(2, 5),
@@ -3070,10 +3074,17 @@ ORACLES: dict[str, str] = {
 }
 
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
-    """TEXT-REPETITION granular: Gopher-style repetition mass per doc."""
-    return repetition_signals(
-        load(spark, sf, "documents"), top_ns=(2, 3), dup_ns=(2, 5)
+    """TEXT-REPETITION granular: Gopher-style repetition mass per doc.
+
+    The fold is zero-shuffle and CPU-dense, so parallelism equals input
+    splits; the bench corpus is ONE unsplittable row group, which would
+    serialize the whole operator on one core. Spreading a ~MB input
+    first is a negligible shuffle; a 100 TB corpus has thousands of
+    splits and skips this."""
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return repetition_signals(docs, top_ns=(2, 3), dup_ns=(2, 5))
 
 
 def q_e_profile(spark: SparkSession, sf: str) -> DataFrame:

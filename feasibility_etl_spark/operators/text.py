@@ -486,7 +486,15 @@ def repetition_signals(
     n_chars = F.length(text_col).cast("long")
 
     def _run_stats(n: int) -> Column:
-        """Fold the sorted gram array into (best_mass, dup_mass)."""
+        """Fold the sorted gram array into (best_mass, dup_mass).
+
+        Accumulators update INCREMENTALLY per element (a run of length r
+        re-evaluates best at every prefix j ≤ r; prefixes are dominated
+        lexicographically by the full run, so the max is unchanged, and
+        dup adds 2·len at r=2 then len per extension, totalling r·len).
+        The alternative close-the-run-on-boundary shape nests the whole
+        run-closing struct once per field, and the resulting expression
+        tree made one-shot analysis/optimization the dominant cost."""
         grams = F.array_sort(word_ngrams(text_col, n))
         acc0 = F.struct(
             F.lit(None).cast("string").alias("prev"),
@@ -496,35 +504,28 @@ def repetition_signals(
             F.lit(0).cast("long").alias("dup"),
         )
 
-        def close_run(a: Column) -> Column:
-            # fold the finished (prev, run) run into the accumulators
-            m = a["run"] * F.length(a["prev"])
-            better = (a["run"] > a["best_c"]) | (
-                (a["run"] == a["best_c"]) & (m > a["best_m"])
-            )
-            return F.struct(
-                a["prev"].alias("prev"),
-                a["run"].alias("run"),
-                F.when(a["prev"].isNull(), a["best_c"])
-                .when(better, a["run"]).otherwise(a["best_c"]).alias("best_c"),
-                F.when(a["prev"].isNull(), a["best_m"])
-                .when(better, m).otherwise(a["best_m"]).alias("best_m"),
-                F.when(a["prev"].isNotNull() & (a["run"] >= 2), a["dup"] + m)
-                .otherwise(a["dup"]).alias("dup"),
-            )
-
         def step(a: Column, x: Column) -> Column:
-            closed = close_run(a)
-            same = a["prev"] == x  # null-safe not needed: grams are non-null
+            ln = F.length(x).cast("long")
+            # prev is NULL on the first element: `same` is then NULL and
+            # every when(same, ...) falls through to the new-run branch
+            same = a["prev"] == x
+            run = F.when(same, a["run"] + 1).otherwise(F.lit(1).cast("long"))
+            mass = run * ln
+            better = (run > a["best_c"]) | ((run == a["best_c"]) & (mass > a["best_m"]))
             return F.struct(
                 x.alias("prev"),
-                F.when(same, a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-                F.when(same, a["best_c"]).otherwise(closed["best_c"]).alias("best_c"),
-                F.when(same, a["best_m"]).otherwise(closed["best_m"]).alias("best_m"),
-                F.when(same, a["dup"]).otherwise(closed["dup"]).alias("dup"),
+                run.alias("run"),
+                F.when(better, run).otherwise(a["best_c"]).alias("best_c"),
+                F.when(better, mass).otherwise(a["best_m"]).alias("best_m"),
+                (
+                    a["dup"]
+                    + F.when(same & (run == 2), 2 * ln)
+                    .when(same & (run > 2), ln)
+                    .otherwise(F.lit(0).cast("long"))
+                ).alias("dup"),
             )
 
-        return F.aggregate(grams, acc0, step, close_run)
+        return F.aggregate(grams, acc0, step)
 
     def frac(raw: Column) -> Column:
         return F.when(F.col("_nc") == 0, F.lit(0.0)).otherwise(
