@@ -31,6 +31,12 @@ from feasibility_etl_spark.sources.catalog import load  # noqa: E402
 from feasibility_etl_spark.operators.similarity import emb_centroids  # noqa: E402
 from feasibility_etl_spark.writer.merge import merge_upsert  # noqa: E402
 from feasibility_etl_spark.writer.scd2 import scd2_apply  # noqa: E402
+from feasibility_etl_spark.operators.search import bm25_scores  # noqa: E402
+from feasibility_etl_spark.operators.sketches import (  # noqa: E402
+    distinct_sketches,
+    merge_sketches,
+    with_estimate,
+)
 
 
 def replicate(df: DataFrame, id_col: str, factor: int) -> DataFrame:
@@ -97,6 +103,10 @@ def main() -> None:
         "pii_scrub": lambda d: d.select(
             "doc_id", text.redact_pii("text").alias("red"), *text.pii_counts("text")
         ),
+        "repetition": lambda d: text.repetition_signals(
+            d, top_ns=(2, 3), dup_ns=(2, 5)
+        ),
+        "bm25": lambda d: bm25_scores(d, ["spark", "join", "vector"]),
     }
     fact_ops = {
         "worklog_rollup": lambda d: worklog_rollup_relational(
@@ -112,6 +122,18 @@ def main() -> None:
     emb_ops = {
         "emb_centroids": lambda d: emb_centroids(d, "label"),
     }
+
+    def hll_rollup(d: DataFrame) -> DataFrame:
+        daily = distinct_sketches(
+            d.select(
+                (F.col("user_id") % 16).alias("bucket"),
+                F.to_date("ts").alias("day"),
+                "event_type",
+            ),
+            ["bucket", "day"],
+            "event_type",
+        )
+        return with_estimate(merge_sketches(daily, ["bucket"]))
     event_ops = {
         # change batch stays base-sized (a merge applies a day's changes to
         # an ever-bigger table) — only the current side scales
@@ -131,6 +153,7 @@ def main() -> None:
             ["event_type"],
             ts_col="ts",
         ),
+        "hll_rollup": hll_rollup,
     }
 
     for name, fn in ops.items():
