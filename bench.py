@@ -217,6 +217,38 @@ def run_sessionize_bench(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_rows
 
 
+def run_scd2_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """Streaming SCD2 fold at bench SF: per-user event_type observations
+    replayed as a 4-micro-batch CDC stream through scd2_sink — every
+    batch folds into the persisted history (read back → scd2_apply →
+    staged swap), all executor-side."""
+    import shutil
+
+    from feasibility_etl_spark.sources.catalog import load as cat_load
+    from feasibility_etl_spark.streaming.scd2_sink import scd2_sink
+
+    staging = "/tmp/spark_graft_scd2_stage"
+    ckpt = staging + "_ckpt"
+    out = staging + "_out"
+    for p in (staging, ckpt, out):
+        shutil.rmtree(p, ignore_errors=True)
+    events = cat_load(spark, sf_dir, "events").selectExpr(
+        "CAST(user_id AS STRING) AS k", "event_type AS tier", "ts"
+    )
+    n_rows = events.count()
+    events.repartition(8).write.mode("overwrite").parquet(staging)
+
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema("k string, tier string, ts timestamp")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging)
+    )
+    q = scd2_sink(stream, out + "/hist", ckpt, "k", ["tier"], shuffle_partitions=8)
+    q.awaitTermination()
+    return time.time() - t0, n_rows
+
+
 def run_dedup_gate_bench(spark, sf_dir: str) -> tuple[float, int]:
     """Streaming near-dup gate at bench SF: the documents table replayed as
     a 4-micro-batch file stream through near_dup_gate_sink — every batch
@@ -376,6 +408,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error stream-dedup-gate: {e}", file=sys.stderr)
     timings["stream-dedup-gate"] = gate_s
+    scd2s_s, n_scd2s = -1.0, 0
+    try:
+        scd2s_s, n_scd2s = run_scd2_sink_bench(spark, sf_dir)
+        scd2s_s = round(scd2s_s, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error stream-scd2-sink: {e}", file=sys.stderr)
+    timings["stream-scd2-sink"] = scd2s_s
 
     print(
         json.dumps(
@@ -395,6 +434,9 @@ def main() -> None:
                 ),
                 "stream_dedup_gate_rows_per_sec": (
                     round(n_gate / gate_s) if gate_s > 0 else None
+                ),
+                "stream_scd2_rows_per_sec": (
+                    round(n_scd2s / scd2s_s) if scd2s_s > 0 else None
                 ),
             }
         )
