@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "DEDUP-INCR",
     "TEXT-BM25",
     "SKETCH-HLL",
+    "SKETCH-THETA",
 ]
 
 

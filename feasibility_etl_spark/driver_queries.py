@@ -2198,7 +2198,11 @@ def q_e_audit(spark: SparkSession, sf: str) -> DataFrame:
     story. The per-bucket cardinality is tiny, so the sketches stay in
     exact coupon mode and the estimate hash-matches the oracle's exact
     COUNT(DISTINCT); the error-bound regime is pinned in
-    tests/test_sketches.py).
+    tests/test_sketches.py); rows with part='theta' cover SKETCH-THETA
+    (pairwise distinct-user overlap between event types via Theta-sketch
+    set intersection — sketch-side set algebra, never a join over the
+    events; exact below the sketch's retention bound, see
+    q_sketch_theta).
 
     The profiled projection is hash-deterministic by construction: money
     as cents-BIGINT, timestamps pre-formatted to strings (see module-head
@@ -2220,6 +2224,7 @@ def q_e_audit(spark: SparkSession, sf: str) -> DataFrame:
     return (
         gate.unionByName(prof, allowMissingColumns=True)
         .unionByName(q_sketch_hll(spark, sf), allowMissingColumns=True)
+        .unionByName(q_sketch_theta(spark, sf), allowMissingColumns=True)
     )
 
 
@@ -2246,6 +2251,39 @@ ORACLE_SKETCH_HLL = """
 SELECT 'hll' AS part, CAST(user_id % 16 AS VARCHAR) AS col_name,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
 FROM events GROUP BY user_id % 16
+"""
+
+
+def q_sketch_theta(spark: SparkSession, sf: str) -> DataFrame:
+    """SKETCH-THETA granular: per-event-type Theta sketches of the
+    distinct user set; pairwise intersection estimates via sketch set
+    algebra (K² sketch-side rows, never a join over the events). The
+    per-type user sets stay under the sketch's exact-retention bound, so
+    the estimates hash-match the oracle's exact overlap counts; the
+    approximate regime is pinned in tests/test_sketches.py."""
+    from .operators.sketches import pairwise_overlap, theta_sketches
+
+    ev = load(spark, sf, "events")
+    th = theta_sketches(ev, ["event_type"], "user_id")
+    return pairwise_overlap(th, "event_type").select(
+        F.lit("theta").alias("part"),
+        F.concat("key_a", F.lit("|"), "key_b").alias("col_name"),
+        F.col("n_shared").alias("n_distinct"),
+    )
+
+
+ORACLE_SKETCH_THETA = """
+WITH t AS (SELECT DISTINCT event_type FROM events),
+s AS (SELECT DISTINCT event_type, user_id FROM events),
+ov AS (
+  SELECT a.event_type AS ea, b.event_type AS eb, COUNT(*) AS c
+  FROM s a JOIN s b USING (user_id)
+  WHERE a.event_type < b.event_type GROUP BY 1, 2
+)
+SELECT 'theta' AS part, x.event_type || '|' || y.event_type AS col_name,
+       CAST(coalesce(ov.c, 0) AS BIGINT) AS n_distinct
+FROM t x JOIN t y ON x.event_type < y.event_type
+LEFT JOIN ov ON ov.ea = x.event_type AND ov.eb = y.event_type
 """
 
 
@@ -2277,7 +2315,7 @@ UNION ALL {_profile_col_sql("o_date", False)}
 
 ORACLE_E_AUDIT = f"""
 WITH g AS ({ORACLE_E_GATE}), i AS ({ORACLE_E_ISOLATE}), pr AS ({ORACLE_E_PROFILE}),
-h AS ({ORACLE_SKETCH_HLL})
+h AS ({ORACLE_SKETCH_HLL}), th AS ({ORACLE_SKETCH_THETA})
 SELECT 'gate' AS part, g.n_before, g.n_after, g.loss_pct, g.passed,
        i.n_ok, i.n_rejected,
        CAST(NULL AS VARCHAR) AS col_name, CAST(NULL AS BIGINT) AS n_rows,
@@ -2293,6 +2331,10 @@ UNION ALL
 SELECT 'hll', NULL, NULL, NULL, NULL, NULL, NULL,
        col_name, NULL, NULL, n_distinct, NULL, NULL, NULL
 FROM h
+UNION ALL
+SELECT 'theta', NULL, NULL, NULL, NULL, NULL, NULL,
+       col_name, NULL, NULL, n_distinct, NULL, NULL, NULL
+FROM th
 """
 
 
@@ -3169,6 +3211,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "DEDUP-INCR": q_dedup_incr,
     "TEXT-BM25": q_text_bm25,
     "SKETCH-HLL": q_sketch_hll,
+    "SKETCH-THETA": q_sketch_theta,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -3208,4 +3251,5 @@ ALL_ORACLES: dict[str, str] = {
     "E-PROFILE": ORACLE_E_PROFILE,
     "TEXT-BM25": ORACLE_TEXT_BM25,
     "SKETCH-HLL": ORACLE_SKETCH_HLL,
+    "SKETCH-THETA": ORACLE_SKETCH_THETA,
 }

@@ -1,5 +1,5 @@
-"""Mergeable distinct-count sketches (Apache DataSketches HLL via
-Spark's ``hll_sketch_agg`` / ``hll_union_agg``).
+"""Mergeable sketches (Apache DataSketches via Spark's built-in
+functions): HLL distinct counts, KLL quantiles, Theta set algebra.
 
 The 100 TB distinct-counting posture: a corpus too large to re-scan per
 question keeps PER-PARTITION sketches (per day, per shard, per source) —
@@ -71,3 +71,93 @@ def with_estimate(
         out_col, F.round(F.hll_sketch_estimate(sketch_col)).cast("long")
     )
     return out.drop(sketch_col) if drop_sketch else out
+
+
+def quantile_sketches(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    k: int = 800,
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Per-key KLL quantile sketch of a LONG column — the mergeable
+    percentile companion to the HLL family: build per shard/day, merge
+    with :func:`merge_quantile_sketches`, read quantiles anywhere. Exact
+    ``percentile`` needs a per-key sort; ``approx_percentile`` is
+    one-shot. Normalized rank error at k=800 ≈ 0.6% (pinned in tests)."""
+    return df.groupBy(*keys).agg(
+        F.kll_sketch_agg_bigint(F.col(col), F.lit(k)).alias(sketch_col)
+    )
+
+
+def merge_quantile_sketches(
+    df: DataFrame,
+    keys: list[str],
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Merge KLL sketches to coarser keys without re-scanning the data."""
+    agg = F.kll_merge_agg_bigint(F.col(sketch_col)).alias(sketch_col)
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def with_quantiles(
+    df: DataFrame,
+    probs: list[float],
+    sketch_col: str = "kll",
+    prefix: str = "p",
+    drop_sketch: bool = True,
+) -> DataFrame:
+    """Attach one LONG column per requested quantile (``p50``, ``p99``…)."""
+    out = df.select(
+        "*",
+        *[
+            F.kll_sketch_get_quantile_bigint(F.col(sketch_col), F.lit(p)).alias(
+                f"{prefix}{int(p * 100)}"
+            )
+            for p in probs
+        ],
+    )
+    return out.drop(sketch_col) if drop_sketch else out
+
+
+def theta_sketches(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    sketch_col: str = "theta",
+) -> DataFrame:
+    """Per-key Theta sketch of ``col``'s distinct values. Theta sketches
+    support SET ALGEBRA — union, intersection, difference — so questions
+    like "how many distinct users do segments A and B share" or "how
+    much of corpus A's vocabulary is absent from B" are sketch-side
+    operations, not joins over the raw data. Below ~4k distinct values
+    the sketch retains every hash and set estimates are exact (the
+    driver oracle exploits this); beyond, relative error ≈ 1/sqrt(k)."""
+    return df.groupBy(*keys).agg(
+        F.theta_sketch_agg(F.col(col).cast("string")).alias(sketch_col)
+    )
+
+
+def pairwise_overlap(
+    sketches: DataFrame,
+    key_col: str,
+    sketch_col: str = "theta",
+    out_col: str = "n_shared",
+) -> DataFrame:
+    """Distinct-overlap estimate for every unordered key pair:
+    ``(key_a, key_b, n_shared)`` with ``key_a < key_b``. A sketch-side
+    cross join over K per-key sketches (K² tiny rows), never a join over
+    the underlying data."""
+    a, b = sketches.alias("a"), sketches.alias("b")
+    return (
+        a.join(b, F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .select(
+            F.col(f"a.{key_col}").alias("key_a"),
+            F.col(f"b.{key_col}").alias("key_b"),
+            F.round(
+                F.theta_sketch_estimate(
+                    F.theta_intersection(F.col(f"a.{sketch_col}"), F.col(f"b.{sketch_col}"))
+                )
+            ).cast("long").alias(out_col),
+        )
+    )

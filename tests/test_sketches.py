@@ -77,3 +77,66 @@ def test_partitioning_invariant_in_coupon_mode(spark, events):
         merge_sketches(distinct_sketches(small.repartition(13), ["day"], "value"), [])
     ).collect()[0].n_distinct_est
     assert a == b == 40
+
+
+def test_kll_merged_quantiles_within_rank_error(spark):
+    from feasibility_etl_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_sketches,
+        with_quantiles,
+    )
+
+    n = 40_000
+    df = spark.range(n).select((F.col("id") % 4).alias("day"), F.col("id").alias("v"))
+    daily = quantile_sketches(df, ["day"], "v", k=800)
+    q = with_quantiles(merge_quantile_sketches(daily, []), [0.5, 0.99]).collect()[0]
+    # normalized rank error at k=800 is ~0.6%; allow 2%
+    assert abs(q.p50 - n // 2) < 0.02 * n
+    assert abs(q.p99 - int(n * 0.99)) < 0.02 * n
+
+
+def test_kll_exact_below_capacity(spark):
+    from feasibility_etl_spark.operators.sketches import quantile_sketches, with_quantiles
+
+    df = spark.range(500).select(F.lit(1).alias("g"), F.col("id").alias("v"))
+    q = with_quantiles(quantile_sketches(df, ["g"], "v", k=800), [0.5]).collect()[0]
+    assert q.p50 in (249, 250)  # retains every item below capacity
+
+
+def test_theta_overlap_exact_small_sets(spark):
+    from feasibility_etl_spark.operators.sketches import pairwise_overlap, theta_sketches
+
+    # A = {0..99}, B = {50..149}, C = {200..209}
+    df = spark.createDataFrame(
+        [("A", i) for i in range(100)]
+        + [("B", i) for i in range(50, 150)]
+        + [("C", i) for i in range(200, 210)],
+        "seg string, uid long",
+    )
+    got = {
+        (r.key_a, r.key_b): r.n_shared
+        for r in pairwise_overlap(theta_sketches(df, ["seg"], "uid"), "seg").collect()
+    }
+    assert got == {("A", "B"): 50, ("A", "C"): 0, ("B", "C"): 0}
+
+
+def test_theta_union_and_difference_exact_small(spark):
+    from feasibility_etl_spark.operators.sketches import theta_sketches
+
+    df = spark.createDataFrame(
+        [("A", i) for i in range(100)] + [("B", i) for i in range(50, 150)],
+        "seg string, uid long",
+    )
+    th = theta_sketches(df, ["seg"], "uid")
+    a, b = th.alias("a"), th.alias("b")
+    row = (
+        a.join(b, F.col("a.seg") < F.col("b.seg"))
+        .select(
+            F.round(F.theta_sketch_estimate(
+                F.theta_union(F.col("a.theta"), F.col("b.theta")))).cast("long").alias("u"),
+            F.round(F.theta_sketch_estimate(
+                F.theta_difference(F.col("a.theta"), F.col("b.theta")))).cast("long").alias("d"),
+        )
+        .collect()[0]
+    )
+    assert row.u == 150 and row.d == 50  # |A∪B|, |A\B|
