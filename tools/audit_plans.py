@@ -38,9 +38,16 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: SIM-PQ's cross join is queries x codebooks (both tiny, ADC tables).
 #: E-AUDIT cross-joins two driver-built 1-row audit summaries (coalesce(1)
 #: on both sides) — a 1x1 product, not a data join.
+#: TEXT-BM25 / TEXT-PROFILE cross-join the SINGLE-ROW corpus-stats
+#: aggregate (N, avgdl, per-term df) back onto the corpus — broadcast of
+#: one row, the scalar-attach pattern again.
+#: SKETCH-THETA's cross join is per-key sketches x per-key sketches
+#: (K^2 sketch rows, K = #event types) — sketch-side set algebra, never
+#: a join over the underlying events.
 CARTESIAN_OK = {
     "SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN",
     "J-LOOKUP-INSERT", "E-AUDIT",
+    "TEXT-BM25", "TEXT-PROFILE", "SKETCH-THETA",
 }
 
 #: Queries that legitimately run Arrow-batched Python (multimodal decode).
