@@ -2272,6 +2272,18 @@ def q_sketch_theta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sketch_contam(spark: SparkSession, sf: str) -> DataFrame:
+    """SKETCH-CONTAM granular (rows-only): theta-sketch contamination
+    scout — corpus↔eval 8-gram overlap estimate without a join. The
+    corpus-side sketch is past exact retention at bench SF, so the
+    estimate has no SQL twin; exact-regime parity with
+    corpus.decontaminate is pinned in tests/test_sketches.py."""
+    from .operators.sketches import contamination_estimate
+
+    docs = load(spark, sf, "documents")
+    return contamination_estimate(docs, docs.where("doc_id % 101 = 0"))
+
+
 ORACLE_SKETCH_THETA = """
 WITH t AS (SELECT DISTINCT event_type FROM events),
 s AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -3212,6 +3224,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "TEXT-BM25": q_text_bm25,
     "SKETCH-HLL": q_sketch_hll,
     "SKETCH-THETA": q_sketch_theta,
+    "SKETCH-CONTAM": q_sketch_contam,
 }
 
 ALL_ORACLES: dict[str, str] = {

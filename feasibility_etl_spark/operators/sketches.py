@@ -138,6 +138,49 @@ def theta_sketches(
     )
 
 
+def contamination_estimate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Sketch-side estimate of corpus↔eval n-gram contamination — the
+    cheap scout run before ``corpus.decontaminate``'s exact semi-join.
+
+    One row: ``n_corpus_grams, n_eval_grams, n_shared_grams,
+    eval_containment`` (the fraction of the eval set's distinct
+    ``ngram``-grams that occur anywhere in the corpus — the number a
+    decontamination decision actually needs). Each side is ONE pass:
+    explode distinct-per-doc shingles → global Theta sketch; the overlap
+    is a sketch intersection, so corpus and eval are never joined. At
+    benchmark-sized eval sets the eval sketch is exact; the corpus side
+    is a Theta estimate (~1/sqrt(4096) relative error past retention).
+
+    Uses the same shingle normalization as ``corpus.decontaminate`` so
+    the estimate predicts what the exact pass will find (parity pinned
+    in tests/test_sketches.py).
+    """
+    from .dedup import shingles
+
+    def _sketch(df_: DataFrame) -> DataFrame:
+        grams = df_.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), n=ngram))).alias("g")
+        )
+        return grams.agg(F.theta_sketch_agg("g").alias("th"))
+
+    c, e = _sketch(docs).alias("c"), _sketch(eval_docs).alias("e")
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("c.th"), F.col("e.th"))
+    )
+    n_eval = F.theta_sketch_estimate(F.col("e.th"))
+    return c.crossJoin(e).select(
+        F.round(F.theta_sketch_estimate(F.col("c.th"))).cast("long").alias("n_corpus_grams"),
+        F.round(n_eval).cast("long").alias("n_eval_grams"),
+        F.round(inter).cast("long").alias("n_shared_grams"),
+        (inter / n_eval).alias("eval_containment"),
+    )
+
+
 def pairwise_overlap(
     sketches: DataFrame,
     key_col: str,

@@ -140,3 +140,49 @@ def test_theta_union_and_difference_exact_small(spark):
         .collect()[0]
     )
     assert row.u == 150 and row.d == 50  # |A∪B|, |A\B|
+
+
+def test_contamination_estimate_matches_exact_on_small(spark):
+    from feasibility_etl_spark.operators.sketches import contamination_estimate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),      # shares the eval 8-gram window
+         (2, "q r s t u v w x y z"),      # disjoint
+         (3, "a b c d e f g h zz")],      # shares the first 8-gram
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "a b c d e f g h")], "doc_id long, text string")
+    row = contamination_estimate(docs, ev).collect()[0]
+    # eval has exactly one 8-gram; it occurs in the corpus
+    assert row.n_eval_grams == 1
+    assert row.n_shared_grams == 1
+    assert row.eval_containment == 1.0
+    # corpus grams: doc1 has 3 8-grams, doc2 has 3, doc3 has 2 — all distinct
+    # across docs except doc3's first == doc1's first
+    assert row.n_corpus_grams == 7
+
+
+def test_contamination_estimate_zero_overlap(spark):
+    from feasibility_etl_spark.operators.sketches import contamination_estimate
+
+    docs = spark.createDataFrame([(1, "q r s t u v w x y z")], "doc_id long, text string")
+    ev = spark.createDataFrame([(100, "a b c d e f g h")], "doc_id long, text string")
+    row = contamination_estimate(docs, ev).collect()[0]
+    assert row.n_shared_grams == 0 and row.eval_containment == 0.0
+
+
+def test_contamination_predicts_exact_decontam(spark):
+    # the estimator and the exact pass must agree on "is there contamination"
+    from feasibility_etl_spark.operators.corpus import decontaminate
+    from feasibility_etl_spark.operators.sketches import contamination_estimate
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} a{i} b{i} c{i} d{i}") for i in range(20)]
+        + [(99, "e0 e1 e2 e3 e4 e5 e6 e7 tail")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(1000, "e0 e1 e2 e3 e4 e5 e6 e7")], "doc_id long, text string")
+    est = contamination_estimate(docs, ev).collect()[0]
+    survivors = decontaminate(docs, ev).count()
+    assert est.n_shared_grams > 0          # estimator says contaminated
+    assert survivors == 20                 # exact pass drops doc 99
