@@ -3,6 +3,7 @@ projection with null-safe nested access."""
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 
 from pyspark.sql import functions as F
@@ -64,3 +65,39 @@ def test_predicate_and_limit_push_into_read(spark, tmp_path):
         max_results=1,
     )
     assert df.count() == 1
+
+
+def test_catalog_events_reads_both_ts_encodings(spark, tmp_path):
+    # events.ts has shipped as INT64 TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    # across testdata generations; catalog.load must floor both to the
+    # same microsecond timestamps (DuckDB floors ns→µs identically).
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feasibility_etl_spark.sources.catalog import load
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    micros = [base, base + dt.timedelta(microseconds=123456)]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for enc, unit in [("micros", "us"), ("nanos", "ns")]:
+        d = tmp_path / enc
+        d.mkdir()
+        ts = pa.array(micros).cast(pa.timestamp(unit))
+        pq.write_table(
+            pa.table({**cols, "ts": ts}), str(d / "events.parquet"),
+            use_deprecated_int96_timestamps=False, coerce_timestamps=None,
+        )
+    got = {}
+    for enc in ("micros", "nanos"):
+        rows = load(spark, str(tmp_path / enc), "events").orderBy("event_id").collect()
+        got[enc] = [r.ts for r in rows]
+        assert dict(load(spark, str(tmp_path / enc), "events").dtypes)["ts"] == "timestamp"
+    assert got["micros"] == got["nanos"] == micros
