@@ -51,6 +51,11 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # NB: spark.sql.parquet.aggregatePushdown is deliberately NOT set —
+        # it only takes effect on the V2 parquet read path, and moving the
+        # whole engine off the (default) V1 source for a footer-stats COUNT
+        # optimization trades a niche win for behavioral risk across every
+        # scan (legacy nanos handling, streaming file source differences)
         .config("spark.sql.session.timeZone", "UTC")
         # local-mode hygiene: keep the UI off for test/bench runs
         .config("spark.ui.enabled", "false")
