@@ -72,3 +72,42 @@ def test_audio_features(spark):
     assert r.media_id == 10
     assert r.duration_s == 2.5
     assert r.n_bytes == 4
+
+
+def test_audio_wav_payload_decodes_for_real(spark):
+    # a genuine PCM WAV built with the stdlib wave module: 16-bit mono,
+    # 8 kHz, 0.5 s of a full-scale square wave (RMS = full scale)
+    import io
+    import struct
+    import wave as wavemod
+
+    buf = io.BytesIO()
+    rate, dur = 8000, 0.5
+    n = int(rate * dur)
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        amp = 2**15 - 1
+        w.writeframes(b"".join(
+            struct.pack("<h", amp if i % 8 < 4 else -amp) for i in range(n)
+        ))
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, "audio", payload, ("wav", None, None, 1, rate, 999.0, None))],
+        MEDIA_SCHEMA,
+    )
+    [r] = audio_features(df).collect()
+    assert r.decoder == "wave"
+    assert abs(r.duration_s - dur) < 1e-9              # from frames, not metadata
+    assert abs(r.rms_pseudo - (2**15 - 1) / 2**15) < 1e-4
+    assert r.n_bytes == len(payload)
+
+    # a non-RIFF payload still takes the stub path (metadata duration)
+    df2 = spark.createDataFrame(
+        [(2, "audio", b"not a wav", ("wav", None, None, 1, rate, 2.0, None))],
+        MEDIA_SCHEMA,
+    )
+    [r2] = audio_features(df2).collect()
+    assert r2.decoder == "fake" and r2.duration_s == 2.0
