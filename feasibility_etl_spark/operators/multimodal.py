@@ -118,13 +118,103 @@ def _fake_stats(payload: bytes) -> tuple[str, float]:
     return digest, float(int(digest[:8], 16) % 256000) / 1000.0
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _try_png_decode(payload: bytes):
+    """Minimal stdlib PNG decoder → (width, height, mean_luma) or None.
+
+    Pure ``zlib`` + chunk walking: supports the common 8-bit
+    non-interlaced color types (grey, grey+alpha, RGB, RGBA) with all
+    five scanline filters. Anything else (16-bit, palette, interlaced,
+    malformed) returns None and the caller falls back to the stub —
+    honest partial-codec behavior, not silent wrong answers. Luma is
+    the Rec.601 weighting PIL's 'L' convert uses."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_MAGIC):
+        return None
+    try:
+        pos, idat, meta = len(_PNG_MAGIC), [], None
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos:pos + 4])
+            ctype = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            if ctype == b"IHDR":
+                w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                meta = (w, h, depth, color, interlace)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if meta is None or not idat:
+            return None
+        w, h, depth, color, interlace = meta
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        if depth != 8 or channels is None or interlace != 0 or w == 0 or h == 0:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            return None
+        prev = bytearray(stride)
+        total = 0.0
+        for y in range(h):
+            off = y * (stride + 1)
+            f = raw[off]
+            line = bytearray(raw[off + 1:off + 1 + stride])
+            if f == 1:  # Sub
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    left = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    left = line[i - channels] if i >= channels else 0
+                    ul = prev[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + _png_paeth(left, prev[i], ul)) & 0xFF
+            elif f != 0:
+                return None
+            for px in range(w):
+                base = px * channels
+                if channels >= 3:
+                    total += (
+                        0.299 * line[base] + 0.587 * line[base + 1] + 0.114 * line[base + 2]
+                    )
+                else:
+                    total += line[base]
+            prev = line
+        return w, h, total / (w * h)
+    except Exception:  # noqa: BLE001 — malformed PNG falls back to the stub
+        return None
+
+
 def image_features(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Decode images and emit per-image features via Arrow-batched mapInPandas.
 
-    Real path: PIL opens the payload, true width/height/mean-luma. Stub
-    path (this container): deterministic fake stats; width/height pass
-    through from metadata. ``parallelism`` repartitions ahead of the Python
-    stage so decode CPU spreads across executors.
+    Real paths: PIL when importable (any format); otherwise a minimal
+    stdlib PNG decoder (zlib inflate + unfilter — true width/height/
+    mean-luma for 8-bit non-interlaced PNGs, ``decoder='png'``). Stub
+    path for everything else: deterministic fake stats; width/height
+    pass through from metadata. ``parallelism`` repartitions ahead of
+    the Python stage so decode CPU spreads across executors.
     """
     src = df.where(F.col("kind") == "image").select("media_id", "payload", "metadata")
     if parallelism:
@@ -155,6 +245,14 @@ def image_features(df: DataFrame, parallelism: int | None = None) -> DataFrame:
                         continue
                     except Exception:  # noqa: BLE001 — fall through to stub
                         pass
+                png = _try_png_decode(payload)
+                if png is not None:
+                    w, h, luma = png
+                    out.append(
+                        (mid, len(payload), hashlib.sha256(payload).hexdigest(),
+                         w, h, luma, "png")
+                    )
+                    continue
                 digest, luma = _fake_stats(payload)
                 meta = meta or {}
                 out.append(

@@ -111,3 +111,75 @@ def test_audio_wav_payload_decodes_for_real(spark):
     )
     [r2] = audio_features(df2).collect()
     assert r2.decoder == "fake" and r2.duration_s == 2.0
+
+
+def _png_bytes(width, height, pixels, channels=3, filters=None):
+    """Minimal PNG encoder for tests: 8-bit, non-interlaced. ``pixels`` is
+    rows of per-channel byte tuples; ``filters`` picks each row's filter
+    type (default 0) — rows are pre-filtered so the decoder must undo it."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    raw = bytearray()
+    prev = bytes(width * channels)
+    for y, row in enumerate(pixels):
+        line = bytes(b for px in row for b in px)
+        f = (filters or [0] * height)[y]
+        raw.append(f)
+        if f == 0:
+            raw += line
+        elif f == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(len(line))
+            )
+        elif f == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+        else:
+            raise ValueError(f)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_png_payload_decodes_for_real(spark):
+    # 2x2 RGB with known Rec.601 luma, rows filtered Sub then Up
+    pixels = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (255, 255, 255)],
+    ]
+    payload = _png_bytes(2, 2, pixels, channels=3, filters=[1, 2])
+    expected_luma = (0.299 * 255 + 0.587 * 255 + 0.114 * 255 + 255) / 4
+
+    df = spark.createDataFrame(
+        [(1, "image", payload, ("png", 99, 99, 3, None, None, None))], MEDIA_SCHEMA
+    )
+    [r] = image_features(df).collect()
+    assert r.decoder == "png"
+    assert (r.width, r.height) == (2, 2)   # from IHDR, not metadata
+    assert abs(r.mean_luma - expected_luma) < 1e-9
+
+
+def test_image_png_greyscale_and_malformed(spark):
+    grey = [[(10,), (20,)], [(30,), (40,)]]
+    ok = _png_bytes(2, 2, grey, channels=1)
+    bad = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16   # magic but garbage chunks
+    df = spark.createDataFrame(
+        [(1, "image", ok, ("png", None, None, 1, None, None, None)),
+         (2, "image", bad, ("png", 7, 8, 1, None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in image_features(df).collect()}
+    assert rows[1].decoder == "png" and rows[1].mean_luma == 25.0
+    assert rows[2].decoder == "fake" and rows[2].width == 7  # metadata passthrough
