@@ -455,6 +455,7 @@ def incremental_near_dups(
     bands: int = 8,
     shingle_n: int = 3,
     new_index: DataFrame | None = None,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Near-dup pairs for an increment WITHOUT recomputing the corpus —
     the daily-drop serve path over a persisted ``minhash_index``.
@@ -481,6 +482,11 @@ def incremental_near_dups(
     Spark recomputes the shingle+minhash expression once per reference.
     Callers holding the increment in memory should build the index once,
     ``persist()`` it, and pass it here (the streaming gate does).
+
+    ``dedupe=False`` skips the candidate ``distinct()`` (one shuffle):
+    multi-band matches then emit one row per matching band. Use when the
+    consumer collapses pairs anyway (the gate's drop set does) — NOT
+    when pair rows are the deliverable.
     """
     new_idx = (
         new_index
@@ -513,7 +519,9 @@ def incremental_near_dups(
         & (F.col("x.band_hash") == F.col("y.band_hash"))
         & (F.col("x.id") < F.col("y.id")),
     ).select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-    cands = vs_old.unionByName(vs_new).distinct()
+    cands = vs_old.unionByName(vs_new)
+    if dedupe:
+        cands = cands.distinct()
 
     sigs = index.unionByName(new_idx).select(F.col(id_col).alias("id"), "sig")
     half = F.broadcast(cands).join(

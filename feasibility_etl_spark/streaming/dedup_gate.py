@@ -90,9 +90,12 @@ def drop_ids(
     batch-internal pair. ``gate_batch`` anti-joins these against the
     batch; the streaming sink also anti-joins them against the batch's
     prebuilt MinHash index so accepted index rows need no recompute."""
+    # dedupe=False: multi-band matches emit duplicate pair rows, which is
+    # fine here — the drop set below collapses them with its own distinct,
+    # and skipping the candidate distinct saves a shuffle per micro-batch
     pairs = incremental_near_dups(
         batch, index, text_col, id_col, threshold, num_hashes, bands, shingle_n,
-        new_index=new_index,
+        new_index=new_index, dedupe=False,
     )
     # batch-id membership frames are micro-batch-sized: broadcast them so
     # the pair tagging never shuffles (AQE is off under foreachBatch).
