@@ -2651,7 +2651,13 @@ def _bm25_oracle(terms=BM25_TERMS, k1=_BM25_K1, b=_BM25_B) -> str:
     term_exprs = []
     for i in range(len(terms)):
         idf = f"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
-        norm = f"{k1!r} * (1.0 - {b!r} + {b!r} * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))"
+        # the dl/avgdl ratio is guarded (and parenthesized) exactly like
+        # the Spark side: b * (ratio), not (b * dl) / avgdl — same IEEE
+        # operation order, and a degenerate all-empty corpus scores 0.0
+        norm = (
+            f"{k1!r} * (1.0 - {b!r} + {b!r} * (CASE WHEN sumdl = 0 THEN 0.0 "
+            f"ELSE CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)) END))"
+        )
         term_exprs.append(
             f"{idf} * CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r} / (CAST(tf{i} AS DOUBLE) + {norm})"
         )

@@ -98,10 +98,14 @@ def bm25_scores(
 
     scored = base.crossJoin(F.broadcast(stats))
     n = F.col("_n").cast("double")
-    avgdl = F.col("_sumdl").cast("double") / n
-    norm = F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl").cast("double") / avgdl
+    # degenerate corpus (every doc tokenizes empty): avgdl = 0 and the
+    # length-normalization ratio's limit is 0 — without the guard the
+    # division poisons the whole score (NaN / ANSI divide-by-zero) even
+    # though every tf is 0 and the score should be 0.0
+    dl_ratio = F.when(F.col("_sumdl") == 0, F.lit(0.0)).otherwise(
+        F.col("_dl").cast("double") / (F.col("_sumdl").cast("double") / n)
     )
+    norm = F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl_ratio)
 
     def term_score(i: int) -> Column:
         tf = F.col(f"_tf{i}").cast("double")

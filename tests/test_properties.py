@@ -258,3 +258,74 @@ def test_scd2_incremental_equals_bootstrap(spark, events, cut):
         for r in df.collect()
     )
     assert key(inc) == key(boot)
+
+
+# ---------- round-3 operators: BM25 and Gopher repetition vs pure-Python ----
+
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=3)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+def _py_bm25(corpus, terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in corpus}
+    n = len(toks)
+    sumdl = sum(len(v) for v in toks.values())
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for q in dict.fromkeys(t.lower() for t in terms):
+            tf = tk.count(q)
+            df = sum(1 for v in toks.values() if q in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            ratio = 0.0 if sumdl == 0 else len(tk) / (sumdl / n)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * ratio))
+        out[i] = s
+    return out
+
+
+@given(st.lists(_doc, min_size=1, max_size=15), st.lists(_word, min_size=1, max_size=3))
+@SETTINGS
+def test_bm25_matches_python_model(spark, texts, terms):
+    from feasibility_etl_spark.operators.search import bm25_scores
+
+    corpus = list(enumerate(texts))
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, terms).collect()}
+    exp = _py_bm25(corpus, terms)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert math.isclose(got[i], exp[i], rel_tol=0, abs_tol=1e-12)
+
+
+def _py_repetition(text, n):
+    """Gopher A1.1 model: top = mass of the argmax-by-count n-gram
+    (tie: higher mass), dup = mass of grams occurring >= 2 times."""
+    ws = text.lower().split()
+    grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+    nc = len(text)
+    if not grams or nc == 0:
+        return 0.0, 0.0
+    from collections import Counter
+
+    cnt = Counter(grams)
+    best = max(cnt.items(), key=lambda kv: (kv[1], kv[1] * len(kv[0])))
+    top = best[1] * len(best[0])
+    dup = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+    return top / nc, dup / nc
+
+
+@given(st.lists(_doc, min_size=1, max_size=15), st.integers(min_value=1, max_value=4))
+@SETTINGS
+def test_repetition_matches_python_model(spark, texts, n):
+    from feasibility_etl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r[f"top{n}_frac"], r[f"dup{n}_frac"])
+        for r in repetition_signals(df, top_ns=(n,), dup_ns=(n,)).collect()
+    }
+    for i, t in enumerate(texts):
+        et, ed = _py_repetition(t, n)
+        assert math.isclose(got[i][0], et, rel_tol=0, abs_tol=1e-12), (i, t)
+        assert math.isclose(got[i][1], ed, rel_tol=0, abs_tol=1e-12), (i, t)

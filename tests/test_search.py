@@ -22,7 +22,7 @@ def docs(spark):
 def _expected(query, k1=1.2, b=0.75):
     toks = {i: t.lower().split() for i, t in DOCS}
     n = len(toks)
-    avgdl = sum(len(v) for v in toks.values()) / n
+    sumdl = sum(len(v) for v in toks.values())
     out = {}
     for i, tk in toks.items():
         s = 0.0
@@ -30,8 +30,8 @@ def _expected(query, k1=1.2, b=0.75):
             tf = tk.count(q)
             df = sum(1 for v in toks.values() if q in v)
             idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-            dl = len(tk)
-            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+            ratio = 0.0 if sumdl == 0 else len(tk) / (sumdl / n)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * ratio))
         out[i] = s
     return out
 
