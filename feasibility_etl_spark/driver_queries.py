@@ -3171,6 +3171,33 @@ def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-BM25-TOPK granular: top-10 retrieval for the fixed query.
+    Ranks over the 9-dp-ROUNDED score (ties broken by doc_id) so both
+    engines order identical values — full-precision order could differ
+    across engines exactly where two scores round together (see the ln()
+    note in q_text_profile). Executes as TakeOrderedAndProject
+    (plan-asserted for the operator in tests/test_search.py)."""
+    from pyspark.sql import Window
+
+    from .operators.search import bm25_scores
+
+    scored = bm25_scores(load(spark, sf, "documents"), list(BM25_TERMS)).select(
+        "doc_id", F.round("bm25", 9).alias("bm25")
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))  # 10 rows only
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+ORACLE_TEXT_BM25_TOPK = f"""
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+FROM ({_bm25_oracle()})
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
 def q_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
     """DEDUP-INCR granular: odd-id increment served against the even-id
     minhash index (rows-only: xxhash signatures)."""
@@ -3231,6 +3258,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "SKETCH-HLL": q_sketch_hll,
     "SKETCH-THETA": q_sketch_theta,
     "SKETCH-CONTAM": q_sketch_contam,
+    "TEXT-BM25-TOPK": q_text_bm25_topk,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -3271,4 +3299,5 @@ ALL_ORACLES: dict[str, str] = {
     "TEXT-BM25": ORACLE_TEXT_BM25,
     "SKETCH-HLL": ORACLE_SKETCH_HLL,
     "SKETCH-THETA": ORACLE_SKETCH_THETA,
+    "TEXT-BM25-TOPK": ORACLE_TEXT_BM25_TOPK,
 }
