@@ -206,6 +206,116 @@ def _try_png_decode(payload: bytes):
         return None
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-flavor LZW: LSB-first variable-width codes, dictionary resets
+    on CLEAR, stops at END. Returns the palette-index stream."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1, None
+
+    table, width, prev = reset()
+    out = bytearray()
+    acc = nbits = 0
+    next_code = end + 1
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, prev = reset()
+                next_code = end + 1
+                continue
+            if code == end:
+                return out
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad LZW code")
+            out += entry
+            if prev is not None and next_code < 4096:
+                # dictionary caps at 4096 (12-bit codes); real encoders
+                # then either emit CLEAR or defer it and keep emitting
+                # 12-bit codes without inserting — mirror by not inserting
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _try_gif_decode(payload: bytes):
+    """Minimal stdlib GIF decoder → (width, height, mean_luma) or None.
+
+    First image frame only; global or local color table; no interlace.
+    Same honest-fallback contract as the PNG path."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 ** ((flags & 0x07) + 1)
+            gct = payload[pos:pos + 3 * n]
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while payload[pos]:
+                    pos += payload[pos] + 1
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos:pos + 9])
+                pos += 9
+                if iflags & 0x40:  # interlaced — out of scope
+                    return None
+                table = gct
+                if iflags & 0x80:
+                    n = 2 ** ((iflags & 0x07) + 1)
+                    table = payload[pos:pos + 3 * n]
+                    pos += 3 * n
+                if table is None:
+                    return None
+                mcs = payload[pos]
+                pos += 1
+                data = bytearray()
+                while payload[pos]:
+                    size = payload[pos]
+                    data += payload[pos + 1:pos + 1 + size]
+                    pos += size + 1
+                pos += 1
+                idx = _gif_lzw_decode(bytes(data), mcs)
+                if len(idx) < iw * ih or iw == 0 or ih == 0:
+                    return None
+                total = 0.0
+                for i in idx[: iw * ih]:
+                    base = 3 * i
+                    total += (
+                        0.299 * table[base]
+                        + 0.587 * table[base + 1]
+                        + 0.114 * table[base + 2]
+                    )
+                return iw, ih, total / (iw * ih)
+            elif block == 0x3B:  # trailer before any image
+                return None
+            else:
+                return None
+        return None
+    except Exception:  # noqa: BLE001 — malformed GIF falls back to the stub
+        return None
+
+
 def image_features(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Decode images and emit per-image features via Arrow-batched mapInPandas.
 
@@ -245,12 +355,14 @@ def image_features(df: DataFrame, parallelism: int | None = None) -> DataFrame:
                         continue
                     except Exception:  # noqa: BLE001 — fall through to stub
                         pass
-                png = _try_png_decode(payload)
-                if png is not None:
-                    w, h, luma = png
+                name, decoded = "png", _try_png_decode(payload)
+                if decoded is None:
+                    name, decoded = "gif", _try_gif_decode(payload)
+                if decoded is not None:
+                    w, h, luma = decoded
                     out.append(
                         (mid, len(payload), hashlib.sha256(payload).hexdigest(),
-                         w, h, luma, "png")
+                         w, h, luma, name)
                     )
                     continue
                 digest, luma = _fake_stats(payload)

@@ -6,6 +6,8 @@ from __future__ import annotations
 import hashlib
 import random
 
+import pytest
+
 from feasibility_etl_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     audio_features,
@@ -183,3 +185,187 @@ def test_image_png_greyscale_and_malformed(spark):
     rows = {r.media_id: r for r in image_features(df).collect()}
     assert rows[1].decoder == "png" and rows[1].mean_luma == 25.0
     assert rows[2].decoder == "fake" and rows[2].width == 7  # metadata passthrough
+
+
+def _gif_bytes(width, height, palette, indices):
+    """Minimal GIF89a encoder for tests: global color table, one frame,
+    'uncompressed' LZW (a CLEAR code before every pixel code keeps the
+    dictionary empty so codes stay at min_code_size+1 bits)."""
+    import struct
+
+    n = max(2, len(palette))
+    bits = max(2, (n - 1).bit_length())
+    table_n = 1 << bits
+    gct = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (table_n - len(palette))
+    mcs = bits
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width_bits = mcs + 1
+
+    codes = []
+    for i in indices:
+        codes += [clear, i]
+    codes.append(end)
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += gct
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(mcs)
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos:pos + 255]
+        out.append(len(chunk))
+        out += chunk
+        pos += 255
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def test_image_gif_payload_decodes_for_real(spark):
+    # 2x2: red, green, blue, white via a 4-color palette
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    payload = _gif_bytes(2, 2, palette, [0, 1, 2, 3])
+    expected_luma = (0.299 * 255 + 0.587 * 255 + 0.114 * 255 + 255) / 4
+
+    df = spark.createDataFrame(
+        [(1, "image", payload, ("gif", 9, 9, 3, None, None, None))], MEDIA_SCHEMA
+    )
+    [r] = image_features(df).collect()
+    assert r.decoder == "gif"
+    assert (r.width, r.height) == (2, 2)
+    assert abs(r.mean_luma - expected_luma) < 1e-9
+
+    # truncated GIF falls back to the stub
+    df2 = spark.createDataFrame(
+        [(2, "image", payload[:20], ("gif", 5, 6, 3, None, None, None))], MEDIA_SCHEMA
+    )
+    [r2] = image_features(df2).collect()
+    assert r2.decoder == "fake" and r2.width == 5
+
+
+def _gif_lzw_encode(indices, mcs):
+    """Real GIF LZW compressor (dictionary growth + width widening,
+    mirror of the decoder's spec rules) for roundtrip tests."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out_bits = []
+
+    def emit(code, width):
+        out_bits.append((code, width))
+
+    width = mcs + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the encoder's insert counter runs one ahead of the decoder's
+            # (the decoder's first post-clear code inserts nothing), so it
+            # widens one step later: +1 relative to the decoder's rule.
+            # Verified against real-encoder GIFs (idlelib icons) decoded by
+            # _try_gif_decode in test_gif_decoder_against_real_encoder_files.
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([k])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+
+    acc = nbits = 0
+    data = bytearray()
+    for code, wd in out_bits:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def test_gif_lzw_roundtrip_with_dictionary_growth(spark):
+    import random as _random
+
+    from feasibility_etl_spark.operators.multimodal import _gif_lzw_decode
+
+    rng = _random.Random(7)
+    for mcs in (2, 4, 8):
+        for _ in range(3):
+            # repetitive streams force dictionary growth across width
+            # boundaries; alphabet bounded by the palette size
+            n = rng.randrange(1, 5000)
+            pool = [rng.randrange(1 << mcs) for _ in range(max(2, n // 50))]
+            indices = [pool[rng.randrange(len(pool))] for _ in range(n)]
+            data = _gif_lzw_encode(indices, mcs)
+            assert list(_gif_lzw_decode(data, mcs)) == indices, (mcs, n)
+
+
+def test_image_gif_compressed_payload(spark):
+    # same 2x2 image but through the REAL compressor path
+    import struct
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    indices = [0, 1, 2, 3]
+    data = _gif_lzw_encode(indices, 2)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
+    out += b"".join(bytes(c) for c in palette)
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    out.append(2)
+    out.append(len(data))
+    out += data
+    out += b"\x00\x3B"
+
+    df = spark.createDataFrame(
+        [(1, "image", bytes(out), ("gif", None, None, 3, None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    [r] = image_features(df).collect()
+    assert r.decoder == "gif" and (r.width, r.height) == (2, 2)
+
+
+def test_gif_decoder_against_real_encoder_files(spark):
+    # ground truth for LZW width-sync: GIFs produced by real encoders
+    # (Python install's idlelib icons). Exact-length index decode of a
+    # desynced stream is effectively impossible — 'bad LZW code' fires.
+    import glob
+    import os
+
+    from feasibility_etl_spark.operators.multimodal import _try_gif_decode
+
+    icons = sorted(
+        glob.glob(
+            "/mnt/sandboxing/model_tools_env/v1/python/install/"
+            "lib/python3.11/idlelib/Icons/*.gif"
+        )
+    )
+    if not icons:
+        pytest.skip("no real-encoder GIFs available in this environment")
+    decoded = 0
+    for p in icons:
+        r = _try_gif_decode(open(p, "rb").read())
+        if r is not None:  # interlaced icons legitimately fall back
+            w, h, luma = r
+            assert w > 0 and h > 0 and 0.0 <= luma <= 255.0, os.path.basename(p)
+            decoded += 1
+    assert decoded >= 5
