@@ -3198,6 +3198,49 @@ ORDER BY bm25 DESC, doc_id LIMIT 10
 """
 
 
+def q_dedup_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-FUZZY granular: typo-level near-miss pairs (1 ≤ levenshtein
+    ≤ 1) over part names with a deterministic last-char-drop typo
+    injected on every 7th part — the part vocabulary is 64 verbatim-
+    duplicated names, so exact copies (DEDUP-EXACT's job) are excluded
+    and the synthetic typos are what a linkage pass actually hunts.
+    Blocking (first token + adjacent length band) is part of the spec
+    and the oracle mirrors it exactly."""
+    from .operators.dedup import fuzzy_pairs
+
+    names = load(spark, sf, "part").select(
+        F.col("p_partkey").cast("long").alias("doc_id"),
+        F.when(
+            F.col("p_partkey") % 7 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        ).otherwise(F.col("p_name")).alias("p_name"),
+    )
+    return fuzzy_pairs(names, "p_name", max_dist=1)
+
+
+ORACLE_DEDUP_FUZZY = """
+WITH names AS (
+  SELECT CAST(p_partkey AS BIGINT) AS id,
+         CASE WHEN p_partkey % 7 = 0
+              THEN substr(p_name, 1, length(p_name) - 1)
+              ELSE p_name END AS s
+  FROM part
+),
+base AS (
+  SELECT id, s,
+         list_filter(string_split_regex(trim(s), '\\s+'), x -> x <> '')[1] AS w,
+         CAST(floor(length(s) / 2.0) AS BIGINT) AS band
+  FROM names
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+FROM base a JOIN base b
+  ON a.w = b.w AND b.band BETWEEN a.band - 1 AND a.band + 1
+ AND a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 1
+"""
+
+
 def q_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
     """DEDUP-INCR granular: odd-id increment served against the even-id
     minhash index (rows-only: xxhash signatures)."""
@@ -3259,6 +3302,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "SKETCH-THETA": q_sketch_theta,
     "SKETCH-CONTAM": q_sketch_contam,
     "TEXT-BM25-TOPK": q_text_bm25_topk,
+    "DEDUP-FUZZY": q_dedup_fuzzy,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -3300,4 +3344,5 @@ ALL_ORACLES: dict[str, str] = {
     "SKETCH-HLL": ORACLE_SKETCH_HLL,
     "SKETCH-THETA": ORACLE_SKETCH_THETA,
     "TEXT-BM25-TOPK": ORACLE_TEXT_BM25_TOPK,
+    "DEDUP-FUZZY": ORACLE_DEDUP_FUZZY,
 }

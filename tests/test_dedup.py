@@ -194,3 +194,38 @@ class TestIncrementalMinhash:
         served = incremental_near_dups(new, spark.read.parquet(path))
         direct = incremental_near_dups(new, minhash_index(old))
         assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_fuzzy_pairs_blocked_edit_distance(spark):
+    from feasibility_etl_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme widget"),
+            (2, "acme widget"),    # exact copy of 1 — excluded by default
+            (3, "acme widgets"),   # dist 1 from 1/2
+            (4, "acme gadget"),    # dist 3 from widget — beyond max_dist
+            (5, "zcme widget"),    # first token differs — escapes the block
+            (6, "beta rod"),
+            (7, "beta rot"),       # dist 1
+        ],
+        "doc_id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(df, "name", max_dist=1).collect()
+    }
+    assert got == {(1, 3): 1, (2, 3): 1, (6, 7): 1}
+    # include_exact brings the verbatim pair back at dist 0
+    withx = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(df, "name", max_dist=1, include_exact=True).collect()
+    }
+    assert withx[(1, 2)] == 0 and (1, 3) in withx
+    # adjacent length bands: a 1-char length difference across a band
+    # boundary is still found (band_width=2: len 8 -> band 4, len 9 -> 4;
+    # craft lens 9 vs 10 -> bands 4,5)
+    df2 = spark.createDataFrame(
+        [(10, "ab cdefgh"), (11, "ab cdefghi")], "doc_id long, name string"
+    )
+    assert fuzzy_pairs(df2, "name", max_dist=1).count() == 1
