@@ -1,4 +1,5 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+blocked edit-distance (fuzzy).
 
 Scale shape: every variant here avoids the O(n²) all-pairs comparison.
 
@@ -12,6 +13,8 @@ Scale shape: every variant here avoids the O(n²) all-pairs comparison.
   quarters for candidate generation (two signatures within Hamming distance
   3 must share one of 4 bands).
 - **n-gram Jaccard**: the verify step, exposed standalone.
+- **fuzzy**: levenshtein pairs under first-token + length-band blocking —
+  the quadratic-per-pair distance runs only on blocked survivors.
 
 All pure Column expressions (xxhash64 is Spark's JVM-side 64-bit hash) — no
 Python in the hot path.
