@@ -39,6 +39,7 @@ MAX_EXCHANGES = {
     "TEXT-BM25": 1,       # single-row stats agg; scoring is a broadcast
     "SKETCH-HLL": 2,      # build agg + merge agg
     "SKETCH-THETA": 2,    # per-key sketch agg + sketch-side pairing
+    "DEDUP-FUZZY": 1,     # bucketed (token, band) equi-join, no cartesian
 }
 
 #: operator-level zero-shuffle guarantees (no bench-input repartition)
