@@ -44,10 +44,14 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: SKETCH-THETA's cross join is per-key sketches x per-key sketches
 #: (K^2 sketch rows, K = #event types) — sketch-side set algebra, never
 #: a join over the underlying events.
+#: SKETCH-CONTAM cross-joins two SINGLE-ROW global sketch aggregates
+#: (corpus and eval theta sketches) — a 1x1 product.
+#: TEXT-BM25-TOPK inherits TEXT-BM25's single-row corpus-stats attach.
 CARTESIAN_OK = {
     "SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN",
     "J-LOOKUP-INSERT", "E-AUDIT",
     "TEXT-BM25", "TEXT-PROFILE", "SKETCH-THETA",
+    "SKETCH-CONTAM", "TEXT-BM25-TOPK",
 }
 
 #: Queries that legitimately run Arrow-batched Python (multimodal decode).
