@@ -221,8 +221,8 @@ def run_sessionize_bench(spark, sf_dir: str) -> tuple[float, int]:
 def run_scd2_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
     """Streaming SCD2 fold at bench SF: per-user event_type observations
     replayed as a 4-micro-batch CDC stream through scd2_sink — every
-    batch folds into the persisted history (read back → scd2_apply →
-    staged swap), all executor-side."""
+    batch folds into the persisted open slice (read back → scd2_apply →
+    append closed delta + commit open/v=N), all executor-side."""
     import shutil
 
     from feasibility_etl_spark.sources.catalog import load as cat_load

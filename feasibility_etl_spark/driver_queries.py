@@ -2658,8 +2658,12 @@ def _bm25_oracle(terms=BM25_TERMS, k1=_BM25_K1, b=_BM25_B) -> str:
             f"{k1!r} * (1.0 - {b!r} + {b!r} * (CASE WHEN sumdl = 0 THEN 0.0 "
             f"ELSE CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)) END))"
         )
+        # tf = 0 short-circuits to 0.0 on both sides (Spark mirrors this
+        # CASE): same value as evaluating the expression when norm > 0,
+        # and it keeps b=1.0 / empty-doc inputs out of 0/0 territory
         term_exprs.append(
-            f"{idf} * CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r} / (CAST(tf{i} AS DOUBLE) + {norm})"
+            f"CASE WHEN tf{i} = 0 THEN 0.0 ELSE "
+            f"{idf} * CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r} / (CAST(tf{i} AS DOUBLE) + {norm}) END"
         )
     score = " + ".join(term_exprs)
     # round(, 9): ln() differs by 1 ulp between JVM libm and DuckDB — see
@@ -3177,17 +3181,21 @@ def q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     engines order identical values — full-precision order could differ
     across engines exactly where two scores round together (see the ln()
     note in q_text_profile). Executes as TakeOrderedAndProject
-    (plan-asserted for the operator in tests/test_search.py)."""
-    from pyspark.sql import Window
-
+    (plan-asserted for the operator in tests/test_search.py); rank comes
+    from the sorted k-row array (bm25_topk's no-window formulation)."""
     from .operators.search import bm25_scores
 
     scored = bm25_scores(load(spark, sf, "documents"), list(BM25_TERMS)).select(
         "doc_id", F.round("bm25", 9).alias("bm25")
     )
     top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))  # 10 rows only
-    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+    item = F.struct((-F.col("bm25")).alias("_negs"), F.col("doc_id").alias("_id"))
+    packed = top.agg(F.sort_array(F.collect_list(item)).alias("_top"))
+    return packed.select(F.posexplode("_top").alias("_pos", "_row")).select(
+        F.col("_row._id").alias("doc_id"),
+        (-F.col("_row._negs")).alias("bm25"),
+        (F.col("_pos") + 1).cast("long").alias("rank"),
+    )
 
 
 ORACLE_TEXT_BM25_TOPK = f"""

@@ -459,6 +459,7 @@ def incremental_near_dups(
     shingle_n: int = 3,
     new_index: DataFrame | None = None,
     dedupe: bool = True,
+    small_increment: bool = True,
 ) -> DataFrame:
     """Near-dup pairs for an increment WITHOUT recomputing the corpus —
     the daily-drop serve path over a persisted ``minhash_index``.
@@ -490,12 +491,24 @@ def incremental_near_dups(
     multi-band matches then emit one row per matching band. Use when the
     consumer collapses pairs anyway (the gate's drop set does) — NOT
     when pair rows are the deliverable.
+
+    ``small_increment=True`` (the micro-batch serve path) broadcasts the
+    increment-derived frames explicitly — banded rows, candidate set,
+    half-joined pairs. foreachBatch disables AQE, so without the hints
+    every one of these joins would shuffle the full index; with them the
+    index is only ever scanned, never exchanged. Pass ``False`` for
+    batch backfills whose increment is NOT broadcast-sized (the banded
+    increment is rows × bands plus k-long sigs): the joins then fall
+    back to shuffle plans that degrade gracefully — and in batch mode
+    AQE still broadcasts at runtime whenever the increment turns out
+    small enough.
     """
     new_idx = (
         new_index
         if new_index is not None
         else minhash_index(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
     )
+    hint = F.broadcast if small_increment else (lambda df: df)
 
     def banded(ix: DataFrame) -> DataFrame:
         return ix.select(
@@ -503,13 +516,8 @@ def incremental_near_dups(
             F.posexplode("band_hashes").alias("band", "band_hash"),
         )
 
-    # The increment (and everything derived from it — banded rows, the
-    # candidate set) is broadcast EXPLICITLY: the serve path runs inside
-    # foreachBatch where AQE is disabled, so without the hints every one
-    # of these joins shuffles the full index. With them the index is only
-    # ever scanned, never exchanged.
     nb, ob = banded(new_idx), banded(index)
-    vs_old = F.broadcast(nb).alias("n").join(
+    vs_old = hint(nb).alias("n").join(
         ob.alias("o"),
         (F.col("n.band") == F.col("o.band"))
         & (F.col("n.band_hash") == F.col("o.band_hash")),
@@ -517,7 +525,7 @@ def incremental_near_dups(
         F.least("n.id", "o.id").alias("id_a"), F.greatest("n.id", "o.id").alias("id_b")
     )
     vs_new = nb.alias("x").join(
-        F.broadcast(nb).alias("y"),
+        hint(nb).alias("y"),
         (F.col("x.band") == F.col("y.band"))
         & (F.col("x.band_hash") == F.col("y.band_hash"))
         & (F.col("x.id") < F.col("y.id")),
@@ -527,11 +535,11 @@ def incremental_near_dups(
         cands = cands.distinct()
 
     sigs = index.unionByName(new_idx).select(F.col(id_col).alias("id"), "sig")
-    half = F.broadcast(cands).join(
+    half = hint(cands).join(
         sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
     )
     out = (
-        F.broadcast(half)  # still candidate-pair-sized: one sig column attached
+        hint(half)  # still candidate-pair-sized: one sig column attached
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
         .select("id_a", "id_b", est_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"))
     )
@@ -574,10 +582,16 @@ def fuzzy_pairs(
     if band_width is None:
         band_width = max_dist + 1
     s = F.col(text_col)
+    # first token via the family's shared tokenizer (tokens() filters the
+    # empty string), so an empty/whitespace-only input blocks to NULL and
+    # drops out of the equi-join — the DuckDB oracle's list_filter(...)[1]
+    # yields NULL for the same inputs, keeping the "oracle mirrors the
+    # blocking exactly" contract on edge rows. try_element_at: the token
+    # array CAN be empty here and ANSI element_at would throw.
     base = df.select(
         F.col(id_col).alias("id"),
         s.alias("s"),
-        F.element_at(F.split(F.trim(s), r"\s+"), 1).alias("w"),
+        F.try_element_at(tokens(s), F.lit(1)).alias("w"),
         (F.length(s) / band_width).cast("long").alias("band"),
     )
     a = base.select(

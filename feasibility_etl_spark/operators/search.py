@@ -113,7 +113,13 @@ def bm25_scores(
         idf = F.log(
             F.lit(1.0) + (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
         )
-        return idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+        # tf = 0 short-circuits to exactly 0.0: skips the division for
+        # non-matching docs AND covers the b=1.0 degenerate case (an
+        # empty doc gets norm = k1*b*0 = 0, so tf/(tf+norm) would be
+        # 0/0 → NaN even though the score is defined to be 0.0)
+        return F.when(F.col(f"_tf{i}") == 0, F.lit(0.0)).otherwise(
+            idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+        )
 
     score = term_score(0)
     for i in range(1, len(terms)):
@@ -133,10 +139,19 @@ def bm25_topk(
     """Top-k retrieval: ``(id_col, bm25, rank)``, score-desc with id-asc
     tie-break (re-runs and engines agree). Executes as
     TakeOrderedAndProject — per-partition partial top-k, merged k rows on
-    the driver, no global sort (plan-asserted in tests)."""
-    from pyspark.sql import Window
+    the driver, no global sort (plan-asserted in tests).
 
+    Rank is derived from the ordered take itself: the k rows fold into
+    one sorted array (``sort_array`` over ``struct(-bm25, id)`` — score
+    desc, id asc) and ``posexplode`` numbers them. No window function, so
+    no unpartitioned WindowExec (which would log a move-everything-to-
+    one-partition warning on every run for what is a k-row operation)."""
     scored = bm25_scores(df, query_terms, text_col, id_col, k1, b)
     ordered = scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))  # k rows only
-    return ordered.withColumn("rank", F.row_number().over(w).cast("long"))
+    item = F.struct((-F.col("bm25")).alias("_negs"), F.col(id_col).alias("_id"))
+    packed = ordered.agg(F.sort_array(F.collect_list(item)).alias("_top"))
+    return packed.select(F.posexplode("_top").alias("_pos", "_row")).select(
+        F.col("_row._id").alias(id_col),
+        (-F.col("_row._negs")).alias("bm25"),
+        (F.col("_pos") + 1).cast("long").alias("rank"),
+    )

@@ -84,30 +84,37 @@ def drop_ids(
     bands: int = 8,
     shingle_n: int = 3,
     new_index: DataFrame | None = None,
+    small_increment: bool = True,
 ) -> DataFrame:
     """The batch ids the near-dup gate rejects (one column, ``id_col``):
     docs matching the accepted index, plus the greater id of each
     batch-internal pair. ``gate_batch`` anti-joins these against the
     batch; the streaming sink also anti-joins them against the batch's
-    prebuilt MinHash index so accepted index rows need no recompute."""
+    prebuilt MinHash index so accepted index rows need no recompute.
+
+    ``small_increment``: forwarded to :func:`incremental_near_dups` and
+    applied to the membership-tagging joins below — True (micro-batch
+    serve path) forces broadcasts because AQE is off under foreachBatch;
+    False (large batch backfills) lets every join plan a shuffle that
+    degrades gracefully instead of force-broadcasting an arbitrarily
+    large increment."""
     # dedupe=False: multi-band matches emit duplicate pair rows, which is
     # fine here — the drop set below collapses them with its own distinct,
     # and skipping the candidate distinct saves a shuffle per micro-batch
     pairs = incremental_near_dups(
         batch, index, text_col, id_col, threshold, num_hashes, bands, shingle_n,
-        new_index=new_index, dedupe=False,
+        new_index=new_index, dedupe=False, small_increment=small_increment,
     )
-    # batch-id membership frames are micro-batch-sized: broadcast them so
-    # the pair tagging never shuffles (AQE is off under foreachBatch).
+    hint = F.broadcast if small_increment else (lambda df: df)
     new_ids = batch.select(F.col(id_col).alias("nid"))
     flagged = (
         pairs.join(
-            F.broadcast(new_ids.select(F.col("nid").alias("id_a"), F.lit(True).alias("a_new"))),
+            hint(new_ids.select(F.col("nid").alias("id_a"), F.lit(True).alias("a_new"))),
             "id_a",
             "left",
         )
         .join(
-            F.broadcast(new_ids.select(F.col("nid").alias("id_b"), F.lit(True).alias("b_new"))),
+            hint(new_ids.select(F.col("nid").alias("id_b"), F.lit(True).alias("b_new"))),
             "id_b",
             "left",
         )
@@ -137,13 +144,16 @@ def gate_batch(
     bands: int = 8,
     shingle_n: int = 3,
     new_index: DataFrame | None = None,
+    small_increment: bool = True,
 ) -> DataFrame:
     """Pure gating step: the subset of ``batch`` that survives near-dup
     checks against ``index`` and smaller-id batch-mates. Usable directly
-    for batch backfills; the streaming sink wraps it per micro-batch."""
+    for batch backfills; the streaming sink wraps it per micro-batch.
+    For backfills whose increment is not broadcast-sized, pass
+    ``small_increment=False`` (see :func:`drop_ids`)."""
     drops = drop_ids(
         batch, index, text_col, id_col, threshold, num_hashes, bands, shingle_n,
-        new_index=new_index,
+        new_index=new_index, small_increment=small_increment,
     )
     return batch.join(drops, id_col, "left_anti")
 

@@ -1,10 +1,14 @@
-"""Streaming SCD2 sink: incremental fold parity + replay idempotency."""
+"""Streaming SCD2 sink: incremental fold parity, replay idempotency,
+crash-window consistency, and open-slice-only steady-state writes."""
 
 from __future__ import annotations
 
 import datetime as dt
+import os
 
-from feasibility_etl_spark.streaming.scd2_sink import scd2_sink
+from pyspark.sql import functions as F
+
+from feasibility_etl_spark.streaming.scd2_sink import read_scd2_history, scd2_sink
 from feasibility_etl_spark.writer.scd2 import scd2_apply
 
 
@@ -21,14 +25,15 @@ def _rows(hist):
 
 B0 = [("alice", "gold", _ts(8)), ("bob", "silver", _ts(8))]
 B1 = [("alice", "platinum", _ts(12)), ("bob", "silver", _ts(12)), ("carol", "gold", _ts(12))]
+B2 = [("bob", "gold", _ts(16)), ("carol", "gold", _ts(16))]
 
 
-def _stage(spark, tmp_path):
+def _stage(spark, tmp_path, batches=(B0, B1)):
     stage = str(tmp_path / "changes")
-    for i, rows in enumerate([B0, B1]):
+    for i, rows in enumerate(batches):
         spark.createDataFrame(rows, "k string, tier string, ts timestamp").coalesce(
             1
-        ).write.parquet(f"{stage}/f{i}")
+        ).write.mode("overwrite").parquet(f"{stage}/f{i}")
     return stage
 
 
@@ -47,7 +52,7 @@ def test_streamed_history_equals_batch_fold(spark, tmp_path):
     stage = _stage(spark, tmp_path)
     hist_dir = str(tmp_path / "hist")
     _run(spark, stage, hist_dir, str(tmp_path / "ckpt"))
-    streamed = _rows(spark.read.parquet(hist_dir))
+    streamed = _rows(read_scd2_history(spark, hist_dir))
 
     h0 = scd2_apply(spark.createDataFrame(B0, "k string, tier string, ts timestamp"), "k", ["tier"])
     h1 = scd2_apply(
@@ -63,7 +68,79 @@ def test_replay_from_scratch_is_idempotent(spark, tmp_path):
     stage = _stage(spark, tmp_path)
     hist_dir = str(tmp_path / "hist")
     _run(spark, stage, hist_dir, str(tmp_path / "ckpt1"))
-    first = _rows(spark.read.parquet(hist_dir))
+    first = _rows(read_scd2_history(spark, hist_dir))
     # fresh checkpoint: every batch replays over the existing history
     _run(spark, stage, hist_dir, str(tmp_path / "ckpt2"))
-    assert _rows(spark.read.parquet(hist_dir)) == first
+    assert _rows(read_scd2_history(spark, hist_dir)) == first
+
+
+def test_half_written_batch_is_invisible(spark, tmp_path):
+    """A closed delta whose open-slice commit never landed (crash between
+    the two writes) must not surface in reads: the reader gates closed
+    partitions to batch_id <= the latest complete open version."""
+    stage = _stage(spark, tmp_path)
+    hist_dir = str(tmp_path / "hist")
+    _run(spark, stage, hist_dir, str(tmp_path / "ckpt"))
+    before = _rows(read_scd2_history(spark, hist_dir))
+
+    # simulate batch 99 crashing after its closed append: a stray closed
+    # row lands, but open/v=99 never commits
+    phantom = spark.createDataFrame(
+        [(123, "alice", "platinum", _ts(12), _ts(20), False, 99)],
+        "version_sk long, k string, tier string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean, batch_id int",
+    )
+    phantom.write.mode("append").partitionBy("batch_id").parquet(hist_dir + "/closed")
+    assert _rows(read_scd2_history(spark, hist_dir)) == before
+
+
+def test_steady_state_touches_only_open_slice(spark, tmp_path):
+    """Closed-interval files written by earlier batches are never rewritten:
+    a follow-up run over new change files must leave every pre-existing
+    closed data file byte-identical in place (append-only closed store +
+    versioned open slice = per-batch I/O is delta+open-sized, not
+    history-sized)."""
+    hist_dir = str(tmp_path / "hist")
+    _run(spark, _stage(spark, tmp_path), hist_dir, str(tmp_path / "ckpt"))
+
+    def closed_files():
+        out = {}
+        for root, _, files in os.walk(hist_dir + "/closed"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = closed_files()
+    assert before, "expected closed rows after batch 1 (alice's gold closed)"
+
+    # extend the SAME stream (same checkpoint) with a third change file:
+    # bob and carol move to gold at 16:00, closing two more intervals
+    _run(spark, _stage(spark, tmp_path, (B0, B1, B2)), hist_dir, str(tmp_path / "ckpt"))
+    after = closed_files()
+    for path, sig in before.items():
+        assert after.get(path) == sig, f"pre-existing closed file rewritten: {path}"
+    assert len(after) > len(before)
+
+    hist = read_scd2_history(spark, hist_dir)
+    assert _rows(hist) == _rows(
+        scd2_apply(
+            spark.createDataFrame(B2, "k string, tier string, ts timestamp"),
+            "k",
+            ["tier"],
+            hist=scd2_apply(
+                spark.createDataFrame(B1, "k string, tier string, ts timestamp"),
+                "k",
+                ["tier"],
+                hist=scd2_apply(
+                    spark.createDataFrame(B0, "k string, tier string, ts timestamp"),
+                    "k",
+                    ["tier"],
+                ),
+            ),
+        )
+    )
+    # exactly one open row per live key in the open slice
+    assert hist.where(F.col("is_current")).count() == 3
