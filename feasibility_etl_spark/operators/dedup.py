@@ -314,11 +314,28 @@ def simhash_candidates(
     )
 
 
+def _round_checkpoint(df: DataFrame, checkpoint_dir: str | None, path: str) -> DataFrame:
+    """Materialize one iteration's frame with truncated lineage.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint``: blocks live UNREPLICATED
+    on executors, so losing ANY executor after round 1 kills the job. Fine
+    on local mode / small jobs; on a 1000-executor run over hours, some
+    executor loss is expected, so pass a durable ``checkpoint_dir``
+    (hdfs://, s3://) and each round becomes a parquet write + read-back —
+    recomputable from storage after any executor loss, at the cost of one
+    round-trip per iteration (graph-scale, not corpus-scale)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, component_id).
 
@@ -332,11 +349,47 @@ def connected_components(
     components are shallow (near-clique), so 3-4 rounds is typical.
 
     Each round is one shuffle on the node id at graph (pairs) scale, not
-    corpus scale. ``localCheckpoint`` truncates the growing lineage so the
-    loop doesn't re-execute all prior rounds each iteration (the classic
-    iterative-DataFrame trap). The final ``component_id`` is the component's
-    minimum doc id — the deterministic keeper.
+    corpus scale. Per-round checkpointing truncates the growing lineage so
+    the loop doesn't re-execute all prior rounds each iteration (the
+    classic iterative-DataFrame trap); ``checkpoint_dir=None`` uses fast
+    executor-local blocks, a durable dir makes every round recoverable
+    from storage (see :func:`_round_checkpoint` — the 1000-executor
+    posture). Retired label rounds are deleted as the loop advances; the
+    final round's files back the RETURNED frame, so the caller owns
+    ``checkpoint_dir`` cleanup after consuming the result. The final
+    ``component_id`` is the component's minimum doc id — the
+    deterministic keeper.
+
+    Alternative considered (Kiveris et al. large-star/small-star, which
+    converges in O(log²) rounds): per round it costs TWO edge-scale
+    shuffles plus an edge-set rewrite where this loop pays one
+    edge-labels join, and it must still checkpoint the mutating edge set
+    every round. Near-dup graphs are near-cliques — measured at sf0.1 the
+    loop converges in 3 label rounds (diameter 2 + the no-change round,
+    ~0.3-0.5 s/round after the first materialization; durable-dir rounds
+    measured the same ±0.1 s as localCheckpoint) — so plain propagation
+    is already at LSS's round floor and strictly cheaper per round; LSS
+    pays off on chain-like graphs (diameter ≫ log n), which dedup pair
+    graphs are not. Raise ``max_iterations`` if one ever shows up rather
+    than switching the default.
     """
+    import uuid
+
+    run_tag = uuid.uuid4().hex[:12] if checkpoint_dir is not None else ""
+
+    def ck(df: DataFrame, name: str) -> DataFrame:
+        path = f"{checkpoint_dir}/cc_{run_tag}/{name}" if checkpoint_dir else ""
+        return _round_checkpoint(df, checkpoint_dir, path)
+
+    def rm(name: str) -> None:
+        if checkpoint_dir is None:
+            return
+        spark = pairs.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{checkpoint_dir}/cc_{run_tag}/{name}"
+        )
+        jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -344,13 +397,13 @@ def connected_components(
     )
     # edges feed every iteration's join — checkpoint once or the (possibly
     # expensive) upstream pair-generation plan re-executes per round
-    edges = edges.localCheckpoint(eager=True)
+    edges = ck(edges, "edges")
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component_id")
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = ck(labels, "labels_init")
     changed = 0
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -370,9 +423,12 @@ def connected_components(
                 (new_label < F.col("component_id")).alias("_chg"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated = ck(updated, f"labels_{rnd}")
         changed = updated.where("_chg").limit(1).count()
         labels = updated.drop("_chg")
+        # this round's labels are now durable; the previous round's files
+        # are dead weight (keep labels_init only until round 0 lands)
+        rm("labels_init" if rnd == 0 else f"labels_{rnd - 1}")
         if changed == 0:
             break
     if changed != 0:
@@ -393,6 +449,7 @@ def prune_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Deduplicated corpus: drop every doc that is not its component's
     representative (minimum id). Docs never seen in a pair are untouched —
@@ -400,8 +457,12 @@ def prune_components(
     representatives), which is near-dup-count sized, not corpus sized.
     Broadcast is left to AQE: at typical dup rates the dropped set fits the
     broadcast threshold, but it is unbounded in principle (cf. the writer's
-    fact-key anti-join), so we don't force it."""
-    comps = connected_components(pairs, max_iterations=max_iterations)
+    fact-key anti-join), so we don't force it. ``checkpoint_dir``: durable
+    per-round checkpointing for the component loop (see
+    :func:`connected_components`)."""
+    comps = connected_components(
+        pairs, max_iterations=max_iterations, checkpoint_dir=checkpoint_dir
+    )
     dropped = comps.where(F.col("doc_id") != F.col("component_id")).select(
         F.col("doc_id").alias(id_col)
     )

@@ -143,6 +143,33 @@ def test_connected_components_raises_on_non_convergence(spark):
         connected_components(pairs, max_iterations=2)
 
 
+def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir-backed rounds (the executor-loss-safe posture) must
+    produce labels identical to the localCheckpoint path, clean up retired
+    rounds as the loop advances, and leave the final round's files backing
+    the returned frame."""
+    import os
+
+    from feasibility_etl_spark.operators.dedup import connected_components
+
+    # chain + clique + singleton-pair mix, several rounds to converge
+    edges = [(i, i + 1) for i in range(6)] + [(10, 11), (10, 12), (11, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    ckdir = str(tmp_path / "cc_ck")
+    local = {r.doc_id: r.component_id for r in connected_components(pairs).collect()}
+    durable_df = connected_components(pairs, checkpoint_dir=ckdir)
+    durable = {r.doc_id: r.component_id for r in durable_df.collect()}
+    assert durable == local
+
+    run_dirs = os.listdir(ckdir)
+    assert len(run_dirs) == 1 and run_dirs[0].startswith("cc_")
+    kept = sorted(os.listdir(os.path.join(ckdir, run_dirs[0])))
+    # retired label rounds deleted: only edges + the final labels round stay
+    assert kept[0] == "edges" and len(kept) == 2 and kept[1].startswith("labels_")
+    # the returned frame survives re-reads (it is backed by kept files)
+    assert durable_df.count() == len(local)
+
+
 def test_prune_components_keeps_representatives_and_singletons(spark):
     from feasibility_etl_spark.operators.dedup import prune_components
 
