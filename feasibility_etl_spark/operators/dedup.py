@@ -165,6 +165,33 @@ def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def verify_pairs(
+    cands: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The exact-Jaccard VERIFY stage, standalone: attach each candidate
+    pair's shingle sets (two id-keyed joins — candidate-pair-scale, never
+    corpus²) and score ``jaccard``. ``threshold=None`` returns every
+    scored pair (e.g. to audit the banding curve); otherwise pairs below
+    ``threshold`` die here — banding false positives never escape.
+    Split out of :func:`near_dup_pairs` so the verify math is usable (and
+    oracle-checkable) on ANY deterministic candidate set, independent of
+    the seeded-hash candidate generation."""
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    )
+    out = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+    return out if threshold is None else out.where(F.col("jaccard") >= threshold)
+
+
 def near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -176,21 +203,13 @@ def near_dup_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs verified with exact Jaccard.
 
-    Candidates from ``minhash_candidates`` (bucket-local), then a broadcast-
-    friendly join back to the shingle arrays and an exact Jaccard filter —
-    false positives from banding die here; false negatives are governed by
-    the (num_hashes, bands) curve.
+    Candidates from ``minhash_candidates`` (bucket-local), then the
+    :func:`verify_pairs` exact-Jaccard filter — false positives from
+    banding die there; false negatives are governed by the
+    (num_hashes, bands) curve.
     """
     cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    sh = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
-    )
-    return (
-        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return verify_pairs(cands, df, text_col, id_col, threshold, shingle_n)
 
 
 def blocked_jaccard_pairs(
