@@ -281,6 +281,57 @@ def run_dedup_gate_bench(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_rows
 
 
+def run_dedup_gate_10x_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """The gate at 10× micro-batch size — proves the per-batch fixed cost
+    (checkpoint commit, index probe, plan bring-up) amortizes: rows/s
+    should scale near-linearly with batch size until the gate is
+    CPU-bound on signatures. Corpus = documents × 10 replicas; each
+    replica's words are independently shuffled (F.shuffle), which
+    preserves length/token statistics but destroys word-3-gram shingles,
+    so replicas are NOT near-dups of their parents and the gate does
+    representative work instead of degenerate all-drop batches. Same
+    4-trigger stream shape as run_dedup_gate_bench, so each micro-batch
+    carries ~12.5k docs at sf0.1 (vs 1.25k in the 1× entry)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.operators.text import tokens
+    from feasibility_etl_spark.sources.catalog import load as cat_load
+    from feasibility_etl_spark.streaming.dedup_gate import near_dup_gate_sink
+
+    staging = "/tmp/spark_graft_gate10_stage"
+    ckpt = staging + "_ckpt"
+    out = staging + "_out"
+    for p in (staging, ckpt, out):
+        shutil.rmtree(p, ignore_errors=True)
+    docs = cat_load(spark, sf_dir, "documents").select("doc_id", "text")
+    replicas = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.col("text")
+            if i == 0
+            else F.concat_ws(" ", F.shuffle(tokens("text"))).alias("text"),
+        )
+        for i in range(10)
+    ]
+    big = replicas[0]
+    for r in replicas[1:]:
+        big = big.unionByName(r)
+    n_rows = big.count()
+    big.repartition(8).write.mode("overwrite").parquet(staging)
+
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging)
+    )
+    q = near_dup_gate_sink(stream, out, ckpt, shuffle_partitions=32)
+    q.awaitTermination()
+    return time.time() - t0, n_rows
+
+
 def run_rest_bench(spark, sf_dir: str) -> tuple[float, int]:
     """REST ingest plumbing at volume over an in-memory transport: the
     paged search fans (orders-count / 100) pages out to executors and
@@ -409,6 +460,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error stream-dedup-gate: {e}", file=sys.stderr)
     timings["stream-dedup-gate"] = gate_s
+    gate10_s, n_gate10 = -1.0, 0
+    try:
+        gate10_s, n_gate10 = run_dedup_gate_10x_bench(spark, sf_dir)
+        gate10_s = round(gate10_s, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error stream-dedup-gate-10x: {e}", file=sys.stderr)
+    timings["stream-dedup-gate-10x"] = gate10_s
     scd2s_s, n_scd2s = -1.0, 0
     try:
         scd2s_s, n_scd2s = run_scd2_sink_bench(spark, sf_dir)
@@ -435,6 +493,9 @@ def main() -> None:
                 ),
                 "stream_dedup_gate_rows_per_sec": (
                     round(n_gate / gate_s) if gate_s > 0 else None
+                ),
+                "stream_dedup_gate_10x_rows_per_sec": (
+                    round(n_gate10 / gate10_s) if gate10_s > 0 else None
                 ),
                 "stream_scd2_rows_per_sec": (
                     round(n_scd2s / scd2s_s) if scd2s_s > 0 else None
