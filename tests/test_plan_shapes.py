@@ -24,26 +24,66 @@ from feasibility_etl_spark.flagship import flagship
 
 SF = "/root/testdata/sf0.001"
 
-#: name -> max allowed Exchange nodes in the physical plan
+#: name -> max allowed Exchange nodes in the physical plan. Counts only
+#: shuffle Exchanges (\bExchange\b does not match BroadcastExchange), so
+#: a lost broadcast hint shows up as a count increase. Every bench entry
+#: is pinned; values are the measured round-4 plans (comments say what
+#: the shuffles ARE, so a legit plan change can be re-justified here).
 MAX_EXCHANGES = {
     "FLAGSHIP": 2,        # one agg + one join shuffle; dims broadcast
     "VIEW-IDIOMATIC": 0,  # 1 fact scan, all dims broadcast
+    "VIEW-CTE": 4,        # reference-faithful 3-CTE shape (idiomatic twin is 0)
+    "J-DIM-REPORTER": 1,  # nation-pair rollup agg; all joins broadcast
     "J-ATTACH": 1,
     "J-ASOF": 2,          # union + carry-forward window, no interval explosion
     "J-RANGE": 1,         # bucketed equi-join, no nested loop
+    "J-SALTED": 0,        # salted broadcast join: zero shuffles by design
     "A-WORKLOG": 1,
+    "A-COLLECT": 1,       # per-key collect agg
+    "WIN-SESSION": 1,     # one key-partitioned window chain
+    "WIN-SLIDE": 1,
+    "SCD2-APPLY": 5,      # shared-key windows + current-join + close agg + union
     "DEDUP-EXACT": 1,     # fingerprint groupBy only
+    "DEDUP-NGRAM": 3,     # token explode agg + (block, token) self-join + sizes
     "DEDUP-MINHASH": 3,   # sig agg + banded self-join + verify
+    "DEDUP-PRUNE": 2,     # final labels join + anti-join (loop rounds checkpointed)
+    "DEDUP-INCR": 10,     # two per-half sig aggs + candidate distinct + ordered
+                          # output; serve joins are broadcast (hinted)
+    "DEDUP-FUZZY": 1,     # bucketed (token, band) equi-join, no cartesian
+    "CORPUS-PACK": 1,     # bucket-windowed cumsum, no global sort
+    "CORPUS-DECONTAM": 2, # gram explode + semi-join (eval side broadcast)
+    "SIM-TOPK": 1,        # TakeOrderedAndProject merge
+    "SIM-IVF": 3,         # kmeans train aggs; serve path broadcast+pruned
     "TEXT-QUALITY": 0,    # pure projections
+    "TEXT-LANGID": 0,
     "TEXT-CHUNK": 0,
+    "TEXT-WINNOW": 1,
+    "TEXT-REPETITION": 1, # bench entry spreads the one-row-group input; the
+                          # operator itself is zero-shuffle (pinned below)
     "TEXT-BM25": 1,       # single-row stats agg; scoring is a broadcast
+    "E-PROFILE": 2,       # single-pass agg + tiny pivot
+    "MM-IMAGE": 0,        # mapInPandas decode, no shuffle
+    "PIPE-DOCS": 10,      # multi-op pipeline entry (dedup + profile + joins)
+    "PIPE-EVENTS": 1,
     "SKETCH-HLL": 2,      # build agg + merge agg
     "SKETCH-THETA": 2,    # per-key sketch agg + sketch-side pairing
-    "DEDUP-FUZZY": 1,     # bucketed (token, band) equi-join, no cartesian
 }
 
 #: operator-level zero-shuffle guarantees (no bench-input repartition)
 ZERO_SHUFFLE_OPS = ["TEXT-QUALITY", "TEXT-CHUNK"]
+
+
+def test_every_bench_entry_is_pinned():
+    """New bench entries must arrive with an Exchange budget — coverage of
+    the plan pins tracks the bench suite by construction."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import BENCH_QUERIES
+
+    missing = [n for n in BENCH_QUERIES if n not in MAX_EXCHANGES]
+    assert not missing, f"bench entries without a plan pin: {missing}"
 
 
 def _plan(spark, name: str) -> str:
