@@ -1,0 +1,109 @@
+"""Driver contract queries: one (Spark callable, DuckDB oracle SQL) pair per
+operator from SURVEY.md §2 plus the north-star extensions (§7.4).
+
+Cross-engine hash-match rules used throughout (verified empirically against
+DuckDB 1.0 — replayed by tools/check_correctness.py):
+
+- **Money sums as cents.** Sums of doubles are order-dependent; the driver's
+  value hash needs bit-stable outputs. Per-row ``ROUND(x*100) → BIGINT`` is
+  deterministic, and BIGINT sums are exact and order-independent. DuckDB
+  ``SUM(BIGINT)`` returns HUGEINT, so oracles cast the sum back to BIGINT.
+- **Per-row double math is bit-stable** when both engines evaluate the same
+  expression tree (IEEE 754), so scalar-function queries return raw doubles.
+- **Array folds are sequential in both engines** (Spark ``aggregate`` HOF,
+  DuckDB ``list_sum(list_transform(...))``) → dot products bit-equal.
+- **Timestamps exit as strings** (``date_format`` / ``strftime``) — engines
+  agree on wall-clock but not on binary timestamp hashing.
+- **DuckDB double→BIGINT casts round** (2.7→3); Spark truncates. Always
+  FLOOR/ROUND explicitly before casting, identically on both sides.
+- **DuckDB ``regexp_replace`` needs the ``'g'`` flag** to match Spark's
+  replace-all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.scalar import delta_pair, hrs_to_sec, jira_ts, pct_change_abs, pct_diff
+from ..operators.aggregates import horizontal_sum, multilevel_agg
+from ..operators.dedup import (
+    blocked_jaccard_pairs,
+    connected_components,
+    exact_dedup,
+    exact_dup_groups,
+    incremental_near_dups,
+    minhash_index,
+    near_dup_pairs,
+    prune_components,
+    simhash_candidates,
+)
+from ..operators.joins import (
+    asof_join,
+    interval_overlap_join,
+    range_join,
+    attach_detail,
+    dim_join,
+    lookup_or_insert,
+    salted_agg,
+    salted_join,
+)
+from ..operators.multimodal import (
+    audio_features,
+    image_features,
+    media_from_documents,
+    resize_images,
+    sample_frames,
+)
+from ..operators.corpus import decontaminate, pack_shards, split_corpus
+from ..operators.similarity import (
+    cosine_topk,
+    quantize_int8,
+    cosine_topk_lsh,
+    embedding_near_dups,
+    ivf_topk,
+    ivfpq_topk,
+    pq_topk,
+)
+from ..operators.text import (
+    PII_PATTERNS,
+    bpe_ish_token_count,
+    clean_text,
+    fingerprint,
+    pii_counts,
+    redact_pii,
+    winnow_fingerprints_rows,
+    lang_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    repetition_signals,
+    stopword_ratio,
+    token_count,
+)
+from ..quality.gates import loss_report, validate_not_null
+from ..sources.catalog import load, register_views, schema_for
+from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------- helpers
+
+def _cents(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")
+
+
+def _sum_cents(col: str, alias: str) -> F.Column:
+    return F.sum(_cents(col)).alias(alias)
+
+
+_CENTS_SQL = "CAST(SUM(CAST(ROUND({col} * 100, 0) AS BIGINT)) AS BIGINT) AS {alias}"
+
+
+def _sum_cents_sql(col: str, alias: str) -> str:
+    return _CENTS_SQL.format(col=col, alias=alias)

@@ -1,0 +1,419 @@
+from __future__ import annotations
+
+from ._shared import DataFrame, F, SparkSession, Window, cosine_topk_lsh, image_features, incremental_near_dups, ivf_topk, ivfpq_topk, load, minhash_index, near_dup_pairs, pq_topk, quality_score, resize_images, simhash_candidates, winnow_fingerprints_rows
+from .similarity_text import _QUALITY_SQL_FRAGMENTS
+from .pipelines_joins import ORACLE_MM_AUDIO, ORACLE_MM_IMAGE, ORACLE_MM_RESIZE, ORACLE_TEXT_WINNOW, _media, q_mm_audio
+
+
+
+def q_mm_visual(spark: SparkSession, sf: str) -> DataFrame:
+    """MM-VISUAL: the image-payload pipeline — covers MM-IMAGE (decode +
+    feature extraction: n_bytes/sha256/width/height/mean_luma/decoder) and
+    MM-RESIZE (r_width/r_height/r_format through the resize Pandas stage)."""
+    media = _media(spark, sf)
+    img = image_features(media)
+    resized = resize_images(media, width=64, height=48).select(
+        "media_id",
+        F.col("metadata")["width"].alias("r_width"),
+        F.col("metadata")["height"].alias("r_height"),
+        F.col("metadata")["format"].alias("r_format"),
+    )
+    return img.join(resized, "media_id")
+
+
+ORACLE_MM_VISUAL = f"""
+WITH i AS ({ORACLE_MM_IMAGE}), r AS ({ORACLE_MM_RESIZE})
+SELECT i.media_id, i.n_bytes, i.sha256, i.width, i.height, i.mean_luma,
+       i.decoder, r.width AS r_width, r.height AS r_height,
+       r.format AS r_format
+FROM i JOIN r ON i.media_id = r.media_id
+"""
+
+
+def q_mm_media(spark: SparkSession, sf: str) -> DataFrame:
+    """MM-VISUAL ∪ MM-AUDIO (registry compaction, round 4): the image and
+    audio feature pipelines share the media grain (disjoint doc_id%3
+    slices), so one union-tagged driver entry verifies both; columns the
+    other modality doesn't produce are typed NULLs."""
+    vis = q_mm_visual(spark, sf).select(
+        F.lit("visual").alias("part"),
+        "media_id", "n_bytes", "sha256", "decoder",
+        "width", "height", "mean_luma", "r_width", "r_height", "r_format",
+        F.lit(None).cast("double").alias("duration_s"),
+        F.lit(None).cast("double").alias("rms_pseudo"),
+    )
+    aud = q_mm_audio(spark, sf).select(
+        F.lit("audio").alias("part"),
+        "media_id", "n_bytes", "sha256", "decoder",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("mean_luma"),
+        F.lit(None).cast("int").alias("r_width"),
+        F.lit(None).cast("int").alias("r_height"),
+        F.lit(None).cast("string").alias("r_format"),
+        "duration_s", "rms_pseudo",
+    )
+    return vis.unionByName(aud)
+
+
+ORACLE_MM_MEDIA = f"""
+SELECT 'visual' AS part, media_id, n_bytes, sha256, decoder,
+       width, height, mean_luma, r_width, r_height, r_format,
+       CAST(NULL AS DOUBLE) AS duration_s, CAST(NULL AS DOUBLE) AS rms_pseudo
+FROM ({ORACLE_MM_VISUAL})
+UNION ALL
+SELECT 'audio' AS part, media_id, n_bytes, sha256, decoder,
+       CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+       CAST(NULL AS DOUBLE) AS mean_luma, CAST(NULL AS INTEGER) AS r_width,
+       CAST(NULL AS INTEGER) AS r_height, CAST(NULL AS VARCHAR) AS r_format,
+       duration_s, rms_pseudo
+FROM ({ORACLE_MM_AUDIO})
+"""
+
+
+def q_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-VERIFY: the exact-Jaccard VERIFY stage of the MinHash family
+    (operators.dedup.verify_pairs — the same code path near_dup_pairs
+    runs on LSH candidates) exercised on a DETERMINISTIC candidate set:
+    every consecutive doc-id pair. This splits DEDUP-CANDIDATES' trust
+    surface per the round-3 verdict: candidate GENERATION stays rows-only
+    (seeded xxhash64 banding has no SQL twin), the verify math — shingle
+    construction, set-Jaccard, thresholding — is full-oracle here
+    (DuckDB rebuilds the 3-gram shingle sets with list_transform and the
+    same <3-token whole-text rule). Jaccard is a ratio of exact ints →
+    bit-identical doubles, no rounding needed."""
+    from ..operators.dedup import verify_pairs
+
+    docs = load(spark, sf, "documents")
+    ids = docs.select("doc_id")
+    cands = ids.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
+    return verify_pairs(cands, docs, threshold=None).select(
+        "id_a", "id_b", "jaccard", (F.col("jaccard") >= 0.5).alias("is_near_dup")
+    )
+
+
+ORACLE_DEDUP_VERIFY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         END AS s
+  FROM toks
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN len(list_distinct(sa.s || sb.s)) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) END AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard, jaccard >= 0.5 AS is_near_dup FROM scored
+"""
+
+
+def q_dedup_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-CANDIDATES: hash-banded near-dup candidate pairs union-tagged —
+    covers DEDUP-MINHASH (MinHash+LSH, with verified Jaccard), DEDUP-SIMHASH
+    (banded SimHash), and DEDUP-INCR (method='incremental': the even-id half
+    indexed via minhash_index, the odd-id increment served against it with
+    signature-estimated Jaccard — the daily-drop path that never recomputes
+    the corpus; candidate-set parity with batch LSH pinned in
+    tests/test_dedup.py). Rows-only by design for the GENERATION stage:
+    xxhash64 signatures have no DuckDB twin; the verify stage is
+    full-oracle via DEDUP-VERIFY, and Jaccard/recall are pinned in tests."""
+    docs = load(spark, sf, "documents")
+    mh = near_dup_pairs(docs, threshold=0.5).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    sh = simhash_candidates(docs).select(
+        F.lit("simhash").alias("method"), "id_a", "id_b",
+        F.lit(None).cast("double").alias("score"),
+    )
+    inc = incremental_near_dups(
+        docs.where("doc_id % 2 = 1"),
+        minhash_index(docs.where("doc_id % 2 = 0")),
+        threshold=0.5,
+    ).select(
+        F.lit("incremental").alias("method"), "id_a", "id_b",
+        F.col("est_jaccard").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(inc).orderBy("method", "id_a", "id_b")
+
+
+def q_sim_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-ANN: the approximate-nearest-neighbor tier union-tagged — covers
+    SIM-LSH (hyperplane buckets + multiprobe), SIM-IVF (k-means cells +
+    nprobe), SIM-PQ (product-quantization ADC + exact re-rank), and
+    SIM-IVFPQ (fused coarse cells + residual PQ codes — the production
+    serving shape). Rows-only by design (seeded hyperplanes / iterative
+    k-means have no SQL twin); recall vs the SIM-TOPK exact baseline pinned
+    in tests."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lsh = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=6, multiprobe=1)
+    ivf = ivf_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, train_fraction=0.5, max_iter=8
+    )
+    pq = pq_topk(
+        emb, queries, k=10, n_subspaces=8, n_codes=16,
+        train_fraction=0.5, max_iter=4, refine=4,
+    )
+    ivfpq = ivfpq_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, n_subspaces=8, n_codes=16,
+        train_fraction=0.5, max_iter=4, refine=4,
+    )
+    parts = [
+        df.select(
+            F.lit(method).alias("method"), "query_id", "vec_id", "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        for method, df in (("lsh", lsh), ("ivf", ivf), ("pq", pq), ("ivfpq", ivfpq))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method", "query_id", "rank")
+
+
+def q_scd2_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2-APPLY: the dimension-maintenance writers union-tagged —
+    part='scd2': bootstrap an SCD2 history from the events log (each
+    user's event_type stream becomes validity intervals; a new version
+    opens when the type differs null-safely from the previous one; last
+    version per key is open/current; oracle: lag-filter + lead windows;
+    version_sk (xxhash64) excluded — no DuckDB twin; pinned in
+    tests/test_scd2.py). part='scd1': MERGE-INTO upsert (SCD1-MERGE) —
+    current state from even event_ids, change batch from odd ones
+    (purchase = delete), latest change per key wins."""
+    from ..writer.merge import merge_upsert
+    from ..writer.scd2 import scd2_apply
+
+    ev = load(spark, sf, "events")
+    hist = scd2_apply(
+        ev.select("user_id", "event_type", "ts"), "user_id", ["event_type"], ts_col="ts"
+    )
+    scd2 = hist.select(
+        F.lit("scd2").alias("part"),
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        "is_current",
+    )
+    w_cur = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    current = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .withColumn("_rn", F.row_number().over(w_cur))
+        .where("_rn = 1")
+        .select("user_id", "event_type")
+    )
+    changes = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_type", "ts", "event_id",
+        (F.col("event_type") == "purchase").alias("_del"),
+    )
+    merged = merge_upsert(
+        current, changes, "user_id", order_cols=["ts", "event_id"], delete_col="_del"
+    )
+    scd1 = merged.select(
+        F.lit("scd1").alias("part"),
+        "user_id",
+        "event_type",
+        F.lit(None).cast("string").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+    return scd2.unionByName(scd1)
+
+
+ORACLE_SCD2_APPLY = """
+WITH dedup AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_type ASC NULLS FIRST) AS rn
+  FROM events
+), d AS (
+  SELECT user_id, event_type, ts FROM dedup WHERE rn = 1
+), changed AS (
+  SELECT user_id, event_type, ts FROM (
+    SELECT user_id, event_type, ts,
+           lag(event_type) OVER w AS prev_type,
+           (row_number() OVER w = 1) AS is_first
+    FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  ) WHERE is_first OR event_type IS DISTINCT FROM prev_type
+)
+SELECT 'scd2' AS part, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM changed WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+UNION ALL
+SELECT 'scd1' AS part, user_id, event_type,
+       CAST(NULL AS VARCHAR) AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+       CAST(NULL AS BOOLEAN) AS is_current
+FROM (
+  WITH cur AS (
+    SELECT user_id, event_type FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 2 = 0
+    ) WHERE rn = 1
+  ), ch AS (
+    SELECT user_id, event_type, (event_type = 'purchase') AS dead FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 2 = 1
+    ) WHERE rn = 1
+  )
+  SELECT COALESCE(ch.user_id, cur.user_id) AS user_id,
+         CASE WHEN ch.user_id IS NOT NULL THEN ch.event_type
+              ELSE cur.event_type END AS event_type
+  FROM cur FULL OUTER JOIN ch ON cur.user_id = ch.user_id
+  WHERE ch.user_id IS NULL OR NOT ch.dead
+)
+"""
+
+
+def q_e_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """E-QUANTILE: relative quality gate — keep documents at/above the
+    per-language median quality score (exact percentile, broadcast
+    threshold join; the data never shuffles, only its per-key summary
+    does). Oracle: quantile_cont (same linear interpolation as Spark's
+    exact percentile)."""
+    from ..quality.gates import filter_by_quantile
+
+    docs = load(spark, sf, "documents")
+    scored = docs.select("doc_id", "lang", quality_score("text").alias("quality"))
+    return filter_by_quantile(scored, "quality", 0.5, keys=["lang"])
+
+
+ORACLE_E_QUANTILE = (
+    "WITH "
+    + _QUALITY_SQL_FRAGMENTS
+    + """
+, qual AS (
+  SELECT doc_id,
+         LEAST(n_tok / 200.0, 1.0) * 0.4
+           + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.3
+           + LEAST(stop_ratio * 4.0, 1.0) * 0.3 AS quality
+  FROM sig
+), j AS (
+  SELECT d.doc_id, d.lang, q.quality
+  FROM documents d JOIN qual q USING (doc_id)
+), thr AS (
+  SELECT lang, quantile_cont(quality, 0.5) AS t FROM j GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.quality
+FROM j JOIN thr USING (lang) WHERE j.quality >= thr.t
+"""
+)
+
+
+def q_text_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-CHUNK: context-window chunking (32-token windows, 8-token
+    overlap) — fully relational posexplode over chunk starts; tail windows
+    that add no new tokens are dropped."""
+    from ..operators.text import chunk_documents
+
+    return chunk_documents(load(spark, sf, "documents"), chunk_tokens=32, overlap=8)
+
+
+ORACLE_TEXT_CHUNK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(t) AS n, t, gs.s AS start
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(0, greatest(len(t) - 1, 0), 24)) AS s
+  ) gs
+)
+SELECT doc_id,
+       CAST(start / 24 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(t, start + 1, start + 32), ' ') AS chunk_text,
+       CAST(LEAST(32, n - start) AS BIGINT) AS n_tok
+FROM ex
+WHERE start < n AND (start = 0 OR start + 8 < n)
+"""
+
+
+def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-ROWS: the row-exploding text ops union-tagged — covers
+    TEXT-WINNOW (part='winnow': winnowing fingerprints, fixed-base rolling
+    hash reproduced exactly by the oracle), TEXT-CHUNK (part='chunk':
+    context-window chunking, 32-token windows / 8 overlap, no-new-token
+    tails dropped), and TEXT-TOPTERMS (part='topterms': per-language
+    top-10 vocabulary — map-side-combined token counts, per-group window
+    rank, cnt-desc/term-asc tiebreak; lang:term in chunk_text, cnt in
+    n_tok, rank in chunk_id)."""
+    from ..operators.text import chunk_documents, top_terms
+
+    docs = load(spark, sf, "documents")
+    tt = top_terms(docs, "text", "lang", k=10).select(
+        F.lit("topterms").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("rank").alias("chunk_id"),
+        F.concat("lang", F.lit(":"), "term").alias("chunk_text"),
+        F.col("cnt").alias("n_tok"),
+        F.lit(None).cast("long").alias("fp"),
+    )
+    win = winnow_fingerprints_rows(docs).select(
+        F.lit("winnow").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.lit(None).cast("string").alias("chunk_text"),
+        F.lit(None).cast("long").alias("n_tok"),
+        F.col("fp"),
+    )
+    ch = chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        F.lit("chunk").alias("part"),
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        "n_tok",
+        F.lit(None).cast("long").alias("fp"),
+    )
+    return win.unionByName(ch).unionByName(tt)
+
+
+ORACLE_TEXT_ROWS = f"""
+SELECT 'winnow' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
+       CAST(NULL AS VARCHAR) AS chunk_text, CAST(NULL AS BIGINT) AS n_tok, fp
+FROM ({ORACLE_TEXT_WINNOW}) w
+UNION ALL
+SELECT 'chunk' AS part, doc_id, chunk_id, chunk_text, n_tok,
+       CAST(NULL AS BIGINT) AS fp
+FROM ({ORACLE_TEXT_CHUNK}) c
+UNION ALL
+SELECT 'topterms' AS part, CAST(NULL AS BIGINT) AS doc_id,
+       rnk AS chunk_id, lang || ':' || term AS chunk_text,
+       cnt AS n_tok, CAST(NULL AS BIGINT) AS fp
+FROM (
+  SELECT lang, term, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk
+  FROM (
+    SELECT lang, term, COUNT(*) AS cnt FROM (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ) GROUP BY lang, term
+  )
+) WHERE rnk <= 10
+"""

@@ -1,0 +1,489 @@
+from __future__ import annotations
+
+from ._shared import DataFrame, F, SparkSession, Window, _cents, asof_join, audio_features, blocked_jaccard_pairs, exact_dedup, image_features, interval_overlap_join, load, media_from_documents, quality_score, quantize_int8, range_join, resize_images, sample_frames, session_agg, token_count, winnow_fingerprints_rows
+from .similarity_text import _QUALITY_SQL_FRAGMENTS
+
+
+
+# -------------------------------------------------- end-to-end pipeline
+
+def q_pipe_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """PIPE-DOCS: the training-data pipeline end-to-end in ONE lazy plan —
+    exact dedup → quality filter → blocked near-dup prune (drop the higher
+    id of each qualifying pair) → embedding-coverage join. Every stage is
+    the oracle-expressible variant of its family, so the whole composition
+    hash-checks against DuckDB.
+
+    Scale shape: fingerprint groupBy shuffles 16-byte hashes; the quality
+    filter is row-local and runs before the expensive pair stage (prune
+    early); near-dup pairs join exploded tokens within (lang, source)
+    blocks; the final embedding join shuffles on the id (or broadcasts, AQE
+    decides). No stage holds the corpus in one place.
+    """
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    s1 = exact_dedup(docs)
+    s2 = s1.where(quality_score("text") >= 0.5)
+    pairs = blocked_jaccard_pairs(s2, ["lang", "source"], threshold=0.6)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s3 = s2.join(losers, "doc_id", "left_anti")
+    has_emb = emb.select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("_he"))
+    return (
+        s3.join(has_emb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            token_count("text").alias("n_tokens"),
+            quality_score("text").alias("quality"),
+            F.coalesce(F.col("_he"), F.lit(False)).alias("has_embedding"),
+        )
+    )
+
+
+ORACLE_PIPE_DOCS = (
+    "WITH "
+    + _QUALITY_SQL_FRAGMENTS
+    + r""",
+q AS (
+  SELECT doc_id,
+         LEAST(n_tok / 200.0, 1.0) * 0.4
+           + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.3
+           + LEAST(stop_ratio * 4.0, 1.0) * 0.3 AS quality,
+         CAST(n_tok AS BIGINT) AS n_tokens
+  FROM sig
+),
+fp AS (
+  SELECT doc_id, lang, source, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+k1 AS (
+  SELECT doc_id, lang, source, text FROM fp
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+),
+k2 AS (
+  SELECT k1.*, q.quality, q.n_tokens FROM k1 JOIN q USING (doc_id)
+  WHERE q.quality >= 0.5
+),
+tok2 AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM k2
+),
+pairs AS (
+  SELECT b.doc_id AS id_b
+  FROM tok2 a JOIN tok2 b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END >= 0.6
+)
+SELECT k2.doc_id, k2.lang, k2.source, k2.n_tokens, k2.quality,
+       e.vec_id IS NOT NULL AS has_embedding
+FROM k2
+LEFT JOIN embeddings e ON k2.doc_id = e.vec_id
+WHERE k2.doc_id NOT IN (SELECT id_b FROM pairs)
+"""
+)
+
+
+def q_emb_quant(spark: SparkSession, sf: str) -> DataFrame:
+    """EMB-QUANT: the embedding column-math family union-tagged —
+    part='quant': symmetric int8 scalar quantization exploded to
+    (vec_id, scale, idx, code) rows, identical floor/scale arithmetic on
+    both engines; part='centroid' (EMB-CENTROID): per-label mean
+    embeddings via posexplode + map-side-combined (group, idx) aggregation
+    — float-order-proof because the mean sums floor(x*1e6) BIGINTs
+    (exact, associative) and divides back out once."""
+    from ..operators.similarity import emb_centroids
+
+    emb = load(spark, sf, "embeddings")
+    quant = quantize_int8(emb).select(
+        F.lit("quant").alias("part"), "vec_id", "scale", "idx", "code",
+        F.lit(None).cast("long").alias("n_vecs"),
+        F.lit(None).cast("double").alias("centroid"),
+    )
+    cent = emb_centroids(emb, "label").select(
+        F.lit("centroid").alias("part"),
+        F.col("label").cast("long").alias("vec_id"),
+        F.lit(None).cast("double").alias("scale"),
+        "idx",
+        F.lit(None).cast("int").alias("code"),
+        "n_vecs",
+        "centroid",
+    )
+    return quant.unionByName(cent)
+
+
+ORACLE_EMB_QUANT = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale,
+         embedding
+  FROM embeddings
+)
+SELECT 'quant' AS part, vec_id, scale,
+       CAST(u.i - 1 AS INTEGER) AS idx,
+       CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) / scale + 0.5)
+            END AS INTEGER) AS code,
+       CAST(NULL AS BIGINT) AS n_vecs, CAST(NULL AS DOUBLE) AS centroid
+FROM scaled, unnest(range(1, len(embedding) + 1)) AS u(i)
+UNION ALL
+SELECT 'centroid' AS part, CAST(label AS BIGINT) AS vec_id,
+       CAST(NULL AS DOUBLE) AS scale, idx, CAST(NULL AS INTEGER) AS code,
+       n_vecs, CAST(sq AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0) AS centroid
+FROM (
+  SELECT label, CAST(u.i - 1 AS INTEGER) AS idx, COUNT(*) AS n_vecs,
+         SUM(CAST(floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * 1000000.0)
+                  AS BIGINT)) AS sq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+  GROUP BY label, CAST(u.i - 1 AS INTEGER)
+)
+"""
+
+
+def q_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """J-ASOF: backward as-of join — every 10th event (the "observation")
+    picks up the latest PRIOR other event of its user (point-in-time
+    enrichment, no look-ahead). Right side pre-deduped to one row per
+    (user, ts) (max event_id) so both engines resolve ties identically;
+    DuckDB's native ASOF LEFT JOIN is the oracle. One shuffle on user_id —
+    the union + carry-forward window, no range explosion."""
+    ev = load(spark, sf, "events")
+    left = ev.where(F.col("event_id") % 10 == 0).select("event_id", "user_id", "ts")
+    rn_w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        ev.where(F.col("event_id") % 10 != 0)
+        .withColumn("_rn", F.row_number().over(rn_w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out = asof_join(left, right, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("right_event_id").alias("prior_event_id"),
+        F.col("right_value").alias("prior_value"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("prior_ts"),
+    )
+
+
+ORACLE_ASOF = r"""
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 0
+), r AS (
+  SELECT user_id, ts, event_id, value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 10 <> 0
+  ) WHERE rn = 1
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       r.event_id AS prior_event_id,
+       r.value AS prior_value,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS prior_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J-RANGE: the inequality-join family union-tagged, both shapes
+    bucketed equi-joins (never a nested-loop):
+
+    part='contain' — interval-containment: every 20th event anchors a
+    2-hour window [ts, ts+2h]; count/sum the user's other events inside
+    it (1-hour buckets → each interval fans out to ≤3 bucket rows, exact
+    BETWEEN post-filter). Sums in cents-BIGINT per the oracle rules.
+
+    part='overlap' — J-OVERLAP, interval-vs-interval: the same anchors'
+    2-hour windows overlap-joined (per user) against the 10-offset
+    anchors' 1-hour windows; both sides explode into buckets, pairs emit
+    exactly once via the bucket-of-max-start rule, exact overlap
+    post-filter; reports the pair and its overlap seconds."""
+    ev = load(spark, sf, "events")
+    anchors = ev.where(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    others = ev.where(F.col("event_id") % 20 != 0).select(
+        "user_id", "ts", "value"
+    )
+    joined = range_join(
+        anchors, others, start="w_start", end="w_end", right_ts="ts",
+        on="user_id", bucket="1 hour",
+    )
+    contain = joined.groupBy("anchor_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    ).select(
+        F.lit("contain").alias("part"), "anchor_id", "user_id",
+        "n_in_window", "value_cents",
+        F.lit(None).cast("long").alias("b_id"),
+        F.lit(None).cast("long").alias("overlap_sec"),
+    )
+    b_side = ev.where(F.col("event_id") % 20 == 10).select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("b_end"),
+    )
+    overlap = interval_overlap_join(
+        anchors, b_side, "w_start", "w_end", "b_start", "b_end",
+        on="user_id", bucket="1 hour",
+    ).select(
+        F.lit("overlap").alias("part"), "anchor_id", "user_id",
+        F.lit(None).cast("long").alias("n_in_window"),
+        F.lit(None).cast("long").alias("value_cents"),
+        "b_id",
+        (
+            F.unix_timestamp(F.least("w_end", "b_end"))
+            - F.unix_timestamp(F.greatest("w_start", "b_start"))
+        ).alias("overlap_sec"),
+    )
+    return contain.unionByName(overlap)
+
+
+ORACLE_RANGE_JOIN = r"""
+SELECT 'contain' AS part, a.event_id AS anchor_id, a.user_id,
+       COUNT(*) AS n_in_window,
+       SUM(CAST(FLOOR(o.value * 100) AS BIGINT)) AS value_cents,
+       CAST(NULL AS BIGINT) AS b_id, CAST(NULL AS BIGINT) AS overlap_sec
+FROM events a
+JOIN events o
+  ON o.user_id = a.user_id
+ AND o.ts BETWEEN a.ts AND a.ts + INTERVAL 2 HOURS
+WHERE a.event_id % 20 = 0 AND o.event_id % 20 <> 0
+GROUP BY 2, 3
+UNION ALL
+SELECT 'overlap', a.event_id, a.user_id, NULL, NULL,
+       b.event_id AS b_id,
+       CAST(FLOOR(epoch(least(a.ts + INTERVAL 2 HOURS, b.ts + INTERVAL 1 HOUR)))
+            - FLOOR(epoch(greatest(a.ts, b.ts))) AS BIGINT) AS overlap_sec
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND a.ts <= b.ts + INTERVAL 1 HOUR
+ AND b.ts <= a.ts + INTERVAL 2 HOURS
+WHERE a.event_id % 20 = 0 AND b.event_id % 20 = 10
+"""
+
+
+def q_pipe_events(spark: SparkSession, sf: str) -> DataFrame:
+    """PIPE-EVENTS: the event-stream pipeline end-to-end — sessionize
+    (10-min gap) → per-session stats → per-user rollup with an argmax
+    (busiest session) → engaged-user filter (≥2 sessions). Batch here;
+    stage 1 is the same session_agg that runs under a watermark in
+    streaming mode. Shuffle shape: one shuffle to (user_id) for the session
+    window, reused by the per-user groupBy — Catalyst keeps both on the
+    same partitioning.
+    """
+    ev = load(spark, sf, "events")
+    sessions = session_agg(
+        ev,
+        "ts",
+        "10 minutes",
+        [F.count(F.lit(1)).alias("n_events"), F.sum(_cents("value")).alias("value_cents")],
+        keys=["user_id"],
+    )
+    sess = sessions.select(
+        "user_id",
+        "n_events",
+        "value_cents",
+        (F.unix_millis("session_end") - F.unix_millis("session_start")).alias("dur_ms"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+    )
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+        F.max("dur_ms").alias("max_session_ms"),
+        F.max(F.struct(F.col("n_events"), F.col("session_start"))).alias("_busy"),
+    )
+    return per_user.where(F.col("n_sessions") >= 2).select(
+        "user_id",
+        "n_sessions",
+        "n_events",
+        "value_cents",
+        "max_session_ms",
+        F.col("_busy")["session_start"].alias("busiest_session_start"),
+    )
+
+
+ORACLE_PIPE_EVENTS = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grouped AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sessions AS (
+  SELECT user_id,
+         MIN(ts) AS session_start_ts,
+         MAX(ts) + INTERVAL '10 minutes' AS session_end_ts,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM grouped GROUP BY user_id, session_id
+), sess AS (
+  SELECT user_id, n_events, value_cents,
+         epoch_ms(session_end_ts) - epoch_ms(session_start_ts) AS dur_ms,
+         strftime(session_start_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_start
+  FROM sessions
+), per_user AS (
+  SELECT user_id, COUNT(*) AS n_sessions,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(SUM(value_cents) AS BIGINT) AS value_cents,
+         MAX(dur_ms) AS max_session_ms
+  FROM sess GROUP BY user_id
+), busy AS (
+  SELECT user_id, session_start AS busiest_session_start
+  FROM sess
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY n_events DESC, session_start DESC) = 1
+)
+SELECT p.user_id, p.n_sessions, p.n_events, p.value_cents, p.max_session_ms,
+       b.busiest_session_start
+FROM per_user p JOIN busy b USING (user_id)
+WHERE p.n_sessions >= 2
+"""
+
+
+def q_text_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-WINNOW: winnowing document fingerprints (polynomial rolling hash
+    over char 8-grams, min of each 4-window) exploded to (doc_id, fp) rows.
+    Local fingerprinting: shared substrings >= 11 chars guarantee a shared
+    fingerprint — the partial-overlap detector md5 can't be. Fixed
+    base/modulus arithmetic reproduced exactly by the DuckDB oracle."""
+    docs = load(spark, sf, "documents")
+    return winnow_fingerprints_rows(docs)
+
+
+ORACLE_TEXT_WINNOW = """
+WITH c AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN n < 8 THEN CAST([] AS BIGINT[])
+    ELSE list_transform(range(1, n - 7 + 1),
+      i -> list_sum(list_transform(range(0, 8),
+             j -> CAST(ord(substr(t, CAST(i + j AS INT), 1)) AS BIGINT)
+                  * CAST([1, 31, 961, 29791, 923521, 28629151, 887503681, 512613922][CAST(j + 1 AS INT)] AS BIGINT))) % 1000000007)
+    END AS hashes
+  FROM c
+),
+mins AS (
+  SELECT doc_id,
+    CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(hashes) < 4 THEN [list_min(hashes)]
+         ELSE list_transform(range(1, len(hashes) - 3 + 1),
+                i -> list_min(list_slice(hashes, CAST(i AS INT), CAST(i + 3 AS INT))))
+    END AS fp
+  FROM grams
+)
+SELECT doc_id, CAST(unnest(list_distinct(fp)) AS BIGINT) AS fp FROM mins
+"""
+
+
+# ------------------------------------------------------------- multimodal
+
+def _media(spark: SparkSession, sf: str) -> DataFrame:
+    return media_from_documents(load(spark, sf, "documents"))
+
+
+def q_mm_image(spark: SparkSession, sf: str) -> DataFrame:
+    """MM-IMAGE: image decode + feature extraction over a binary payload
+    column via Arrow-batched mapInPandas (stub decoder: sha256-derived
+    pseudo-luma — deterministic, so the DuckDB oracle recomputes it)."""
+    return image_features(_media(spark, sf))
+
+
+ORACLE_MM_IMAGE = """
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(64 + (doc_id % 16) * 32 AS INTEGER) AS width,
+       CAST(64 + (doc_id % 9) * 32 AS INTEGER) AS height,
+       CAST(CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) % 256000 AS DOUBLE)
+         / 1000.0 AS mean_luma,
+       'fake' AS decoder
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q_mm_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """MM-AUDIO: audio feature extraction (stub pseudo-RMS; duration passes
+    through from typed metadata)."""
+    return audio_features(_media(spark, sf))
+
+
+ORACLE_MM_AUDIO = """
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(length(text) AS DOUBLE) / 100.0 AS duration_s,
+       (CAST(CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) % 256000 AS DOUBLE)
+         / 1000.0) / 256.0 AS rms_pseudo,
+       'fake' AS decoder
+FROM documents WHERE doc_id % 3 = 1
+"""
+
+
+def q_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """MM-FRAMES: video frame-sampling plan — posexplode over a
+    metadata-driven stride sequence, pure JVM (no decode touched)."""
+    return sample_frames(_media(spark, sf), every_n=10)
+
+
+ORACLE_MM_FRAMES = """
+WITH vids AS (
+  SELECT doc_id AS media_id, CAST((doc_id % 240) + 1 AS INTEGER) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT media_id, n_frames,
+         CAST(unnest(range(0, n_frames, 10)) AS INTEGER) AS frame_idx
+  FROM vids
+)
+SELECT media_id, n_frames,
+       CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY frame_idx) - 1
+            AS INTEGER) AS sample_idx,
+       frame_idx
+FROM f
+"""
+
+
+def q_mm_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """MM-RESIZE: image resize through the Pandas-UDF stage (stub passes
+    bytes through and rewrites metadata dims — the oracle checks the
+    plumbing: payload length survives, dims/format rewritten)."""
+    out = resize_images(_media(spark, sf), width=64, height=48)
+    return out.select(
+        "media_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("metadata")["width"].alias("width"),
+        F.col("metadata")["height"].alias("height"),
+        F.col("metadata")["format"].alias("format"),
+    )
+
+
+ORACLE_MM_RESIZE = """
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       64 AS width, 48 AS height,
+       'png+fake-resize' AS format
+FROM documents WHERE doc_id % 3 = 0
+"""

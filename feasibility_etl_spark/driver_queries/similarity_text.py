@@ -1,0 +1,328 @@
+from __future__ import annotations
+
+from ._shared import DataFrame, F, SparkSession, _cents, _sum_cents_sql, bpe_ish_token_count, cosine_topk, cosine_topk_lsh, embedding_near_dups, fingerprint, ivf_topk, ivfpq_topk, lang_id, load, mean_word_length, multilevel_agg, pq_topk, punct_ratio, quality_score, salted_agg, salted_join, stopword_ratio, token_count
+from .views_dedup_corpus import _COS_SQL
+
+
+
+def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-TOPK: brute-force cosine top-10 for 5 query vectors against the
+    corpus. Dot products are sequential double folds on both engines —
+    bit-equal, so raw cosines hash-match."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+ORACLE_SIM_TOPK = _COS_SQL
+
+
+def q_emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """EMB-NEARDUP: embedding near-duplicate pairs, union-tagged by method —
+    'lsh' (hyperplane self-join + exact verify) and 'semdedup' (SemDeDup:
+    k-means cluster-scoped exact verify, the semantic-redundancy pruning
+    recipe). Rows-only: LSH banding / k-means cells have engine-specific
+    candidate sets an all-pairs SQL oracle would flag; precision-1 and
+    recall pinned in tests/test_similarity.py."""
+    from ..operators.similarity import semantic_dedup_pairs
+
+    emb = load(spark, sf, "embeddings")
+    lsh = embedding_near_dups(emb, threshold=0.3, dim=64, n_planes=8).select(
+        F.lit("lsh").alias("method"), "id_a", "id_b", "cos_sim"
+    )
+    sem = semantic_dedup_pairs(
+        emb, threshold=0.3, n_cells=16, train_fraction=0.5
+    ).select(F.lit("semdedup").alias("method"), "id_a", "id_b", "cos_sim")
+    return lsh.unionByName(sem).orderBy("method", "id_a", "id_b")
+
+
+def q_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-LSH: hyperplane-LSH-bucketed approximate top-k (rows-only check;
+    recall vs brute force asserted in tests)."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=6, multiprobe=1)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+# ----------------------------------------------------------- text analysis
+
+def q_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-IVF: IVF approximate top-k — k-means coarse quantizer (pyspark.ml,
+    fixed seed), nprobe-cell probing, exact cosine within probed cells.
+    Iterative training has no SQL twin → rows-only check; recall vs brute
+    force is asserted in tests (SURVEY §7.4 scale path)."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4, train_fraction=0.5, max_iter=8)
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def q_sim_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-IVFPQ: fused IVF-PQ top-k — coarse k-means cells + per-cell
+    residual PQ codes in one index (rows-only; recall vs standalone PQ at a
+    fraction of the scanned code bytes pinned in tests)."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, n_subspaces=8, n_codes=16,
+        train_fraction=0.5, max_iter=4, refine=4,
+    )
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def q_sim_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-PQ: product-quantization top-k — per-subspace k-means codebooks
+    (pyspark.ml, fixed seeds), ADC over the compressed code table, exact
+    cosine re-rank of the top k·refine. Iterative training has no SQL twin
+    → rows-only check; recall vs brute force is asserted in tests."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_topk(
+        emb, queries, k=10, n_subspaces=8, n_codes=16,
+        train_fraction=0.5, max_iter=4, refine=4,
+    )
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-TOKENS: token + char counting over documents."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+ORACLE_TEXT_TOKENS = r"""
+WITH seg AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '([0-9]|[^\sA-Za-z0-9])', ' \1 ', 'g') AS bpe_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN length(trim(bpe_text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(bpe_text), '\s+')) END AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM seg
+"""
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-QUALITY: length/punct/stopword quality signals + composite score."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stop_ratio"),
+        mean_word_length("text").alias("mean_word_len"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_QUALITY_SQL_FRAGMENTS = r"""
+  toks AS (
+    SELECT doc_id, text,
+           CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE string_split_regex(trim(text), '\s+') END AS t,
+           CASE WHEN length(trim(lower(text))) = 0 THEN []
+                ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
+    FROM documents
+  ), sig AS (
+    SELECT doc_id,
+      CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
+           ELSE CAST(length(regexp_replace(regexp_replace(text, '\s', '', 'g'),
+                                           '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                / CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      END AS punct_ratio,
+      CASE WHEN len(tl) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(tl, x -> list_contains(
+                  ['the','and','of','to','a','in','is','that','it','for'], x)))
+                  AS DOUBLE) / CAST(len(tl) AS DOUBLE)
+      END AS stop_ratio,
+      CASE WHEN len(t) = 0 THEN 0.0
+           ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                / CAST(len(t) AS DOUBLE)
+      END AS mean_word_len,
+      CAST(len(t) AS DOUBLE) AS n_tok
+    FROM toks
+  )
+"""
+
+ORACLE_TEXT_QUALITY = (
+    "WITH "
+    + _QUALITY_SQL_FRAGMENTS
+    + """
+SELECT doc_id, punct_ratio, stop_ratio, mean_word_len,
+       LEAST(n_tok / 200.0, 1.0) * 0.4
+         + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.3
+         + LEAST(stop_ratio * 4.0, 1.0) * 0.3 AS quality
+FROM sig
+"""
+)
+
+
+def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-LANGID: stopword-argmax + CJK-detection language ID, with the
+    corpus's labeled lang for accuracy eyeballing."""
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
+
+
+# The argmax is encoded as max over 'NNNNNNlang' strings: a zero-padded
+# numeric prefix followed by the language code orders exactly like the
+# (score, lang) struct comparison Spark does.
+ORACLE_TEXT_LANGID = r"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang, text,
+    len(list_filter(tl, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
+    len(list_filter(tl, x -> list_contains(['el','la','de','que','y','en','un','una','los','del'], x))) AS h_es,
+    len(list_filter(tl, x -> list_contains(['der','die','das','und','nicht','ein','eine','ist','zu','mit'], x))) AS h_de,
+    len(list_filter(tl, x -> list_contains(['le','la','les','de','des','et','un','une','est','dans'], x))) AS h_fr
+  FROM toks
+), best AS (
+  SELECT doc_id, lang,
+    GREATEST(lpad(CAST(h_en AS VARCHAR), 10, '0') || 'en',
+             lpad(CAST(h_es AS VARCHAR), 10, '0') || 'es',
+             lpad(CAST(h_de AS VARCHAR), 10, '0') || 'de',
+             lpad(CAST(h_fr AS VARCHAR), 10, '0') || 'fr') AS enc,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk_chars,
+    length(regexp_replace(text, '\s', '', 'g')) AS total_chars
+  FROM hits
+)
+SELECT doc_id, lang,
+  CASE WHEN total_chars > 0
+        AND CAST(cjk_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) > 0.3 THEN 'zh'
+       WHEN CAST(substr(enc, 1, 10) AS BIGINT) > 0 THEN substr(enc, 11, 2)
+       ELSE 'und' END AS pred_lang
+FROM best
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-FINGERPRINT: per-document stable content fingerprint."""
+    return load(spark, sf, "documents").select("doc_id", fingerprint("text").alias("fp"))
+
+
+ORACLE_TEXT_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ------------------------------------------------------------- registries
+
+# ------------------------------------------------------- skew-safe variants
+
+_FLAG_ROWS = [("A", "async"), ("N", "none"), ("R", "returned")]
+
+
+def q_j_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """J-SALTED: salted equi-join on an extremely skewed key (3 distinct
+    values of l_returnflag over the whole lineitem table). The salt changes
+    only task routing, never the result set — so the oracle is the plain
+    SQL join."""
+    li = load(spark, sf, "lineitem")
+    flags = spark.createDataFrame(_FLAG_ROWS, "l_returnflag string, flag_desc string")
+    out = salted_join(li, flags, "l_returnflag", salt_col="l_orderkey", n_salts=16)
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "flag_desc")
+
+
+ORACLE_J_SALTED = """
+SELECT l_orderkey, l_linenumber, l_returnflag, flag_desc
+FROM lineitem
+JOIN (VALUES ('A', 'async'), ('N', 'none'), ('R', 'returned'))
+  AS flags(l_returnflag, flag_desc) USING (l_returnflag)
+"""
+
+
+def q_a_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """A-SALTED: the beyond-plain-groupBy aggregation strategies
+    union-tagged — part='salted' covers the two-stage salted aggregation
+    over the skewed key (algebraic partial/final split → identical to the
+    one-shot groupBy); part='rollup'/'cube' cover A-MULTILEVEL (OLAP
+    grouping sets: hierarchy / all-subsets totals in ONE Expand-based
+    pass, levels tagged with grouping_id — same bitmask convention as
+    DuckDB GROUPING())."""
+    li = load(spark, sf, "lineitem")
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(_cents("l_extendedprice")).alias("pc"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n_items"),
+            F.sum("pc").cast("long").alias("price_cents"),
+        ],
+        salt_col="l_orderkey",
+        n_salts=16,
+    ).select(
+        F.lit("salted").alias("part"),
+        "l_returnflag",
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(None).cast("long").alias("gid"),
+        "n_items",
+        "price_cents",
+    )
+    lvl_aggs = [
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_cents("l_extendedprice")).cast("long").alias("price_cents"),
+    ]
+    levels = [
+        multilevel_agg(li, ["l_returnflag", "l_linestatus"], lvl_aggs, mode=m).select(
+            F.lit(m).alias("part"), "l_returnflag", "l_linestatus", "gid",
+            "n_items", "price_cents",
+        )
+        for m in ("rollup", "cube")
+    ]
+    return salted.unionByName(levels[0]).unionByName(levels[1])
+
+
+def _multilevel_sql(mode: str) -> str:
+    return f"""
+SELECT '{mode}' AS part, l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_items,
+       {_sum_cents_sql("l_extendedprice", "price_cents")}
+FROM lineitem GROUP BY {mode.upper()} (l_returnflag, l_linestatus)"""
+
+
+ORACLE_A_SALTED = f"""
+SELECT 'salted' AS part, l_returnflag, CAST(NULL AS VARCHAR) AS l_linestatus,
+       CAST(NULL AS BIGINT) AS gid, COUNT(*) AS n_items,
+       {_sum_cents_sql("l_extendedprice", "price_cents")}
+FROM lineitem GROUP BY l_returnflag
+UNION ALL {_multilevel_sql("rollup")}
+UNION ALL {_multilevel_sql("cube")}
+"""

@@ -1,0 +1,452 @@
+from __future__ import annotations
+
+from ._shared import DataFrame, F, SparkSession, _sum_cents, _sum_cents_sql, blocked_jaccard_pairs, clean_text, connected_components, decontaminate, exact_dup_groups, load, near_dup_pairs, pack_shards, prune_components, register_views, session_agg, simhash_candidates, sliding_agg, split_corpus, token_count, tumbling_agg
+
+
+
+# ------------------------------------------------------------- view plans
+
+_VIEW_CTE_SQL = """
+WITH cte_cust AS (
+  SELECT o.o_orderkey, c.c_name
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), cte_nat AS (
+  SELECT o.o_orderkey, n.n_name
+  FROM orders o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+), cte_seg AS (
+  SELECT o.o_orderkey, c.c_mktsegment
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT o.o_orderkey, o.o_orderstatus, cc.c_name AS cust_name,
+       cn.n_name AS nation_name, cs.c_mktsegment AS segment
+FROM orders o
+LEFT JOIN cte_cust cc ON o.o_orderkey = cc.o_orderkey
+LEFT JOIN cte_nat cn ON o.o_orderkey = cn.o_orderkey
+LEFT JOIN cte_seg cs ON o.o_orderkey = cs.o_orderkey
+"""
+
+
+def q_view_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """VIEW-CTE: the reference-faithful view shape (schema.sql:66-94): three
+    CTEs each re-scanning the fact to attach one attribute, re-joined on the
+    key. Catalyst's CTE inlining removes PG ≤11's materialization fences and
+    broadcasts every dim join, but it does NOT deduplicate the repeated fact
+    scans — this plan still reads orders 4× (8 parquet scans total). Kept
+    verbatim for reference fidelity; VIEW-IDIOMATIC below is the production
+    default (1 fact scan, benched side by side)."""
+    register_views(spark, sf, ["orders", "customer", "nation"])
+    return spark.sql(_VIEW_CTE_SQL)
+
+
+ORACLE_VIEW_CTE = _VIEW_CTE_SQL
+
+
+def q_view_idiomatic(spark: SparkSession, sf: str) -> DataFrame:
+    """VIEW-IDIOMATIC: the single-pass production twin of VIEW-CTE — one
+    orders scan + two broadcast joins, identical rows (same oracle). At
+    100 TB the faithful CTE shape pays 4× the fact-scan IO for the same
+    result; this is the default read path."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "left"
+        )
+        .join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "left"
+        )
+        .select(
+            orders["o_orderkey"],
+            "o_orderstatus",
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+
+ORACLE_VIEW_IDIOMATIC = _VIEW_CTE_SQL
+
+
+# ------------------------------------------------------------- windowing
+
+def q_win_tumble(spark: SparkSession, sf: str) -> DataFrame:
+    """WIN-TUMBLE: tumbling event-time windows (batch = streaming semantics)."""
+    ev = load(spark, sf, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 day",
+        [F.count(F.lit(1)).alias("n_events"), _sum_cents("value", "value_cents")],
+        keys=["event_type"],
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+ORACLE_WIN_TUMBLE = f"""
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events, {_sum_cents_sql("value", "value_cents")}
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_win_slide(spark: SparkSession, sf: str) -> DataFrame:
+    """WIN-SLIDE: sliding windows (1h window / 30m slide → every event lands
+    in exactly 2 windows)."""
+    ev = load(spark, sf, "events")
+    out = sliding_agg(
+        ev, "ts", "1 hour", "30 minutes", [F.count(F.lit(1)).alias("n_events")]
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+    )
+
+
+ORACLE_WIN_SLIDE = """
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                 - i * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1)) offsets(i)
+GROUP BY 1
+"""
+
+
+def q_win_session(spark: SparkSession, sf: str) -> DataFrame:
+    """WIN-SESSION: per-user session windows with a 10-minute gap
+    (F.session_window; oracle = gaps-and-islands with the same gap rule:
+    session end = last event + gap)."""
+    ev = load(spark, sf, "events")
+    out = session_agg(
+        ev, "ts", "10 minutes", [F.count(F.lit(1)).alias("n_events")], keys=["user_id"]
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+    )
+
+
+ORACLE_WIN_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grouped AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events
+FROM grouped GROUP BY user_id, session_id
+"""
+
+
+# ------------------------------------------------------------ dedup family
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-EXACT: hash-groupBy exact dedup report (keeper + group size per
+    normalized-text fingerprint)."""
+    return exact_dup_groups(load(spark, sf, "documents"))
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-NGRAM: token-set Jaccard near-dup pairs with blocking on
+    (lang, source) — the exact-verify stage of the near-dup pipeline,
+    computed relationally (exploded-token self-join + pair counts; no
+    per-pair array intersects), with a full SQL oracle (MinHash candidates
+    are checked rows-only)."""
+    return blocked_jaccard_pairs(
+        load(spark, sf, "documents"), ["lang", "source"], threshold=0.2
+    )
+
+
+ORACLE_DEDUP_NGRAM = r"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+            ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END AS jaccard_sim
+FROM toks a JOIN toks b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+           ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END >= 0.2
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-MINHASH: MinHash+LSH near-dup pairs (xxhash64 signatures — no
+    DuckDB twin, driver records rows-only). Verified against the exact
+    Jaccard in tests."""
+    return near_dup_pairs(load(spark, sf, "documents"), threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-SIMHASH: banded SimHash candidate pairs (rows-only check)."""
+    return simhash_candidates(load(spark, sf, "documents")).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------- similarity search
+
+_COS_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+    list_sum(list_transform(range(1, len(c.embedding) + 1),
+      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+       i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+       i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE q.qid != c.vec_id
+)
+SELECT qid AS query_id, cid AS vec_id, cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-COMPONENTS: near-dup pairs → transitive dedup groups via
+    iterative min-label propagation (similarity isn't transitive; groups
+    are the connected components of the pair graph). Fed from the blocked
+    n-gram pairs so the DuckDB oracle can recompute the same graph with a
+    recursive CTE + min-over-reachable-set."""
+    pairs = blocked_jaccard_pairs(
+        load(spark, sf, "documents"), ["lang", "source"], threshold=0.2
+    )
+    return connected_components(pairs)
+
+
+ORACLE_DEDUP_COMPONENTS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, reach.r AS r
+  FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+"""
+
+
+def q_dedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-PRUNE: the deduplicated corpus itself — every doc except
+    non-representative members of near-dup components (min doc_id kept per
+    component, unpaired docs untouched). Composes blocked n-gram pairs →
+    connected components → anti-join, all with DuckDB-recomputable math."""
+    docs = load(spark, sf, "documents")
+    pairs = blocked_jaccard_pairs(docs, ["lang", "source"], threshold=0.2)
+    return prune_components(docs, pairs).select("doc_id", "lang", "source")
+
+
+ORACLE_DEDUP_PRUNE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, reach.r AS r
+  FROM edges e JOIN reach ON e.dst = reach.node
+), dropped AS (
+  SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+
+def q_text_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-CLEAN: pre-tokenization normalization over a deterministically
+    dirtied document body (wrapped in tags + entities + a control char, so
+    the transformation provably fires on every row): strip HTML, decode
+    entities, drop control chars, collapse whitespace."""
+    docs = load(spark, sf, "documents")
+    dirty = F.concat(
+        F.lit('<p id="x">'), F.col("text"), F.lit("</p> &amp; &lt;b&gt; \t")
+    )
+    cleaned = clean_text(dirty)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean"),
+        F.length(dirty).cast("long").alias("n_dirty"),
+        F.length(cleaned).cast("long").alias("n_clean"),
+    )
+
+
+ORACLE_TEXT_CLEAN = r"""
+WITH dirty AS (
+  SELECT doc_id, '<p id="x">' || text || '</p> &amp; &lt;b&gt; ' || chr(9) AS d
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, d,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(d, '<[^>]*>', ' ', 'g'),
+                  '&nbsp;', ' ', 'g'),
+                '&lt;', '<', 'g'),
+              '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'),
+          '&#39;', '''', 'g'),
+        '&amp;', '&', 'g'),
+      '[\x00-\x1f\x7f]', ' ', 'g'),
+    '\s+', ' ', 'g')) AS c
+  FROM dirty
+)
+SELECT doc_id, c AS clean,
+       CAST(len(d) AS BIGINT) AS n_dirty,
+       CAST(len(c) AS BIGINT) AS n_clean
+FROM cleaned
+"""
+
+
+def q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-SPLIT: deterministic 90/5/5 train/val/test assignment by
+    affine-hash bucket — stable under corpus growth, zero shuffle (the plan
+    is scan + project), and computable verbatim by the oracle (xxhash64
+    would be rows-only)."""
+    return split_corpus(
+        load(spark, sf, "documents"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+
+
+ORACLE_CORPUS_SPLIT = r"""
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ((doc_id % 1000000007) * 654435747 + 104729) % 1000000007 % 10000 AS b
+  FROM documents
+)
+"""
+
+
+def q_corpus_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-PACK: greedy token-budget shard packing (2000 whitespace
+    tokens/shard) within 8 hash buckets — the cumulative sum windows over
+    bucket-sized partitions, never a global sort."""
+    docs = load(spark, sf, "documents").withColumn("n_tok", token_count("text"))
+    return pack_shards(docs, "n_tok", 2000, num_buckets=8).select(
+        "doc_id", "n_tok", "shard_id"
+    )
+
+
+ORACLE_CORPUS_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         doc_id % 8 AS b
+  FROM documents
+)
+SELECT doc_id, n_tok,
+       b * 1099511627776
+         + CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY b ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tok)
+                      / 2000.0) AS BIGINT) AS shard_id
+FROM t
+"""
+
+
+def q_corpus_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-DECONTAM: scrub training docs sharing any word 8-gram with a
+    held-out eval set (doc_id % 97 == 0 stands in for the benchmark). The
+    eval shingle set is broadcast; the corpus-side shingle stream semi-joins
+    without a shuffle."""
+    docs = load(spark, sf, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, eval_docs).select("doc_id", "lang", "source")
+
+
+ORACLE_CORPUS_DECONTAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+         END AS s
+  FROM toks
+), eval_sh AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+), contaminated AS (
+  SELECT DISTINCT sh.doc_id
+  FROM sh, unnest(sh.s) AS u(g)
+  WHERE u.g IN (SELECT g FROM eval_sh)
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND d.doc_id % 97 <> 0
+"""
