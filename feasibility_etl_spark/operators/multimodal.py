@@ -316,12 +316,306 @@ def _try_gif_decode(payload: bytes):
         return None
 
 
+# JPEG baseline decoder (stdlib-only). Scope: sequential DCT (SOF0/SOF1),
+# 8-bit samples, grayscale or YCbCr with any Hi/Vi sampling (4:4:4, 4:2:0,
+# 4:2:2, ...), restart intervals, 16-bit quant tables. Progressive (SOF2),
+# arithmetic coding, and hierarchical modes return None → stub fallback,
+# the same honest-partial-codec contract as the PNG/GIF paths.
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _huffman_lut(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman: (code_length, code) → symbol."""
+    lut: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lut[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+def _idct_matrix() -> list[list[float]]:
+    import math
+
+    return [
+        [
+            (math.sqrt(0.5) if u == 0 else 1.0)
+            * math.cos((2 * x + 1) * u * math.pi / 16)
+            / 2.0
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+
+
+_IDCT_C: list[list[float]] | None = None
+
+
+def _idct_8x8(coef: list[float]) -> list[float]:
+    """2-D separable inverse DCT of a natural-order 8×8 block."""
+    global _IDCT_C
+    if _IDCT_C is None:
+        _IDCT_C = _idct_matrix()
+    c = _IDCT_C
+    # rows: tmp[y][u] = sum_v C[y][v] * coef[v*8+u]
+    tmp = [[sum(c[y][v] * coef[v * 8 + u] for v in range(8)) for u in range(8)]
+           for y in range(8)]
+    return [
+        sum(c[x][u] * tmp[y][u] for u in range(8))
+        for y in range(8)
+        for x in range(8)
+    ]
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with FF00 destuffing.
+
+    Restart markers are consumed by :meth:`restart` (byte-align + RSTn);
+    hitting any other marker mid-read raises, which the caller turns into
+    a stub fallback."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.acc, self.n = data, pos, 0, 0
+
+    def _fill(self) -> None:
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError("unexpected restart marker")
+            else:
+                raise ValueError("marker in entropy data")
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, lut: dict[tuple[int, int], int]) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+    def restart(self) -> None:
+        self.acc = self.n = 0  # byte-align
+        if not (self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("missing restart marker")
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_decode_planes(payload: bytes):
+    """Parse + entropy-decode a baseline JPEG → (w, h, planes) or None,
+    where ``planes`` is one full-resolution (box-upsampled, cropped)
+    row-major list of floats per component, in scan order."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> lut
+        frame = None  # (w, h, comps) comps: (cid, hi, vi, tq)
+        restart_interval = 0
+        pos = 2
+        while True:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no segment
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+            seg = payload[pos + 2:pos + seglen]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    p += 1
+                    if pq:
+                        qt[tq] = list(struct.unpack(f">{64}H", seg[p:p + 128]))
+                        p += 128
+                    else:
+                        qt[tq] = list(seg[p:p + 64])
+                        p += 64
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    bits = list(seg[p + 1:p + 17])
+                    nv = sum(bits)
+                    huff[(tc, th)] = _huffman_lut(bits, seg[p + 17:p + 17 + nv])
+                    p += 17 + nv
+            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended sequential
+                prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+                if prec != 8 or not w or not h:
+                    return None
+                comps = [
+                    (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 15,
+                     seg[8 + 3 * i])
+                    for i in range(nc)
+                ]
+                frame = (w, h, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / hierarchical
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS
+                break
+            pos += seglen
+        if frame is None:
+            return None
+        w, h, comps = frame
+        ns = seg[0]
+        scan = []  # (comp_index, dc_lut, ac_lut)
+        for i in range(ns):
+            cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+            ci = next(i for i, c in enumerate(comps) if c[0] == cid)
+            scan.append((ci, huff[(0, tables >> 4)], huff[(1, tables & 15)]))
+        bits = _JpegBits(payload, pos + seglen)
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if ns == 1:
+            # non-interleaved: MCU is a single data unit of that component
+            ci = scan[0][0]
+            hi, vi = comps[ci][1], comps[ci][2]
+            cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+            mcux, mcuy = -(-cw // 8), -(-ch // 8)
+            layout = [(scan[0], 1, 1)]
+        else:
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            layout = [(s, comps[s[0]][1], comps[s[0]][2]) for s in scan]
+
+        planes: dict[int, tuple[int, list[float]]] = {}
+        for (ci, _, _), bh, bv in layout:
+            planes[ci] = (mcux * 8 * bh, [0.0] * (mcux * 8 * bh) * (mcuy * 8 * bv))
+        pred = {ci: 0 for (ci, _, _), _, _ in layout}
+
+        for my in range(mcuy):
+            for mx in range(mcux):
+                n_mcu = my * mcux + mx
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    bits.restart()
+                    pred = {ci: 0 for ci in pred}
+                for (ci, dc_lut, ac_lut), bh, bv in layout:
+                    q = qt[comps[ci][3]]
+                    stride = planes[ci][0]
+                    for by in range(bv):
+                        for bx in range(bh):
+                            coef = [0.0] * 64
+                            t = bits.decode(dc_lut)
+                            pred[ci] += _extend(bits.receive(t), t)
+                            coef[0] = pred[ci] * q[0]
+                            k = 0
+                            while k < 63:
+                                sym = bits.decode(ac_lut)
+                                run, size = sym >> 4, sym & 15
+                                if size == 0:
+                                    if run == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run + 1
+                                if k > 63:
+                                    raise ValueError("AC overflow")
+                                coef[_ZIGZAG[k]] = _extend(bits.receive(size), size) * q[k]
+                            px = _idct_8x8(coef)
+                            x0 = (mx * bh + bx) * 8
+                            y0 = (my * bv + by) * 8
+                            plane = planes[ci][1]
+                            for yy in range(8):
+                                row = (y0 + yy) * stride + x0
+                                for xx in range(8):
+                                    v = px[yy * 8 + xx] + 128.0
+                                    plane[row + xx] = (
+                                        0.0 if v < 0.0 else 255.0 if v > 255.0 else v
+                                    )
+
+        # box-upsample each plane to full resolution and crop to (w, h)
+        out = []
+        for ci, _, _ in (s for s, _, _ in layout):
+            hi, vi = comps[ci][1], comps[ci][2]
+            sx, sy = hmax // hi, vmax // vi
+            stride, plane = planes[ci]
+            full = [
+                plane[(y // sy) * stride + (x // sx)]
+                for y in range(h)
+                for x in range(w)
+            ]
+            out.append(full)
+        return w, h, out
+    except Exception:  # noqa: BLE001 — malformed/unsupported JPEG → stub
+        return None
+
+
+def _try_jpeg_decode(payload: bytes):
+    """Minimal stdlib baseline-JPEG decoder → (width, height, mean_luma) or
+    None. Grayscale mean is the Y plane; 3-component frames are treated as
+    JFIF YCbCr → RGB (clamped) → Rec.601 weighting, matching the PNG path's
+    float luma convention."""
+    decoded = _jpeg_decode_planes(payload)
+    if decoded is None:
+        return None
+    w, h, planes = decoded
+    if len(planes) == 1:
+        return w, h, sum(planes[0]) / (w * h)
+    if len(planes) != 3:
+        return None
+    y, cb, cr = planes
+    total = 0.0
+    for i in range(w * h):
+        r = y[i] + 1.402 * (cr[i] - 128.0)
+        g = y[i] - 0.344136 * (cb[i] - 128.0) - 0.714136 * (cr[i] - 128.0)
+        b = y[i] + 1.772 * (cb[i] - 128.0)
+        r = 0.0 if r < 0.0 else 255.0 if r > 255.0 else r
+        g = 0.0 if g < 0.0 else 255.0 if g > 255.0 else g
+        b = 0.0 if b < 0.0 else 255.0 if b > 255.0 else b
+        total += 0.299 * r + 0.587 * g + 0.114 * b
+    return w, h, total / (w * h)
+
+
 def image_features(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Decode images and emit per-image features via Arrow-batched mapInPandas.
 
-    Real paths: PIL when importable (any format); otherwise a minimal
-    stdlib PNG decoder (zlib inflate + unfilter — true width/height/
-    mean-luma for 8-bit non-interlaced PNGs, ``decoder='png'``). Stub
+    Real paths: PIL when importable (any format); otherwise minimal
+    stdlib decoders — PNG (zlib inflate + unfilter), GIF (LZW), and
+    baseline JPEG (huffman + dequant + IDCT + chroma upsample) — give
+    true width/height/mean-luma with ``decoder`` naming the codec. Stub
     path for everything else: deterministic fake stats; width/height
     pass through from metadata. ``parallelism`` repartitions ahead of
     the Python stage so decode CPU spreads across executors.
@@ -358,6 +652,8 @@ def image_features(df: DataFrame, parallelism: int | None = None) -> DataFrame:
                 name, decoded = "png", _try_png_decode(payload)
                 if decoded is None:
                     name, decoded = "gif", _try_gif_decode(payload)
+                if decoded is None:
+                    name, decoded = "jpeg", _try_jpeg_decode(payload)
                 if decoded is not None:
                     w, h, luma = decoded
                     out.append(

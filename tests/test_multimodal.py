@@ -369,3 +369,323 @@ def test_gif_decoder_against_real_encoder_files(spark):
             assert w > 0 and h > 0 and 0.0 <= luma <= 255.0, os.path.basename(p)
             decoded += 1
     assert decoded >= 5
+
+
+# ---------------------------------------------------------------- JPEG codec
+
+_JPEG_ZZ = (  # standard zigzag scan order (independent copy for the encoder)
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+class _JpegWriter:
+    """MSB-first bit writer with FF00 stuffing and RST emission."""
+
+    def __init__(self):
+        self.out, self.acc, self.n, self.rst = bytearray(), 0, 0, 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = self.n = 0
+
+    def align(self):
+        while self.n:
+            self.put(1, 1)
+
+    def restart(self):
+        self.align()
+        self.out += bytes([0xFF, 0xD0 + self.rst % 8])
+        self.rst += 1
+
+
+def _enc_value(v):
+    t = abs(v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _jpeg_raw(width, height, comps, mcus, restart_interval=0):
+    """Assemble a baseline JPEG from explicit zigzag coefficient blocks.
+
+    ``comps``: [(component_id, hi, vi)]; ``mcus``: per MCU, a list of
+    (comp_index, 64 zigzag-order int coefficients) in scan block order.
+    Quant tables are all-ones; Huffman: 12 DC symbols at 4 bits, every
+    emitted AC symbol at 8 bits (canonical codes in symbol order)."""
+    import struct
+
+    pred = [0] * len(comps)
+    streams, ac_used = [], set()
+    for i, mcu in enumerate(mcus):
+        if restart_interval and i and i % restart_interval == 0:
+            streams.append("RST")
+            pred = [0] * len(comps)
+        toks = []
+        for ci, zz in mcu:
+            t, bits = _enc_value(zz[0] - pred[ci])
+            pred[ci] = zz[0]
+            toks.append(("dc", t, bits))
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    toks.append(("ac", 0xF0, 0, 0))
+                    ac_used.add(0xF0)
+                    run -= 16
+                t, bits = _enc_value(zz[k])
+                sym = (run << 4) | t
+                toks.append(("ac", sym, bits, t))
+                ac_used.add(sym)
+                run = 0
+            if run:
+                toks.append(("ac", 0x00, 0, 0))
+                ac_used.add(0x00)
+        streams.append(toks)
+
+    ac_syms = sorted(ac_used)
+    assert len(ac_syms) <= 200
+    ac_code = {s: i for i, s in enumerate(ac_syms)}
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, hi, vi in comps:
+        sof += bytes([cid, (hi << 4) | vi, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00, 0, 0, 0, 12] + [0] * 12 + list(range(12))))
+    out += seg(
+        0xC4,
+        bytes([0x10] + [0] * 7 + [len(ac_syms)] + [0] * 8) + bytes(ac_syms),
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, _, _ in comps:
+        sos += bytes([cid, 0x00])
+    out += seg(0xDA, sos + bytes([0, 63, 0]))
+
+    w = _JpegWriter()
+    for item in streams:
+        if item == "RST":
+            w.restart()
+            continue
+        for tok in item:
+            if tok[0] == "dc":
+                _, t, bits = tok
+                w.put(t, 4)
+                w.put(bits, t)
+            else:
+                _, sym, bits, t = tok
+                w.put(ac_code[sym], 8)
+                w.put(bits, t)
+    w.align()
+    return bytes(out) + bytes(w.out) + b"\xff\xd9"
+
+
+def _fdct_block(block):
+    import math
+
+    def c(i):
+        return math.sqrt(0.5) if i == 0 else 1.0
+
+    out = [0.0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += (
+                        (block[y][x] - 128.0)
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[v * 8 + u] = 0.25 * c(u) * c(v) * s
+    return out
+
+
+def _plane_blocks(plane, width, height):
+    """Pad a row-major int plane to 8-multiples (edge replication) and
+    yield (bx, by, zigzag-int coefficients) blocks in raster order."""
+    bw, bh = -(-width // 8), -(-height // 8)
+    for by in range(bh):
+        for bx in range(bw):
+            block = [
+                [
+                    plane[min(by * 8 + y, height - 1) * width + min(bx * 8 + x, width - 1)]
+                    for x in range(8)
+                ]
+                for y in range(8)
+            ]
+            nat = _fdct_block(block)
+            yield bx, by, [round(nat[_JPEG_ZZ[k]]) for k in range(64)]
+
+
+def _jpeg_bytes(width, height, pixels, restart_interval=0):
+    """Encode pixels (rows of ints → grayscale, rows of RGB tuples →
+    4:4:4 YCbCr) as a baseline JPEG. All-ones quant → near-lossless."""
+    flat = [px for row in pixels for px in row]
+    if isinstance(flat[0], tuple):
+        planes = [[], [], []]
+        for r, g, b in flat:
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            for p, v in zip(planes, (y, cb, cr)):
+                p.append(min(255, max(0, round(v))))
+        comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    else:
+        planes, comps = [flat], [(1, 1, 1)]
+    per_comp = [
+        {(bx, by): zz for bx, by, zz in _plane_blocks(p, width, height)}
+        for p in planes
+    ]
+    bw, bh = -(-width // 8), -(-height // 8)
+    mcus = [
+        [(ci, per_comp[ci][(bx, by)]) for ci in range(len(planes))]
+        for by in range(bh)
+        for bx in range(bw)
+    ]
+    return _jpeg_raw(width, height, comps, mcus, restart_interval)
+
+
+def test_jpeg_grayscale_roundtrip_exact_pixels():
+    from feasibility_etl_spark.operators.multimodal import (
+        _jpeg_decode_planes,
+        _try_jpeg_decode,
+    )
+
+    width, height = 16, 11
+    pixels = [[(7 * x + 13 * y + (x * y) % 31) % 200 + 20 for x in range(width)]
+              for y in range(height)]
+    payload = _jpeg_bytes(width, height, pixels)
+    w, h, (plane,) = _jpeg_decode_planes(payload)
+    assert (w, h) == (width, height)
+    for y in range(height):
+        for x in range(width):
+            assert abs(plane[y * width + x] - pixels[y][x]) < 2.0, (x, y)
+    w, h, luma = _try_jpeg_decode(payload)
+    mean = sum(map(sum, pixels)) / (width * height)
+    assert abs(luma - mean) < 0.5
+
+
+def test_jpeg_color_444_roundtrip():
+    from feasibility_etl_spark.operators.multimodal import _try_jpeg_decode
+
+    width = height = 8
+    pixels = [
+        [(255, 0, 0) if x < 4 else (0, 0, 255) for x in range(width)]
+        if y < 4
+        else [(0, 255, 0) if x < 4 else (200, 200, 200) for x in range(width)]
+        for y in range(height)
+    ]
+    payload = _jpeg_bytes(width, height, pixels)
+    w, h, luma = _try_jpeg_decode(payload)
+    assert (w, h) == (8, 8)
+    expected = (
+        16 * (0.299 * 255) + 16 * (0.114 * 255) + 16 * (0.587 * 255) + 16 * 200.0
+    ) / 64
+    # 4:4:4 with unit quant: YCbCr round-trip rounding only (hard edges
+    # produce ±1 ringing per channel)
+    assert abs(luma - expected) < 2.0
+
+
+def test_jpeg_dc_only_flat_420_exact():
+    # handcrafted 16x16 4:2:0: four Y blocks DC=256 (luma 160), flat chroma.
+    # DC-only blocks reconstruct exactly: IDCT(DC) = 256/8 + 128 = 160.
+    from feasibility_etl_spark.operators.multimodal import _try_jpeg_decode
+
+    zz_y = [256] + [0] * 63
+    zz_0 = [0] * 64
+    mcus = [[(0, zz_y), (0, zz_y), (0, zz_y), (0, zz_y), (1, zz_0), (2, zz_0)]]
+    payload = _jpeg_raw(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)], mcus)
+    w, h, luma = _try_jpeg_decode(payload)
+    assert (w, h) == (16, 16)
+    assert abs(luma - 160.0) < 1e-6
+
+
+def test_jpeg_ac_zigzag_orientation():
+    # zigzag index 1 is the (u=1, v=0) horizontal basis: pixels must vary
+    # by column and be constant down rows — pins against a transposed
+    # zigzag/IDCT that a pure roundtrip test would not catch.
+    import math
+
+    from feasibility_etl_spark.operators.multimodal import _jpeg_decode_planes
+
+    zz = [0] * 64
+    zz[1] = 100
+    payload = _jpeg_raw(8, 8, [(1, 1, 1)], [[(0, zz)]])
+    w, h, (plane,) = _jpeg_decode_planes(payload)
+    for y in range(8):
+        for x in range(8):
+            expected = 128.0 + 100.0 * math.cos((2 * x + 1) * math.pi / 16) * math.sqrt(0.5) / 4.0
+            assert abs(plane[y * 8 + x] - expected) < 1e-6, (x, y)
+
+
+def test_jpeg_restart_interval():
+    from feasibility_etl_spark.operators.multimodal import _try_jpeg_decode
+
+    width, height = 24, 8  # three MCUs
+    pixels = [[(x * 11 + y * 3) % 256 for x in range(width)] for y in range(height)]
+    plain = _try_jpeg_decode(_jpeg_bytes(width, height, pixels))
+    rst = _try_jpeg_decode(_jpeg_bytes(width, height, pixels, restart_interval=1))
+    assert plain is not None and rst is not None
+    assert abs(plain[2] - rst[2]) < 1e-9 and (rst[0], rst[1]) == (width, height)
+
+
+def test_jpeg_progressive_and_malformed_fall_back(spark):
+    from feasibility_etl_spark.operators.multimodal import _try_jpeg_decode
+
+    good = _jpeg_bytes(8, 8, [[128] * 8 for _ in range(8)])
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert _try_jpeg_decode(progressive) is None
+    assert _try_jpeg_decode(b"\xff\xd8truncated") is None
+
+    df = spark.createDataFrame(
+        [(1, "image", good, ("jpeg", None, None, 3, None, None, None)),
+         (2, "image", progressive, ("jpeg", 9, 9, 3, None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in image_features(df).collect()}
+    assert rows[1].decoder == "jpeg" and (rows[1].width, rows[1].height) == (8, 8)
+    assert rows[2].decoder == "fake" and rows[2].width == 9
+
+
+def test_jpeg_decoder_against_real_encoder_files():
+    # ground truth from real camera/toolchain JPEGs shipped with Spark's
+    # mllib test data: dimensions must match the SOF header of files that
+    # decode, and luma must be in range. Progressive files fall back (None).
+    import glob
+    import os
+
+    from feasibility_etl_spark.operators.multimodal import _try_jpeg_decode
+
+    files = sorted(
+        glob.glob("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/**/*.jpg",
+                  recursive=True)
+    )
+    if not files:
+        pytest.skip("no real-encoder JPEGs available in this environment")
+    decoded = 0
+    for p in files:
+        r = _try_jpeg_decode(open(p, "rb").read())
+        if r is not None:
+            w, h, luma = r
+            assert w > 0 and h > 0 and 0.0 <= luma <= 255.0, os.path.basename(p)
+            decoded += 1
+    assert decoded >= 1
