@@ -96,14 +96,26 @@ def q_emb_quant(spark: SparkSession, sf: str) -> DataFrame:
     both engines; part='centroid' (EMB-CENTROID): per-label mean
     embeddings via posexplode + map-side-combined (group, idx) aggregation
     — float-order-proof because the mean sums floor(x*1e6) BIGINTs
-    (exact, associative) and divides back out once."""
-    from ..operators.similarity import emb_centroids
+    (exact, associative) and divides back out once; part='verify'
+    (EMB-VERIFY): the exact-cosine VERIFY stage of embedding_near_dups
+    (similarity.verify_cosine_pairs — the code path LSH candidates flow
+    through) on a DETERMINISTIC consecutive-vec_id pair set, full-oracle
+    because the zip_with+aggregate fold is sequential in both engines →
+    bit-equal doubles, with the 0.95 threshold flag. Splits EMB-NEARDUP's
+    rows-only trust surface the way DEDUP-VERIFY split DEDUP-CANDIDATES."""
+    from ..operators.similarity import emb_centroids, verify_cosine_pairs
 
     emb = load(spark, sf, "embeddings")
+    null_tail = [
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cos_sim"),
+        F.lit(None).cast("boolean").alias("is_near_dup"),
+    ]
     quant = quantize_int8(emb).select(
         F.lit("quant").alias("part"), "vec_id", "scale", "idx", "code",
         F.lit(None).cast("long").alias("n_vecs"),
         F.lit(None).cast("double").alias("centroid"),
+        *null_tail,
     )
     cent = emb_centroids(emb, "label").select(
         F.lit("centroid").alias("part"),
@@ -113,8 +125,25 @@ def q_emb_quant(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("int").alias("code"),
         "n_vecs",
         "centroid",
+        *null_tail,
     )
-    return quant.unionByName(cent)
+    ids = emb.select("vec_id")
+    cands = ids.select(
+        F.col("vec_id").alias("id_a"), (F.col("vec_id") + 1).alias("id_b")
+    ).join(ids.select(F.col("vec_id").alias("id_b")), "id_b")
+    ver = verify_cosine_pairs(cands, emb, threshold=None).select(
+        F.lit("verify").alias("part"),
+        F.col("id_a").alias("vec_id"),
+        F.lit(None).cast("double").alias("scale"),
+        F.lit(None).cast("int").alias("idx"),
+        F.lit(None).cast("int").alias("code"),
+        F.lit(None).cast("long").alias("n_vecs"),
+        F.lit(None).cast("double").alias("centroid"),
+        "id_b",
+        "cos_sim",
+        (F.col("cos_sim") >= 0.95).alias("is_near_dup"),
+    )
+    return quant.unionByName(cent).unionByName(ver)
 
 
 ORACLE_EMB_QUANT = """
@@ -130,18 +159,40 @@ SELECT 'quant' AS part, vec_id, scale,
        CAST(CASE WHEN scale = 0 THEN 0
                  ELSE floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) / scale + 0.5)
             END AS INTEGER) AS code,
-       CAST(NULL AS BIGINT) AS n_vecs, CAST(NULL AS DOUBLE) AS centroid
+       CAST(NULL AS BIGINT) AS n_vecs, CAST(NULL AS DOUBLE) AS centroid,
+       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cos_sim,
+       CAST(NULL AS BOOLEAN) AS is_near_dup
 FROM scaled, unnest(range(1, len(embedding) + 1)) AS u(i)
 UNION ALL
 SELECT 'centroid' AS part, CAST(label AS BIGINT) AS vec_id,
        CAST(NULL AS DOUBLE) AS scale, idx, CAST(NULL AS INTEGER) AS code,
-       n_vecs, CAST(sq AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0) AS centroid
+       n_vecs, CAST(sq AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0) AS centroid,
+       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cos_sim,
+       CAST(NULL AS BOOLEAN) AS is_near_dup
 FROM (
   SELECT label, CAST(u.i - 1 AS INTEGER) AS idx, COUNT(*) AS n_vecs,
          SUM(CAST(floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * 1000000.0)
                   AS BIGINT)) AS sq
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
   GROUP BY label, CAST(u.i - 1 AS INTEGER)
+)
+UNION ALL
+SELECT 'verify' AS part, id_a AS vec_id,
+       CAST(NULL AS DOUBLE) AS scale, CAST(NULL AS INTEGER) AS idx,
+       CAST(NULL AS INTEGER) AS code, CAST(NULL AS BIGINT) AS n_vecs,
+       CAST(NULL AS DOUBLE) AS centroid, id_b,
+       CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END AS cos_sim,
+       (CASE WHEN denom = 0 THEN 0.0 ELSE dp / denom END >= 0.95) AS is_near_dup
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dp,
+         sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+         sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+           AS denom
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
 )
 """
 

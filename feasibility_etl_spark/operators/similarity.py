@@ -654,6 +654,37 @@ def ivfpq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def verify_cosine_pairs(
+    cands: DataFrame,
+    corpus: DataFrame,
+    threshold: float | None = 0.95,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine VERIFY stage over an arbitrary ``(id_a, id_b)`` candidate
+    set → ``(id_a, id_b, cos_sim)``, thresholded unless ``threshold`` is None.
+
+    Split out of :func:`embedding_near_dups` (which runs it on LSH-bucket
+    candidates) so the verify math is exercisable on a DETERMINISTIC pair
+    set with an ANSI-SQL oracle — the same candidates/verify trust split
+    the MinHash family got with ``dedup.verify_pairs``. Candidates carry
+    only id pairs; vectors attach by two id-keyed joins, so a skewed
+    candidate generator never replicates vector payloads through its own
+    self-join. The cosine is the shared ``zip_with``+``aggregate`` fold —
+    sequential in both engines, hence bit-equal against DuckDB's
+    ``list_sum(list_transform(...))``."""
+    emb = corpus.select(F.col(corpus_id), F.col(corpus_vec))
+    scored = (
+        cands.select("id_a", "id_b")
+        .join(emb.select(F.col(corpus_id).alias("id_a"), F.col(corpus_vec).alias("_va")), "id_a")
+        .join(emb.select(F.col(corpus_id).alias("id_b"), F.col(corpus_vec).alias("_vb")), "id_b")
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+    )
+    if threshold is None:
+        return scored
+    return scored.where(F.col("cos_sim") >= threshold)
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -663,24 +694,23 @@ def embedding_near_dups(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify."""
+    """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify
+    (:func:`verify_cosine_pairs` on the bucket-local candidate pairs)."""
     planes = _hyperplanes(dim, n_planes, seed)
     b = corpus.select(
-        F.col(corpus_id), F.col(corpus_vec), lsh_bucket(F.col(corpus_vec), planes).alias("_bucket")
+        F.col(corpus_id), lsh_bucket(F.col(corpus_vec), planes).alias("_bucket")
     )
     a, c = b.alias("a"), b.alias("b")
-    return (
-        a.join(
-            c,
-            (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col(f"a.{corpus_id}") < F.col(f"b.{corpus_id}")),
-        )
-        .select(
-            F.col(f"a.{corpus_id}").alias("id_a"),
-            F.col(f"b.{corpus_id}").alias("id_b"),
-            cosine(F.col(f"a.{corpus_vec}"), F.col(f"b.{corpus_vec}")).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
+    cands = a.join(
+        c,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col(f"a.{corpus_id}") < F.col(f"b.{corpus_id}")),
+    ).select(
+        F.col(f"a.{corpus_id}").alias("id_a"),
+        F.col(f"b.{corpus_id}").alias("id_b"),
+    )
+    return verify_cosine_pairs(
+        cands, corpus, threshold, corpus_id=corpus_id, corpus_vec=corpus_vec
     )
 
 
