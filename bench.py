@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "TEXT-BM25",
     "SKETCH-HLL",
     "SKETCH-THETA",
+    "LINE-DEDUP",
 ]
 
 

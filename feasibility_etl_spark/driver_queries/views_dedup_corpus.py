@@ -159,17 +159,142 @@ FROM grouped GROUP BY user_id, session_id
 
 # ------------------------------------------------------------ dedup family
 
-def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """DEDUP-EXACT: hash-groupBy exact dedup report (keeper + group size per
-    normalized-text fingerprint)."""
+def q_dedup_exact_doc(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-EXACT (granular singleton): hash-groupBy exact dedup report
+    (keeper + group size per normalized-text fingerprint)."""
     return exact_dup_groups(load(spark, sf, "documents"))
 
 
-ORACLE_DEDUP_EXACT = r"""
+ORACLE_DEDUP_EXACT_DOC = r"""
 SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
                                '\s+', ' ', 'g'))) AS fp,
        CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS group_size
 FROM documents GROUP BY 1
+"""
+
+
+def _structured_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-structured documents synthesized in-plan: the flat synthetic
+    texts get a per-doc-class cookie banner, a line break after every 7
+    whitespace-separated words, and a shared footer — deterministic Column
+    exprs the DuckDB oracle reproduces verbatim (``$1``/``\\1`` rewrite
+    syntax differs per engine; semantics verified identical)."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("cookie notice variant "),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("\n"),
+            F.regexp_replace(F.col("text"), r"((\S+\s+){7})", "$1\n"),
+            F.lit("\n"),
+            F.lit("(c) example corp all rights reserved"),
+        ).alias("text"),
+    )
+
+
+_STRUCTURED_SQL = r"""
+  SELECT doc_id,
+         'cookie notice variant ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+         regexp_replace(text, '((\S+\s+){7})', '\1' || chr(10), 'g') || chr(10) ||
+         '(c) example corp all rights reserved' AS text
+  FROM documents
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """LINE-DEDUP: CCNet/RefinedWeb-style line-level boilerplate removal
+    (operators.dedup.line_dedup, mode='drop_common') over line-structured
+    docs — banners/footers repeat across ≥2 docs and are dropped
+    everywhere; unique body lines survive and the doc text is rebuilt in
+    original line order. Full oracle: explode + md5 line-frequency +
+    ordered string_agg are all ANSI-expressible."""
+    from ..operators.dedup import line_dedup
+
+    return line_dedup(_structured_docs(spark, sf))
+
+
+def _line_oracle(mode_pred: str) -> str:
+    return rf"""
+WITH structured AS ({_STRUCTURED_SQL}),
+ex AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS ln, ls[CAST(u.i AS INT)] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM structured),
+       unnest(range(1, len(ls) + 1)) AS u(i)
+), fp AS (
+  SELECT doc_id, ln, line,
+         CASE WHEN lower(trim(line)) = '' THEN NULL
+              ELSE md5(lower(trim(line))) END AS f
+  FROM ex
+), freq AS (
+  SELECT f, MIN(doc_id) AS keeper FROM fp WHERE f IS NOT NULL
+  GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT p.doc_id, p.ln, p.line, ({mode_pred}) AS keep
+  FROM fp p LEFT JOIN freq q ON p.f = q.f
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY ln) FILTER (WHERE keep), '')
+         AS text,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE_LINE_DEDUP = _line_oracle("q.f IS NULL")
+
+
+def q_line_dedup_keepfirst(spark: SparkSession, sf: str) -> DataFrame:
+    """LINE-DEDUP-KEEPFIRST: CCNet-style exact line dedup — a shared line
+    survives only in the lowest-doc_id document containing it."""
+    from ..operators.dedup import line_dedup
+
+    return line_dedup(_structured_docs(spark, sf), mode="keep_first")
+
+
+ORACLE_LINE_DEDUP_KEEPFIRST = _line_oracle("q.f IS NULL OR p.doc_id = q.keeper")
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-EXACT: the exact-dedup family union-tagged — part='doc' covers
+    document-level hash-groupBy dedup (keeper + group size per normalized
+    fingerprint); part='line' covers LINE-DEDUP (CCNet/RefinedWeb
+    line-level boilerplate removal with rebuilt doc text, full oracle —
+    see q_line_dedup for the line-structuring construction)."""
+    doc = exact_dup_groups(load(spark, sf, "documents")).select(
+        F.lit("doc").alias("part"),
+        "fp",
+        "keep_id",
+        "group_size",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_lines"),
+        F.lit(None).cast("long").alias("n_kept"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    line = q_line_dedup(spark, sf).select(
+        F.lit("line").alias("part"),
+        F.lit(None).cast("string").alias("fp"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.lit(None).cast("long").alias("group_size"),
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "text",
+    )
+    return doc.unionByName(line)
+
+
+ORACLE_DEDUP_EXACT = rf"""
+SELECT 'doc' AS part, fp, keep_id, group_size,
+       CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_lines,
+       CAST(NULL AS BIGINT) AS n_kept, CAST(NULL AS VARCHAR) AS text
+FROM ({ORACLE_DEDUP_EXACT_DOC})
+UNION ALL
+SELECT 'line' AS part, CAST(NULL AS VARCHAR) AS fp,
+       CAST(NULL AS BIGINT) AS keep_id, CAST(NULL AS BIGINT) AS group_size,
+       doc_id, n_lines, n_kept, text
+FROM ({ORACLE_LINE_DEDUP})
 """
 
 

@@ -15,6 +15,9 @@ Scale shape: every variant here avoids the O(n²) all-pairs comparison.
 - **n-gram Jaccard**: the verify step, exposed standalone.
 - **fuzzy**: levenshtein pairs under first-token + length-band blocking —
   the quadratic-per-pair distance runs only on blocked survivors.
+- **line-level** (CCNet/RefinedWeb): drop individual LINES that repeat
+  across documents (boilerplate) and rebuild docs — frequency pass on md5
+  line hashes, offender set reduced before the join back.
 
 All pure Column expressions (xxhash64 is Spark's JVM-side 64-bit hash) — no
 Python in the hot path.
@@ -46,6 +49,81 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "drop_common",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line-level corpus dedup (the CCNet / RefinedWeb boilerplate pass):
+    drop individual LINES that repeat across documents — nav menus, cookie
+    banners, copyright footers — and rebuild each document from its
+    surviving lines. Returns ``(id_col, text, n_lines, n_kept)``.
+
+    Modes (both key on ``lower(trim(line))`` hashed to md5, like
+    :func:`exact_dedup`'s fingerprint; empty/whitespace-only lines are
+    structure, not content — always kept, never counted):
+
+    - ``drop_common``: a line is dropped EVERYWHERE if it appears in at
+      least ``min_docs`` distinct documents (RefinedWeb-style boilerplate
+      removal).
+    - ``keep_first``: a shared line survives only in the lowest-``id_col``
+      document containing it (CCNet-style exact line dedup); repeats
+      within that keeper document all survive.
+
+    Scale shape: the corpus-wide frequency pass aggregates 16-byte md5
+    keys (map-side partial, shuffle carries hashes, not line bodies), and
+    is then REDUCED to the offending subset — lines in ≥ ``min_docs``
+    docs (``drop_common``) or in ≥ 2 docs with their keeper
+    (``keep_first``) — before joining back, so the join's build side is
+    the (typically tiny, often broadcastable) boilerplate set while
+    full line text rides only the explode → rebuild path: two
+    corpus-scale shuffles total (freq hash agg + doc_id rebuild).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
+    )
+    norm = F.lower(F.trim(F.col("_line")))
+    hashed = lines.withColumn(
+        "_fp", F.when(norm == "", F.lit(None)).otherwise(F.md5(norm))
+    )
+    freq = (
+        hashed.where(F.col("_fp").isNotNull())
+        .groupBy("_fp")
+        .agg(F.countDistinct(id_col).alias("_docs"), F.min(id_col).alias("_keeper"))
+    )
+    if mode == "drop_common":
+        offenders = freq.where(F.col("_docs") >= min_docs).select(
+            "_fp", F.lit(None).cast("long").alias("_keeper")
+        )
+        keep = F.col("_hit").isNull()
+    elif mode == "keep_first":
+        offenders = freq.where(F.col("_docs") >= 2).select("_fp", "_keeper")
+        keep = F.col("_hit").isNull() | (F.col(id_col) == F.col("_keeper"))
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
+    marked = hashed.join(
+        offenders.withColumn("_hit", F.lit(1)), "_fp", "left"
+    ).withColumn("_keep", keep)
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct(F.col("_ln"), F.col("_line")))
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text"),
+    ).select(id_col, "text", "n_lines", "n_kept")
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

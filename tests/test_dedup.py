@@ -256,3 +256,84 @@ def test_fuzzy_pairs_blocked_edit_distance(spark):
         [(10, "ab cdefgh"), (11, "ab cdefghi")], "doc_id long, name string"
     )
     assert fuzzy_pairs(df2, "name", max_dist=1).count() == 1
+
+
+# ------------------------------------------------------------- line dedup
+
+_BANNER = "Cookie notice: we use cookies"
+_FOOTER = "(c) Example Corp"
+
+
+def _line_docs(spark):
+    from feasibility_etl_spark.operators.dedup import line_dedup  # noqa: F401
+
+    rows = [
+        (1, f"{_BANNER}\nunique body one\n\n{_FOOTER}"),
+        (2, f"{_BANNER}\nunique body two\n{_FOOTER}"),
+        (3, f"{_BANNER.upper()}  \nunique body three\nshared tail"),
+        (4, "solo doc\nshared tail"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_drop_common(spark):
+    from feasibility_etl_spark.operators.dedup import line_dedup
+
+    out = {r.doc_id: r for r in line_dedup(_line_docs(spark)).collect()}
+    # banner appears in 3 docs (case/whitespace-insensitively), footer in 2,
+    # 'shared tail' in 2 -> all dropped everywhere; bodies and the empty
+    # line survive
+    assert out[1].text == "unique body one\n"
+    assert (out[1].n_lines, out[1].n_kept) == (4, 2)
+    assert out[2].text == "unique body two"
+    assert out[3].text == "unique body three"
+    assert out[4].text == "solo doc"
+    assert (out[4].n_lines, out[4].n_kept) == (2, 1)
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    from feasibility_etl_spark.operators.dedup import line_dedup
+
+    out = {r.doc_id: r for r in line_dedup(_line_docs(spark), min_docs=3).collect()}
+    # only the banner reaches 3 distinct docs; footer (2) and tail (2) stay
+    assert out[1].text == f"unique body one\n\n{_FOOTER}"
+    assert out[4].text == "solo doc\nshared tail"
+
+
+def test_line_dedup_keep_first(spark):
+    from feasibility_etl_spark.operators.dedup import line_dedup
+
+    out = {
+        r.doc_id: r
+        for r in line_dedup(_line_docs(spark), mode="keep_first").collect()
+    }
+    # lowest doc_id keeps each shared line; banner normalizes across case
+    assert out[1].text == f"{_BANNER}\nunique body one\n\n{_FOOTER}"
+    assert out[2].text == "unique body two"
+    assert out[3].text == "unique body three\nshared tail"
+    assert out[4].text == "solo doc"
+
+
+def test_line_dedup_keep_first_retains_in_doc_repeats(spark):
+    from feasibility_etl_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "dup\nmid\ndup"), (2, "dup\nother")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in line_dedup(df, mode="keep_first").collect()}
+    # doc 1 is the keeper: both its occurrences survive; doc 2 loses it
+    assert out[1].text == "dup\nmid\ndup"
+    assert out[2].text == "other"
+
+
+def test_line_dedup_order_and_empty_doc(spark):
+    from feasibility_etl_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "z\na\nz\na\nmine"), (2, "z\na")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    # rebuild preserves original line order (not sort order of content)
+    assert out[1].text == "mine"
+    assert out[2].text == ""
+    assert (out[2].n_lines, out[2].n_kept) == (2, 0)

@@ -67,6 +67,8 @@ MAX_EXCHANGES = {
     "PIPE-EVENTS": 1,
     "SKETCH-HLL": 2,      # build agg + merge agg
     "SKETCH-THETA": 2,    # per-key sketch agg + sketch-side pairing
+    "LINE-DEDUP": 3,      # line-freq countDistinct (2-phase) + doc rebuild;
+                          # the offender join is broadcast by design
 }
 
 #: operator-level zero-shuffle guarantees (no bench-input repartition)
