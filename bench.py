@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "SKETCH-HLL",
     "SKETCH-THETA",
     "LINE-DEDUP",
+    "BPE-ENCODE",
 ]
 
 

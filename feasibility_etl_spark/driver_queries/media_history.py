@@ -353,6 +353,67 @@ WHERE start < n AND (start = 0 OR start + 8 < n)
 """
 
 
+def _bpe_frame_sql(word_expr: str) -> str:
+    """SQL framing of a word's initial BPE symbols: every character wrapped
+    in \\x1f sentinels, terminal ``</w>`` appended as its own symbol."""
+    sep = "\x1f"
+    return (
+        f"'{sep}' || array_to_string(list_transform(range(1, len({word_expr}) + 1), "
+        f"j -> {word_expr}[CAST(j AS INT)]), '{sep}{sep}') || '{sep}{sep}</w>{sep}'"
+    )
+
+
+def _bpe_replace_chain(expr: str) -> str:
+    """Nested ``replace()`` chain applying DEMO_MERGES in rank order over
+    the sentinel framing — for a TRAINED merge list this equals the classic
+    best-rank-first BPE loop (see operators/bpe.py's equivalence note)."""
+    from ..operators.bpe import DEMO_MERGES
+
+    sep = "\x1f"
+    for left, right in DEMO_MERGES:
+        expr = (
+            f"replace({expr}, '{sep}{left}{sep}{sep}{right}{sep}', "
+            f"'{sep}{left}{right}{sep}')"
+        )
+    return expr
+
+
+ORACLE_BPE_ENCODE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE trim(text) <> ''
+), enc AS (
+  SELECT doc_id, u.i AS pos,
+         {_bpe_replace_chain(_bpe_frame_sql("t[CAST(u.i AS INT)]"))} AS e
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+)
+SELECT doc_id,
+       string_agg(replace(trim(e, '\x1f'), '\x1f\x1f', ' '), ' ' ORDER BY pos)
+         AS bpe_text,
+       CAST(SUM(len(string_split(e, '\x1f\x1f'))) AS BIGINT) AS n_tok
+FROM enc GROUP BY doc_id
+"""
+
+
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ENCODE (granular singleton): real byte-pair encoding of the
+    corpus with the frozen DEMO_MERGES table (operators/bpe.py) — the
+    Arrow-batched mapInPandas encoder, checked FULL-ORACLE: DuckDB replays
+    the encode as rank-order string rewriting over a sentinel framing,
+    which for a trained merge list provably equals the classic
+    best-rank-first loop the operator runs."""
+    from ..operators.bpe import DEMO_MERGES, bpe_encode
+
+    docs = load(spark, sf, "documents").where(F.trim("text") != "")
+    return bpe_encode(docs, DEMO_MERGES).select(
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+        F.col("n_bpe_tokens").alias("n_tok"),
+    )
+
+
 def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-ROWS: the row-exploding text ops union-tagged — covers
     TEXT-WINNOW (part='winnow': winnowing fingerprints, fixed-base rolling
@@ -361,10 +422,21 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
     tails dropped), and TEXT-TOPTERMS (part='topterms': per-language
     top-10 vocabulary — map-side-combined token counts, per-group window
     rank, cnt-desc/term-asc tiebreak; lang:term in chunk_text, cnt in
-    n_tok, rank in chunk_id)."""
+    n_tok, rank in chunk_id), and BPE-ENCODE (part='bpe': real byte-pair
+    encoding with the frozen DEMO_MERGES — space-joined token stream in
+    chunk_text, true token count in n_tok; full oracle via rank-order
+    string rewriting, see q_bpe_encode)."""
     from ..operators.text import chunk_documents, top_terms
 
     docs = load(spark, sf, "documents")
+    bpe = q_bpe_encode(spark, sf).select(
+        F.lit("bpe").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.col("bpe_text").alias("chunk_text"),
+        F.col("n_tok"),
+        F.lit(None).cast("long").alias("fp"),
+    )
     tt = top_terms(docs, "text", "lang", k=10).select(
         F.lit("topterms").alias("part"),
         F.lit(None).cast("long").alias("doc_id"),
@@ -389,7 +461,7 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
         "n_tok",
         F.lit(None).cast("long").alias("fp"),
     )
-    return win.unionByName(ch).unionByName(tt)
+    return win.unionByName(ch).unionByName(tt).unionByName(bpe)
 
 
 ORACLE_TEXT_ROWS = f"""
@@ -416,4 +488,8 @@ FROM (
     ) GROUP BY lang, term
   )
 ) WHERE rnk <= 10
+UNION ALL
+SELECT 'bpe' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
+       bpe_text AS chunk_text, n_tok, CAST(NULL AS BIGINT) AS fp
+FROM ({ORACLE_BPE_ENCODE}) b
 """

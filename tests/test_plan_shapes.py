@@ -69,6 +69,7 @@ MAX_EXCHANGES = {
     "SKETCH-THETA": 2,    # per-key sketch agg + sketch-side pairing
     "LINE-DEDUP": 3,      # line-freq countDistinct (2-phase) + doc rebuild;
                           # the offender join is broadcast by design
+    "BPE-ENCODE": 0,      # scan -> tokens -> mapInPandas encode, no shuffle
 }
 
 #: operator-level zero-shuffle guarantees (no bench-input repartition)
