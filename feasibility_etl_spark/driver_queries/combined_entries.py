@@ -173,7 +173,11 @@ def q_e_audit(spark: SparkSession, sf: str) -> DataFrame:
     (pairwise distinct-user overlap between event types via Theta-sketch
     set intersection — sketch-side set algebra, never a join over the
     events; exact below the sketch's retention bound, see
-    q_sketch_theta).
+    q_sketch_theta); rows with part='freq' cover SKETCH-FREQ (per-day
+    frequent-items sketches of event_type combined across days by sketch
+    merge, operators/sketches.py freq_sketches — exact while the
+    tracked-item budget exceeds the cardinality, so the oracle is a plain
+    GROUP BY count; see q_sketch_freq).
 
     The profiled projection is hash-deterministic by construction: money
     as cents-BIGINT, timestamps pre-formatted to strings (see module-head
@@ -196,6 +200,7 @@ def q_e_audit(spark: SparkSession, sf: str) -> DataFrame:
         gate.unionByName(prof, allowMissingColumns=True)
         .unionByName(q_sketch_hll(spark, sf), allowMissingColumns=True)
         .unionByName(q_sketch_theta(spark, sf), allowMissingColumns=True)
+        .unionByName(q_sketch_freq(spark, sf), allowMissingColumns=True)
     )
 
 
@@ -241,6 +246,33 @@ def q_sketch_theta(spark: SparkSession, sf: str) -> DataFrame:
         F.concat("key_a", F.lit("|"), "key_b").alias("col_name"),
         F.col("n_shared").alias("n_distinct"),
     )
+
+
+def q_sketch_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """SKETCH-FREQ granular: frequent-items sketches of event_type built
+    per day (``approx_top_k_accumulate``), COMBINED across days by sketch
+    merge — never re-scanning the events — then read as (item, count)
+    rows. Run in the EXACT regime: the tracked-item budget (1024) exceeds
+    the event-type cardinality, so every count is exact and the oracle is
+    a plain GROUP BY count; the capacity-pressure regime (heavy hitter
+    survives a 64-slot budget against a 500-value tail) is pinned in
+    tests/test_sketches.py."""
+    from ..operators.sketches import freq_sketches, merge_freq_sketches, top_items
+
+    ev = load(spark, sf, "events").select(F.to_date("ts").alias("d"), "event_type")
+    daily = freq_sketches(ev, ["d"], "event_type", max_items=1024)
+    merged = merge_freq_sketches(daily, [], max_items=1024)
+    return top_items(merged, k=1024).select(
+        F.lit("freq").alias("part"),
+        F.col("item").alias("col_name"),
+        F.col("n_est").alias("n_rows"),
+    )
+
+
+ORACLE_SKETCH_FREQ = """
+SELECT 'freq' AS part, event_type AS col_name, COUNT(*) AS n_rows
+FROM events GROUP BY event_type
+"""
 
 
 def q_sketch_kll(spark: SparkSession, sf: str) -> DataFrame:
@@ -337,7 +369,7 @@ UNION ALL {_profile_col_sql("o_date", False)}
 
 ORACLE_E_AUDIT = f"""
 WITH g AS ({ORACLE_E_GATE}), i AS ({ORACLE_E_ISOLATE}), pr AS ({ORACLE_E_PROFILE}),
-h AS ({ORACLE_SKETCH_HLL}), th AS ({ORACLE_SKETCH_THETA})
+h AS ({ORACLE_SKETCH_HLL}), th AS ({ORACLE_SKETCH_THETA}), fr AS ({ORACLE_SKETCH_FREQ})
 SELECT 'gate' AS part, g.n_before, g.n_after, g.loss_pct, g.passed,
        i.n_ok, i.n_rejected,
        CAST(NULL AS VARCHAR) AS col_name, CAST(NULL AS BIGINT) AS n_rows,
@@ -357,6 +389,10 @@ UNION ALL
 SELECT 'theta', NULL, NULL, NULL, NULL, NULL, NULL,
        col_name, NULL, NULL, n_distinct, NULL, NULL, NULL
 FROM th
+UNION ALL
+SELECT 'freq', NULL, NULL, NULL, NULL, NULL, NULL,
+       col_name, n_rows, NULL, NULL, NULL, NULL, NULL
+FROM fr
 """
 
 

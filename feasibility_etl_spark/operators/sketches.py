@@ -120,6 +120,71 @@ def with_quantiles(
     return out.drop(sketch_col) if drop_sketch else out
 
 
+def freq_sketches(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    max_items: int = 10_000,
+    sketch_col: str = "fi",
+) -> DataFrame:
+    """Per-key frequent-items sketch of ``col`` (Spark 4's
+    ``approx_top_k_accumulate`` state) → ``(*keys, sketch_col struct)``.
+
+    The mergeable heavy-hitters companion to the HLL/KLL/Theta family:
+    build per shard/day, union across partitions with
+    :func:`merge_freq_sketches`, read the top-k anywhere with
+    :func:`top_items` — never re-scan the data per question. Exact
+    ``GROUP BY … ORDER BY count`` at corpus scale shuffles every distinct
+    value per question; the sketch shuffles ``max_items`` entries per key.
+    While the tracked-item budget exceeds the true distinct count the
+    counts are EXACT (the driver oracle exploits this on
+    low-cardinality columns); past it, heavy hitters dominate the survivor
+    set — the skew regime is pinned in tests/test_sketches.py."""
+    return df.groupBy(*keys).agg(
+        F.expr(f"approx_top_k_accumulate({col}, {int(max_items)})").alias(sketch_col)
+    )
+
+
+def merge_freq_sketches(
+    df: DataFrame,
+    keys: list[str],
+    max_items: int = 10_000,
+    sketch_col: str = "fi",
+) -> DataFrame:
+    """Roll frequent-items sketches up to coarser ``keys`` (daily →
+    all-time) by sketch combine — no re-scan. Empty ``keys`` gives the
+    single global sketch."""
+    agg = F.expr(f"approx_top_k_combine({sketch_col}, {int(max_items)})").alias(
+        sketch_col
+    )
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def top_items(
+    df: DataFrame,
+    k: int = 10,
+    sketch_col: str = "fi",
+    item_col: str = "item",
+    count_col: str = "n_est",
+) -> DataFrame:
+    """Explode each sketch row into its estimated top-``k``
+    ``(item, count)`` rows (most-frequent first). Keys carry through;
+    the sketch column is dropped."""
+    est = F.expr(f"approx_top_k_estimate({sketch_col}, {int(k)})")
+    return (
+        df.withColumn("_top", est)
+        .drop(sketch_col)
+        .select("*", F.explode("_top").alias("_t"))
+        .drop("_top")
+        .select(
+            "*",
+            F.col("_t.item").alias(item_col),
+            F.col("_t.count").alias(count_col),
+        )
+        .drop("_t")
+    )
+
+
 def theta_sketches(
     df: DataFrame,
     keys: list[str],
