@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "SKETCH-THETA",
     "LINE-DEDUP",
     "BPE-ENCODE",
+    "SKETCH-FREQ",
+    "LM-SCORE",
 ]
 
 

@@ -414,6 +414,64 @@ def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """LM-SCORE granular: Stupid-Backoff bigram LM quality scoring
+    (operators/lm.py, Brants et al. 2007) — train on the even-doc_id half
+    of the corpus, score every doc with ≥2 tokens, so the odd half
+    genuinely exercises the backoff and OOV paths. ``logp_e9`` is the
+    exact BIGINT nano-log10 sum (float-order-proof), ``avg_logp`` derives
+    from it; both hash-match the DuckDB twin (log10's 1 ulp absorbed by
+    the nano rounding)."""
+    from ..operators.lm import score_stupid_backoff, train_backoff_lm
+
+    docs = load(spark, sf, "documents")
+    lm = train_backoff_lm(docs.where(F.col("doc_id") % 2 == 0))
+    return score_stupid_backoff(docs, lm)
+
+
+ORACLE_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+train AS (SELECT ws FROM toks WHERE doc_id % 2 = 0),
+uni AS (
+  SELECT w, COUNT(*) AS c_uni
+  FROM (SELECT unnest(ws) AS w FROM train) GROUP BY w
+),
+tot AS (SELECT COUNT(*) AS n FROM (SELECT unnest(ws) AS w FROM train)),
+big AS (
+  SELECT w1, w2, COUNT(*) AS c_big FROM (
+    SELECT ws[x+1] AS w1, ws[x+2] AS w2
+    FROM train, LATERAL (SELECT unnest(range(len(ws)-1)) AS x)
+  ) GROUP BY w1, w2
+),
+trans AS (
+  SELECT doc_id, ws[x+1] AS w1, ws[x+2] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(len(ws)-1)) AS x)
+  WHERE len(ws) >= 2
+),
+scored AS (
+  SELECT t.doc_id,
+    CAST(round(log10(
+      CASE WHEN b.c_big IS NOT NULL
+           THEN CAST(b.c_big AS DOUBLE) / CAST(u1.c_uni AS DOUBLE)
+           ELSE 0.4 * CAST(GREATEST(coalesce(u2.c_uni, 0), 1) AS DOUBLE)
+                / CAST(tot.n AS DOUBLE)
+      END) * 1000000000) AS BIGINT) AS s
+  FROM trans t
+  LEFT JOIN big b ON t.w1 = b.w1 AND t.w2 = b.w2
+  LEFT JOIN uni u1 ON t.w1 = u1.w
+  LEFT JOIN uni u2 ON t.w2 = u2.w
+  CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_trans, CAST(SUM(s) AS BIGINT) AS logp_e9,
+       CAST(SUM(s) AS DOUBLE) / 1000000000 / CAST(COUNT(*) AS DOUBLE) AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-ROWS: the row-exploding text ops union-tagged — covers
     TEXT-WINNOW (part='winnow': winnowing fingerprints, fixed-base rolling
@@ -425,10 +483,20 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
     n_tok, rank in chunk_id), and BPE-ENCODE (part='bpe': real byte-pair
     encoding with the frozen DEMO_MERGES — space-joined token stream in
     chunk_text, true token count in n_tok; full oracle via rank-order
-    string rewriting, see q_bpe_encode)."""
+    string rewriting, see q_bpe_encode), and LM-SCORE (part='lm':
+    Stupid-Backoff LM scores — transition count in n_tok, the exact
+    BIGINT nano-log10 sum in fp; see q_lm_score)."""
     from ..operators.text import chunk_documents, top_terms
 
     docs = load(spark, sf, "documents")
+    lm_rows = q_lm_score(spark, sf).select(
+        F.lit("lm").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.lit(None).cast("string").alias("chunk_text"),
+        F.col("n_trans").alias("n_tok"),
+        F.col("logp_e9").alias("fp"),
+    )
     bpe = q_bpe_encode(spark, sf).select(
         F.lit("bpe").alias("part"),
         "doc_id",
@@ -461,7 +529,7 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
         "n_tok",
         F.lit(None).cast("long").alias("fp"),
     )
-    return win.unionByName(ch).unionByName(tt).unionByName(bpe)
+    return win.unionByName(ch).unionByName(tt).unionByName(bpe).unionByName(lm_rows)
 
 
 ORACLE_TEXT_ROWS = f"""
@@ -492,4 +560,8 @@ UNION ALL
 SELECT 'bpe' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
        bpe_text AS chunk_text, n_tok, CAST(NULL AS BIGINT) AS fp
 FROM ({ORACLE_BPE_ENCODE}) b
+UNION ALL
+SELECT 'lm' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
+       CAST(NULL AS VARCHAR) AS chunk_text, n_trans AS n_tok, logp_e9 AS fp
+FROM ({ORACLE_LM_SCORE}) l
 """

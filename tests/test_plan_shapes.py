@@ -70,6 +70,9 @@ MAX_EXCHANGES = {
     "LINE-DEDUP": 3,      # line-freq countDistinct (2-phase) + doc rebuild;
                           # the offender join is broadcast by design
     "BPE-ENCODE": 0,      # scan -> tokens -> mapInPandas encode, no shuffle
+    "SKETCH-FREQ": 2,     # per-day accumulate agg + global combine agg
+    "LM-SCORE": 5,        # uni/bigram count aggs + two gram-key model joins
+                          # + per-doc sum; N attaches as a 1-row broadcast
 }
 
 #: operator-level zero-shuffle guarantees (no bench-input repartition)

@@ -47,15 +47,25 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: SKETCH-CONTAM cross-joins two SINGLE-ROW global sketch aggregates
 #: (corpus and eval theta sketches) — a 1x1 product.
 #: TEXT-BM25-TOPK inherits TEXT-BM25's single-row corpus-stats attach.
+#: LM-SCORE cross-joins the SINGLE-ROW training-token total (N) onto the
+#: transition stream — the scalar-attach pattern; the model joins proper
+#: are hash equi-joins on the gram keys. TEXT-ROWS inherits it via its
+#: part='lm' slice.
 CARTESIAN_OK = {
     "SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN",
     "J-LOOKUP-INSERT", "E-AUDIT",
     "TEXT-BM25", "TEXT-PROFILE", "SKETCH-THETA",
     "SKETCH-CONTAM", "TEXT-BM25-TOPK",
+    "LM-SCORE", "TEXT-ROWS",
 }
 
-#: Queries that legitimately run Arrow-batched Python (multimodal decode).
-PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL"}
+#: Queries that legitimately run Arrow-batched Python: multimodal decode,
+#: and real BPE encoding (operators/bpe.py — a per-word merge loop no
+#: relational form expresses; Arrow-batched mapInPandas with broadcast
+#: merge ranks is the sanctioned tier). MM-MEDIA unions the two decode
+#: pipelines; TEXT-ROWS carries the BPE stream as its part='bpe' slice.
+PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL",
+             "MM-MEDIA", "BPE-ENCODE", "TEXT-ROWS"}
 
 
 def audit(name: str, plan: str) -> tuple[list[str], list[str]]:
