@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "BPE-ENCODE",
     "SKETCH-FREQ",
     "LM-SCORE",
+    "CORPUS-DSIR",
 ]
 
 

@@ -476,7 +476,10 @@ def q_corpus_assign(spark: SparkSession, sf: str) -> DataFrame:
     selection order), CORPUS-SAMPLE (in_sample: deterministic
     exact-fraction stratified sample per source), and CORPUS-EPOCH
     (epoch_pos: seeded global training order via distributed rank —
-    bucket-by-hash-prefix + offsets, no single-partition sort)."""
+    bucket-by-hash-prefix + offsets, no single-partition sort), and
+    CORPUS-DSIR (dsir_feats/dsir_logw_e9: DSIR importance weights vs the
+    doc_id%101 target slice, exact nano-BIGINT sums; see q_corpus_dsir —
+    empty docs carry NULLs)."""
     from ..operators.corpus import epoch_order, mix_sources, stratified_sample
 
     docs = load(spark, sf, "documents")
@@ -494,17 +497,74 @@ def q_corpus_assign(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.lit(True).alias("in_sample")
     )
     epochs = epoch_order(docs.select("doc_id"), seed=0).select("doc_id", "epoch_pos")
+    dsir = q_corpus_dsir(spark, sf).select(
+        "doc_id",
+        F.col("n_feats").alias("dsir_feats"),
+        F.col("logw_e9").alias("dsir_logw_e9"),
+    )
     return (
         packed.join(mixed, "doc_id", "left")
         .join(sampled, "doc_id", "left")
         .join(epochs, "doc_id")
+        .join(dsir, "doc_id", "left")
         .select(
             "doc_id", "split", "n_tok", "shard_id",
             F.coalesce(F.col("in_mix"), F.lit(False)).alias("in_mix"),
             F.coalesce(F.col("in_sample"), F.lit(False)).alias("in_sample"),
-            "epoch_pos",
+            "epoch_pos", "dsir_feats", "dsir_logw_e9",
         )
     )
+
+
+def q_corpus_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-DSIR granular: DSIR importance weights (operators/corpus.py
+    dsir_weights, Xie et al. 2023) of every non-empty document against the
+    deterministic doc_id%101 target slice — hashed uni+bigram feature bag,
+    broadcast DSIR_BUCKETS-row weight table, exact nano-BIGINT log-weight
+    sums. Full oracle: the md5-prefix bucket hash and the single
+    log10-of-ratio expression are stated verbatim in ANSI SQL."""
+    from ..operators.corpus import dsir_weights
+
+    docs = load(spark, sf, "documents")
+    return dsir_weights(docs, docs.where(F.col("doc_id") % 101 == 0))
+
+
+ORACLE_CORPUS_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS bucket
+  FROM (
+    SELECT doc_id, unnest(ws) AS f FROM toks
+    UNION ALL
+    SELECT doc_id, ws[x+1] || ' ' || ws[x+2] AS f
+    FROM toks, LATERAL (SELECT unnest(range(len(ws)-1)) AS x)
+    WHERE len(ws) >= 2
+  )
+),
+tgt AS (SELECT * FROM feats WHERE doc_id % 101 = 0),
+cr AS (SELECT bucket, COUNT(*) AS c_raw FROM feats GROUP BY bucket),
+ct AS (SELECT bucket, COUNT(*) AS c_tgt FROM tgt GROUP BY bucket),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM feats) AS t_raw,
+         (SELECT COUNT(*) FROM tgt) AS t_tgt
+),
+w AS (
+  SELECT coalesce(cr.bucket, ct.bucket) AS bucket,
+    CAST(round(log10(
+      (CAST(coalesce(ct.c_tgt, 0) + 1 AS DOUBLE) / CAST(t_tgt + 4096 AS DOUBLE))
+      / (CAST(coalesce(cr.c_raw, 0) + 1 AS DOUBLE) / CAST(t_raw + 4096 AS DOUBLE))
+    ) * 1000000000) AS BIGINT) AS lw_e9
+  FROM cr FULL OUTER JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tots
+)
+SELECT f.doc_id, COUNT(*) AS n_feats, CAST(SUM(w.lw_e9) AS BIGINT) AS logw_e9,
+       CAST(SUM(w.lw_e9) AS DOUBLE) / 1000000000 / CAST(COUNT(*) AS DOUBLE) AS avg_logw
+FROM feats f JOIN w USING (bucket)
+GROUP BY f.doc_id
+"""
 
 
 ORACLE_CORPUS_ASSIGN = f"""
@@ -542,10 +602,12 @@ ep AS (
   FROM documents
 )
 SELECT s.doc_id, s.split, p.n_tok, p.shard_id, (m.doc_id IS NOT NULL) AS in_mix,
-       (samp.doc_id IS NOT NULL) AS in_sample, ep.epoch_pos
+       (samp.doc_id IS NOT NULL) AS in_sample, ep.epoch_pos,
+       d.n_feats AS dsir_feats, d.logw_e9 AS dsir_logw_e9
 FROM s JOIN p ON s.doc_id = p.doc_id LEFT JOIN m ON s.doc_id = m.doc_id
 LEFT JOIN samp ON s.doc_id = samp.doc_id
 JOIN ep ON s.doc_id = ep.doc_id
+LEFT JOIN ({ORACLE_CORPUS_DSIR}) d ON s.doc_id = d.doc_id
 """
 
 

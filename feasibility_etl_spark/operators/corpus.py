@@ -222,6 +222,119 @@ def stratified_sample(
     )
 
 
+#: DSIR hashed-feature space size. 2^12 buckets keeps the weight table
+#: broadcast-sized at ANY corpus scale (the table has one row per bucket,
+#: not per gram) while the paper reports diminishing returns past ~10^4.
+DSIR_BUCKETS = 4096
+
+#: Per-bucket log10 weights are rounded to nano units and summed as exact
+#: BIGINTs (the emb_centroids / LM precedent) — per-doc totals are
+#: independent of partitioning and float order.
+_DSIR_SCALE = 1_000_000_000
+
+
+def _hashed_gram_features(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Bag of hashed word uni+bigrams → ``(id_col, bucket)`` with
+    multiplicity. The hash is md5-prefix-based so any ANSI engine
+    reproduces it verbatim (xxhash64 would be Spark-only)."""
+    from .text import tokens
+
+    toks = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_ws")
+    )
+    unis = toks.select(id_col, F.explode("_ws").alias("f"))
+    bis = toks.where(F.size("_ws") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_ws"), 1, F.size("_ws") - 1),
+                F.slice(F.col("_ws"), 2, F.size("_ws") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("f"),
+    )
+    feats = unis.unionByName(bis)
+    bucket = (
+        F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long") % DSIR_BUCKETS
+    )
+    return feats.select(id_col, bucket.alias("bucket"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how target-like its hashed n-gram
+    feature distribution is → ``(id_col, n_feats, logw_e9, avg_logw)``.
+
+    Per bucket ``b`` of the hashed uni+bigram space, the importance
+    log-ratio is ``log10(p_target(b) / p_raw(b))`` with add-one
+    smoothing; a document's log-weight is the sum over its feature bag.
+    Documents with no tokens have no features and are absent from the
+    output. ``logw_e9`` (exact nano-BIGINT sum) is the deterministic
+    record; ``avg_logw`` normalizes by feature count (the paper
+    resamples by raw weight — length-biased; the mean is the
+    length-neutral variant. Both derive from exact sums). Select by
+    thresholding — at scale, take the threshold from a KLL sketch of
+    ``logw_e9`` (see ``sketches.quantile_sketches``) instead of a
+    global sort.
+
+    100 TB posture: both corpora stream once through the feature hash
+    (no shuffle until the count agg, which carries ≤``DSIR_BUCKETS``
+    partials per task); the finished weight table is ``DSIR_BUCKETS``
+    rows → broadcast to the scoring join, so the raw corpus is never
+    shuffled to score it. The 1-row totals attach via broadcast cross
+    join (the scalar-attach pattern, allowlisted in tools/audit_plans.py).
+    """
+    raw_f = _hashed_gram_features(docs, text_col, id_col)
+    tgt_f = _hashed_gram_features(target, text_col, id_col)
+    raw_c = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_c = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    totals = raw_f.agg(F.count(F.lit(1)).alias("t_raw")).crossJoin(
+        tgt_f.agg(F.count(F.lit(1)).alias("t_tgt"))
+    )
+    # One log10 over one ratio-of-ratios — the exact expression shape the
+    # DuckDB oracle states; smoothing +1 per bucket, +DSIR_BUCKETS per
+    # total, so empty buckets on either side stay finite.
+    p_tgt = (F.col("c_tgt") + 1).cast("double") / (
+        F.col("t_tgt") + DSIR_BUCKETS
+    ).cast("double")
+    p_raw = (F.col("c_raw") + 1).cast("double") / (
+        F.col("t_raw") + DSIR_BUCKETS
+    ).cast("double")
+    weights = (
+        raw_c.join(tgt_c, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(F.log10(p_tgt / p_raw) * _DSIR_SCALE).cast("long").alias("lw_e9"),
+        )
+    )
+    return (
+        raw_f.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lw_e9").alias("logw_e9"),
+        )
+        .withColumn(
+            "avg_logw",
+            F.col("logw_e9").cast("double")
+            / _DSIR_SCALE
+            / F.col("n_feats").cast("double"),
+        )
+    )
+
+
 def epoch_order(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -73,6 +73,9 @@ MAX_EXCHANGES = {
     "SKETCH-FREQ": 2,     # per-day accumulate agg + global combine agg
     "LM-SCORE": 5,        # uni/bigram count aggs + two gram-key model joins
                           # + per-doc sum; N attaches as a 1-row broadcast
+    "CORPUS-DSIR": 5,     # raw/target bucket-count aggs + weight-table
+                          # full-outer + per-doc sum; scoring join and the
+                          # 1-row totals attach are broadcasts
 }
 
 #: operator-level zero-shuffle guarantees (no bench-input repartition)

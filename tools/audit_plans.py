@@ -51,12 +51,16 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: transition stream — the scalar-attach pattern; the model joins proper
 #: are hash equi-joins on the gram keys. TEXT-ROWS inherits it via its
 #: part='lm' slice.
+#: CORPUS-DSIR cross-joins the SINGLE-ROW (t_raw, t_tgt) feature totals
+#: onto the DSIR_BUCKETS-row weight table (1 x 4096 product); the
+#: scoring join is a broadcast hash equi-join on bucket. CORPUS-ASSIGN
+#: inherits it via its dsir_* columns.
 CARTESIAN_OK = {
     "SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN",
     "J-LOOKUP-INSERT", "E-AUDIT",
     "TEXT-BM25", "TEXT-PROFILE", "SKETCH-THETA",
     "SKETCH-CONTAM", "TEXT-BM25-TOPK",
-    "LM-SCORE", "TEXT-ROWS",
+    "LM-SCORE", "TEXT-ROWS", "CORPUS-DSIR", "CORPUS-ASSIGN",
 }
 
 #: Queries that legitimately run Arrow-batched Python: multimodal decode,
