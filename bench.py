@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "SKETCH-FREQ",
     "LM-SCORE",
     "CORPUS-DSIR",
+    "CORPUS-PACKSEQ",
 ]
 
 

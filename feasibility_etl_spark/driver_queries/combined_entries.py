@@ -567,6 +567,23 @@ GROUP BY f.doc_id
 """
 
 
+def q_corpus_packseq(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-PACKSEQ granular (rows-only): SPFHP sequence packing
+    (operators/corpus.py pack_sequences, Krell et al. 2021) of the
+    documents into 256-token training packs. The pack strategy is a
+    driver-side solve over the bounded length histogram — no ANSI SQL
+    reproduces it, so there is no value oracle; validity invariants
+    (every doc exactly once, no pack over cap, ≥90% packing efficiency,
+    partitioning invariance) are pinned in tests/test_pack_sequences.py."""
+    from ..operators.corpus import pack_sequences
+    from ..operators.text import token_count
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    return pack_sequences(docs, "n_tok", 256).orderBy("doc_id")
+
+
 ORACLE_CORPUS_ASSIGN = f"""
 WITH s AS ({ORACLE_CORPUS_SPLIT}), p AS ({ORACLE_CORPUS_PACK}),
 tok AS (

@@ -76,6 +76,9 @@ MAX_EXCHANGES = {
     "CORPUS-DSIR": 5,     # raw/target bucket-count aggs + weight-table
                           # full-outer + per-doc sum; scoring join and the
                           # 1-row totals attach are broadcasts
+    "CORPUS-PACKSEQ": 3,  # rank-within-length window + broadcast slot
+                          # table + presentation orderBy (histogram agg
+                          # runs eagerly at plan build)
 }
 
 #: operator-level zero-shuffle guarantees (no bench-input repartition)
