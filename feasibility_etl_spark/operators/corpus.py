@@ -424,8 +424,11 @@ def dsir_weights(
     tgt_f = _hashed_gram_features(target, text_col, id_col)
     raw_c = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
     tgt_c = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
-    totals = raw_f.agg(F.count(F.lit(1)).alias("t_raw")).crossJoin(
-        tgt_f.agg(F.count(F.lit(1)).alias("t_tgt"))
+    # Totals fold out of the 4096-row count tables — NOT out of the
+    # feature streams, which would re-featurize both corpora end to end
+    # (measured 2 extra full scans at sf0.1 before this restructure).
+    totals = raw_c.agg(F.sum("c_raw").alias("t_raw")).crossJoin(
+        tgt_c.agg(F.sum("c_tgt").alias("t_tgt"))
     )
     # One log10 over one ratio-of-ratios — the exact expression shape the
     # DuckDB oracle states; smoothing +1 per bucket, +DSIR_BUCKETS per
