@@ -315,11 +315,55 @@ FROM r GROUP BY event_type
 
 
 def q_sketch_contam(spark: SparkSession, sf: str) -> DataFrame:
-    """SKETCH-CONTAM granular (rows-only): theta-sketch contamination
-    scout — corpus↔eval 8-gram overlap estimate without a join. The
-    corpus-side sketch is past exact retention at bench SF, so the
-    estimate has no SQL twin; exact-regime parity with
-    corpus.decontaminate is pinned in tests/test_sketches.py."""
+    """SKETCH-CONTAM: theta-sketch contamination scout — corpus↔eval
+    8-gram overlap estimate without a join — run in its EXACT regime so
+    the driver hash-checks it FULL-ORACLE: the doc_id%25 corpus slice
+    and doc_id%40 eval slice each stay under the sketch's ~4k exact
+    retention bound at the check SFs, where every theta estimate
+    (counts AND intersection) equals the true distinct count, and
+    containment is a ratio of exact-integer doubles. The past-retention
+    estimating regime runs as the granular SKETCH-CONTAM-SCOUT
+    (rows-only) and its decontaminate-parity test."""
+    from ..operators.sketches import contamination_estimate
+
+    docs = load(spark, sf, "documents")
+    return contamination_estimate(
+        docs.where("doc_id % 25 = 0"), docs.where("doc_id % 40 = 0")
+    )
+
+
+ORACLE_SKETCH_CONTAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+         END AS s
+  FROM toks
+), c AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 25 = 0
+), e AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 40 = 0
+), n AS (
+  SELECT (SELECT COUNT(*) FROM c) AS n_c, (SELECT COUNT(*) FROM e) AS n_e,
+         (SELECT COUNT(*) FROM (SELECT g FROM c INTERSECT SELECT g FROM e)) AS n_s
+)
+SELECT n_c AS n_corpus_grams, n_e AS n_eval_grams, n_s AS n_shared_grams,
+       CAST(n_s AS DOUBLE) / CAST(n_e AS DOUBLE) AS eval_containment
+FROM n
+"""
+
+
+def q_sketch_contam_scout(spark: SparkSession, sf: str) -> DataFrame:
+    """SKETCH-CONTAM-SCOUT granular (rows-only): the contamination scout
+    in its ESTIMATING regime — whole corpus vs the doc_id%101 eval slice;
+    the corpus-side sketch is past exact retention at bench SF, so the
+    estimate has no SQL twin. Error bounds and exact-regime parity with
+    corpus.decontaminate are pinned in tests/test_sketches.py."""
     from ..operators.sketches import contamination_estimate
 
     docs = load(spark, sf, "documents")

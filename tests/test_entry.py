@@ -24,7 +24,6 @@ def test_every_oracle_has_a_query():
         "DEDUP-CANDIDATES",
         "SIM-ANN",
         "EMB-NEARDUP",
-        "SKETCH-CONTAM",
     }
     # the driver records a bounded registry prefix (50 rows in round 1):
     # every operator must fit

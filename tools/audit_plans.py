@@ -59,7 +59,7 @@ CARTESIAN_OK = {
     "SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN",
     "J-LOOKUP-INSERT", "E-AUDIT",
     "TEXT-BM25", "TEXT-PROFILE", "SKETCH-THETA",
-    "SKETCH-CONTAM", "TEXT-BM25-TOPK",
+    "SKETCH-CONTAM", "SKETCH-CONTAM-SCOUT", "TEXT-BM25-TOPK",
     "LM-SCORE", "TEXT-ROWS", "CORPUS-DSIR", "CORPUS-ASSIGN",
 }
 
