@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "LM-SCORE",
     "CORPUS-DSIR",
     "CORPUS-PACKSEQ",
+    "QUALITY-KLLGATE",
 ]
 
 

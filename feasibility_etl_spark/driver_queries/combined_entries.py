@@ -628,6 +628,28 @@ def q_corpus_packseq(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(docs, "n_tok", 256).orderBy("doc_id")
 
 
+def q_quality_kllgate(spark: SparkSession, sf: str) -> DataFrame:
+    """QUALITY-KLLGATE granular: score-based selection at scale — DSIR
+    importance weights gated to the top 25% by ``threshold_filter``
+    (operators/sketches.py): a KLL sketch of the score distribution
+    yields the cut, so selection is one aggregate + broadcast attach +
+    filter, never a global sort. Run in the KLL EXACT regime (k=65535 ≥
+    corpus rows at check SFs), where the threshold equals the true order
+    statistic under the INCLUSIVE rank rule — the oracle states that
+    rule via cume_dist over the same DSIR CTE and hash-matches."""
+    from ..operators.sketches import threshold_filter
+
+    return threshold_filter(q_corpus_dsir(spark, sf), "logw_e9", keep_frac=0.25)
+
+
+ORACLE_QUALITY_KLLGATE = f"""
+WITH d AS ({ORACLE_CORPUS_DSIR}),
+r AS (SELECT d.*, cume_dist() OVER (ORDER BY logw_e9) AS cd FROM d),
+t AS (SELECT MIN(CASE WHEN cd >= 0.75 THEN logw_e9 END) AS thr FROM r)
+SELECT doc_id, n_feats, logw_e9, avg_logw FROM d, t WHERE logw_e9 > thr
+"""
+
+
 ORACLE_CORPUS_ASSIGN = f"""
 WITH s AS ({ORACLE_CORPUS_SPLIT}), p AS ({ORACLE_CORPUS_PACK}),
 tok AS (

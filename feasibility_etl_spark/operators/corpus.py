@@ -417,19 +417,20 @@ def dsir_weights(
     (no shuffle until the count agg, which carries ≤``DSIR_BUCKETS``
     partials per task); the finished weight table is ``DSIR_BUCKETS``
     rows → broadcast to the scoring join, so the raw corpus is never
-    shuffled to score it. The 1-row totals attach via broadcast cross
-    join (the scalar-attach pattern, allowlisted in tools/audit_plans.py).
+    shuffled to score it. Feature totals fold out of the bounded count
+    table itself (a window over its ≤4096 rows) — no second corpus pass
+    and no duplicated aggregation subtree.
     """
     raw_f = _hashed_gram_features(docs, text_col, id_col)
     tgt_f = _hashed_gram_features(target, text_col, id_col)
     raw_c = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
     tgt_c = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
-    # Totals fold out of the 4096-row count tables — NOT out of the
-    # feature streams, which would re-featurize both corpora end to end
-    # (measured 2 extra full scans at sf0.1 before this restructure).
-    totals = raw_c.agg(F.sum("c_raw").alias("t_raw")).crossJoin(
-        tgt_c.agg(F.sum("c_tgt").alias("t_tgt"))
-    )
+    # Totals come from a window over the ≤DSIR_BUCKETS-row joined count
+    # table — zero extra passes and zero subtree duplication (a separate
+    # totals aggregate re-evaluates its whole input subtree: Spark does
+    # not exchange-reuse under differing parent aggregates, verified on
+    # the executed plan). The single-partition window is bounded at 4096
+    # rows.
     # One log10 over one ratio-of-ratios — the exact expression shape the
     # DuckDB oracle states; smoothing +1 per bucket, +DSIR_BUCKETS per
     # total, so empty buckets on either side stay finite.
@@ -439,6 +440,10 @@ def dsir_weights(
     p_raw = (F.col("c_raw") + 1).cast("double") / (
         F.col("t_raw") + DSIR_BUCKETS
     ).cast("double")
+    # bucket % 1 ≡ 0 but is non-foldable, so the one-partition spec
+    # survives optimization and WindowExec's no-partition warning stays
+    # out of the logs (lit(0) gets constant-folded away).
+    w_all = Window.partitionBy(F.col("bucket") % 1)
     weights = (
         raw_c.join(tgt_c, "bucket", "full_outer")
         .select(
@@ -446,7 +451,8 @@ def dsir_weights(
             F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
             F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
         )
-        .crossJoin(F.broadcast(totals))
+        .withColumn("t_raw", F.sum("c_raw").over(w_all))
+        .withColumn("t_tgt", F.sum("c_tgt").over(w_all))
         .select(
             "bucket",
             F.round(F.log10(p_tgt / p_raw) * _DSIR_SCALE).cast("long").alias("lw_e9"),

@@ -91,8 +91,6 @@ def train_backoff_lm(
     toks = _doc_tokens(docs, text_col, id_col)
     words = toks.select(F.explode("_ws").alias("w"))
     uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c_uni"))
-    # N folds out of the unigram table (vocab-sized) instead of a third
-    # full pass over the exploded corpus token stream.
     pairs = toks.select(
         F.explode(
             F.zip_with(
@@ -103,7 +101,12 @@ def train_backoff_lm(
         ).alias("p")
     ).select("p.w1", "p.w2")
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
-    n = uni.agg(F.sum("c_uni").alias("n_train_tokens"))
+    # N counts the token STREAM, not sum-over-uni: a global count's
+    # partial aggregation ships one row per task (no vocab-keyed
+    # shuffle), whereas sum(c_uni) re-evaluates the whole unigram
+    # aggregation subtree — Spark does not exchange-reuse it under the
+    # differing parent aggregates (verified on the executed plan).
+    n = words.agg(F.count(F.lit(1)).alias("n_train_tokens"))
     return BackoffLM(unigrams=uni, bigrams=big, n_tokens=n)
 
 

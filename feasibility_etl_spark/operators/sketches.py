@@ -185,6 +185,41 @@ def top_items(
     )
 
 
+def threshold_filter(
+    df: DataFrame,
+    col: str,
+    keep_frac: float,
+    keys: list[str] | None = None,
+    k: int = 65535,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows by LONG column ``col`` — the
+    scale path for score-based data selection (DSIR / LM-quality gates):
+    a KLL sketch of the score distribution yields the cut threshold, so
+    selection costs one aggregate + a broadcast attach + a filter, never
+    a global sort or per-row rank. With ``keys``, thresholds are
+    per-group (each stratum keeps its own top fraction).
+
+    The threshold is the ``1 - keep_frac`` quantile under the KLL
+    INCLUSIVE rank rule (smallest value whose ≤-rank fraction ≥ p); rows
+    STRICTLY ABOVE it survive — the quantile row itself is the last of
+    the bottom ``1 - keep_frac``, so with distinct values the kept set
+    is exactly the true top fraction, and ties at the cut drop together
+    (kept count ≤ ``keep_frac * n``; relax by lowering ``keep_frac``'s
+    complement if tie-inclusion is wanted). While ``k`` exceeds the
+    (per-group) row count the sketch is exact (the oracle regime); past
+    it, the cut drifts by KLL's ~0.6% rank error at k=800 — pinned in
+    tests/test_sketches.py.
+    """
+    p = 1.0 - keep_frac
+    keys = keys or []
+    thr = F.kll_sketch_get_quantile_bigint(F.col("_kll"), F.lit(p)).alias("_thr")
+    sk = quantile_sketches(df, keys, col, k=k, sketch_col="_kll").select(*keys, thr)
+    joined = (
+        df.join(F.broadcast(sk), keys) if keys else df.crossJoin(F.broadcast(sk))
+    )
+    return joined.where(F.col(col) > F.col("_thr")).drop("_thr")
+
+
 def theta_sketches(
     df: DataFrame,
     keys: list[str],

@@ -74,11 +74,16 @@ MAX_EXCHANGES = {
     "LM-SCORE": 5,        # uni/bigram count aggs + two gram-key model joins
                           # + per-doc sum; N attaches as a 1-row broadcast
     "CORPUS-DSIR": 5,     # raw/target bucket-count aggs + weight-table
-                          # full-outer + per-doc sum; scoring join and the
-                          # 1-row totals attach are broadcasts
+                          # full-outer + per-doc sum + the totals window's
+                          # one-partition exchange (bounded at 4096 rows);
+                          # the scoring join is a broadcast
     "CORPUS-PACKSEQ": 3,  # rank-within-length window + broadcast slot
                           # table + presentation orderBy (histogram agg
                           # runs eagerly at plan build)
+    "QUALITY-KLLGATE": 11,  # the DSIR subtree appears under both the
+                            # threshold sketch and the kept stream (plus
+                            # the KLL agg); threshold attaches as a 1-row
+                            # broadcast
 }
 
 #: operator-level zero-shuffle guarantees (no bench-input repartition)

@@ -249,3 +249,50 @@ def test_freq_heavy_hitter_survives_capacity_pressure(spark):
     ).collect()
     assert str(rows[0].item) == "0"
     assert rows[0].n_est >= 5000  # never undercounts below the true count
+
+
+# --- KLL threshold selection ---
+
+
+def test_threshold_filter_exact_regime_equals_true_top_fraction(spark):
+    from feasibility_etl_spark.operators.sketches import threshold_filter
+
+    df = spark.range(1000).select(
+        F.col("id"), ((F.col("id") * 7919) % 1000).alias("score")
+    )
+    kept = threshold_filter(df, "score", keep_frac=0.25).collect()
+    # scores are a permutation of 0..999 -> true top 25% is score > 749
+    assert sorted(r.score for r in kept) == list(range(750, 1000))
+
+
+def test_threshold_filter_per_key(spark):
+    from feasibility_etl_spark.operators.sketches import threshold_filter
+
+    df = spark.range(400).select(
+        (F.col("id") % 2).alias("grp"), F.col("id").alias("score")
+    )
+    kept = threshold_filter(df, "score", keep_frac=0.5, keys=["grp"])
+    by_grp = {}
+    for r in kept.collect():
+        by_grp.setdefault(r.grp, []).append(r.score)
+    # each stratum keeps its own top half, not a global cut
+    assert len(by_grp[0]) == 100 and len(by_grp[1]) == 100
+    assert min(by_grp[0]) >= 200 and min(by_grp[1]) >= 200
+
+
+def test_threshold_filter_ties_at_cut_drop_together(spark):
+    from feasibility_etl_spark.operators.sketches import threshold_filter
+
+    df = spark.range(100).select((F.col("id") % 4).alias("score"))
+    kept = threshold_filter(df, "score", keep_frac=0.25).collect()
+    assert {r.score for r in kept} == {3}
+    assert len(kept) == 25
+
+
+def test_threshold_filter_rank_error_past_retention(spark):
+    from feasibility_etl_spark.operators.sketches import threshold_filter
+
+    n = 50_000
+    df = spark.range(n).select(((F.col("id") * 104729) % n).alias("score"))
+    kept = threshold_filter(df, "score", keep_frac=0.1, k=800).count()
+    assert abs(kept - n * 0.1) / n < 0.02  # within KLL rank error

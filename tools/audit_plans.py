@@ -61,6 +61,9 @@ CARTESIAN_OK = {
     "TEXT-BM25", "TEXT-PROFILE", "SKETCH-THETA",
     "SKETCH-CONTAM", "SKETCH-CONTAM-SCOUT", "TEXT-BM25-TOPK",
     "LM-SCORE", "TEXT-ROWS", "CORPUS-DSIR", "CORPUS-ASSIGN",
+    # QUALITY-KLLGATE: 1-row KLL-threshold broadcast attach onto the
+    # scored stream (inherits CORPUS-DSIR's totals attach too).
+    "QUALITY-KLLGATE",
 }
 
 #: Queries that legitimately run Arrow-batched Python: multimodal decode,
