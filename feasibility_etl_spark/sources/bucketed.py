@@ -116,45 +116,3 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
-
-
-def compact_parquet(
-    spark: SparkSession,
-    path: str,
-    target_file_bytes: int = 128 * 1024 * 1024,
-    sort_cols: Sequence[str] | None = None,
-) -> int:
-    """Compact a small-file parquet directory to ~``target_file_bytes``
-    files; returns the new file count. The standard maintenance pass behind
-    a streaming sink: micro-batches land many tiny files (one per batch x
-    partition), and at 100 TB the resulting file-listing and per-file open
-    costs dominate scans long before data volume does.
-
-    File count comes from the directory's actual byte size (Hadoop FS API,
-    so HDFS/S3A work the same as local disk), not a row-count guess;
-    ``sort_cols`` optionally restores a clustering order (e.g. the z-order
-    key) while rewriting. The rewrite stages to a sibling temp dir and
-    swaps via rename — a crashed compaction leaves the original intact.
-    """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(conf)
-    total_bytes = fs.getContentSummary(jpath).getLength()
-    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil div
-
-    df = spark.read.parquet(path)
-    staging = path.rstrip("/") + "_compacting"
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    if fs.exists(spath):  # leftover from a crashed run
-        fs.delete(spath, True)
-    if sort_cols:
-        out = df.repartitionByRange(int(n_files), *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
-    else:
-        out = df.coalesce(int(n_files))
-    out.write.mode("overwrite").parquet(staging)
-    fs.delete(jpath, True)
-    fs.rename(spath, jpath)
-    return int(n_files)

@@ -87,11 +87,17 @@ def compact_small_files(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
     rebalance: bool = False,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite the parquet directory at ``path`` into
     ``ceil(total_bytes / target_file_bytes)`` files (at least 1), using a
     crash-safe sibling-and-swap. No-op when the directory already has
     fewer than ``min_files`` files or fewer files than the target count.
+
+    ``sort_cols`` restores a clustering order while rewriting (e.g. the
+    z-order key of a ``write_zordered`` table, so compaction preserves
+    its file-level data skipping): range-repartition + sort-within, one
+    shuffle instead of ``coalesce``'s none.
 
     Returns ``{"files_before", "files_after", "bytes", "compacted"}``.
     """
@@ -116,7 +122,14 @@ def compact_small_files(
             fs.delete(leftover, True)
 
     df = spark.read.parquet(path)
-    sized = df.repartition(n_target) if rebalance else df.coalesce(n_target)
+    if sort_cols:
+        sized = df.repartitionByRange(n_target, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    elif rebalance:
+        sized = df.repartition(n_target)
+    else:
+        sized = df.coalesce(n_target)
     sized.write.mode("overwrite").parquet(tmp)
 
     # Swap: every window leaves a complete committed copy on disk —

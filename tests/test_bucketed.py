@@ -119,7 +119,7 @@ def test_zorder_narrows_per_file_ranges_on_both_dims(spark, tmp_path):
 def test_compact_parquet_merges_small_files(spark, tmp_path):
     from pyspark.sql import functions as F
 
-    from feasibility_etl_spark.sources.bucketed import compact_parquet
+    from feasibility_etl_spark.writer.compact import compact_small_files
 
     path = str(tmp_path / "many")
     df = spark.range(20_000).withColumn("v", F.col("id") * 2)
@@ -129,13 +129,15 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert len(glob.glob(path + "/part-*")) == 64
     before = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
 
-    n = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+    st = compact_small_files(spark, path, target_file_bytes=10 * 1024 * 1024)
     files = glob.glob(path + "/part-*")
-    assert len(files) == n and n < 8
+    assert st["compacted"] and len(files) == st["files_after"] < 8
     after = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
     assert after == before  # lossless rewrite
 
     # sorted variant restores clustering while compacting
     df.repartition(32).write.mode("overwrite").parquet(path)
-    compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024, sort_cols=["id"])
+    compact_small_files(
+        spark, path, target_file_bytes=10 * 1024 * 1024, sort_cols=["id"]
+    )
     assert {(r.id, r.v) for r in spark.read.parquet(path).collect()} == before

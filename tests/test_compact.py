@@ -75,3 +75,23 @@ def test_partitioned_compaction_skips_clean_partitions(spark, tmp_path):
     assert st["_total"]["files_after"] == 3
     got = spark.read.parquet(root).groupBy("p").count().collect()
     assert {r.p: r["count"] for r in got} == {0: 334, 1: 333, 2: 333}
+
+
+def test_sort_cols_restores_clustering(spark, tmp_path):
+    path = str(tmp_path / "ztbl")
+    spark.range(10_000).select("id").repartition(16).write.parquet(path)
+    total = sum(sz for _, sz in _data_files(spark, path))
+    st = compact_small_files(
+        spark, path, target_file_bytes=total // 4 + 1, sort_cols=["id"]
+    )
+    assert st["compacted"] and st["files_after"] == 4
+    # range-partitioned rewrite: per-file id ranges are disjoint
+    files = sorted(f for f, _ in _data_files(spark, path))
+    spans = []
+    for f in files:
+        rows = spark.read.parquet(f).agg(
+            F.min("id").alias("lo"), F.max("id").alias("hi")
+        ).collect()[0]
+        spans.append((rows.lo, rows.hi))
+    spans.sort()
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
