@@ -420,7 +420,25 @@ def dsir_weights(
     shuffled to score it. Feature totals fold out of the bounded count
     table itself (a window over its ≤4096 rows) — no second corpus pass
     and no duplicated aggregation subtree.
+
+    Train/serve split: :func:`dsir_model` returns the weight table alone
+    — persist it (it is 4096 rows) and score later increments with
+    :func:`dsir_score` without re-deriving the distributions (the
+    ivf_build/ivf_search pattern; served == inline pinned in tests).
     """
+    return dsir_score(docs, dsir_model(docs, target, text_col, id_col),
+                      text_col, id_col)
+
+
+def dsir_model(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train the DSIR importance model → the ``(bucket, lw_e9)`` weight
+    table (≤``DSIR_BUCKETS`` rows — trivially persistable; see
+    :func:`dsir_weights` for semantics and scale shape)."""
     raw_f = _hashed_gram_features(docs, text_col, id_col)
     tgt_f = _hashed_gram_features(target, text_col, id_col)
     raw_c = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
@@ -444,7 +462,7 @@ def dsir_weights(
     # survives optimization and WindowExec's no-partition warning stays
     # out of the logs (lit(0) gets constant-folded away).
     w_all = Window.partitionBy(F.col("bucket") % 1)
-    weights = (
+    return (
         raw_c.join(tgt_c, "bucket", "full_outer")
         .select(
             "bucket",
@@ -458,8 +476,21 @@ def dsir_weights(
             F.round(F.log10(p_tgt / p_raw) * _DSIR_SCALE).cast("long").alias("lw_e9"),
         )
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a trained ``(bucket, lw_e9)`` DSIR weight
+    table (from :func:`dsir_model`, possibly read back from storage) →
+    ``(id_col, n_feats, logw_e9, avg_logw)``. One featurizing pass over
+    ``docs`` through the broadcast table; exact nano-BIGINT sums."""
+    feats = _hashed_gram_features(docs, text_col, id_col)
     return (
-        raw_f.join(F.broadcast(weights), "bucket")
+        feats.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

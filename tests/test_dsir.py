@@ -111,3 +111,25 @@ def test_avg_derives_from_exact_sum(spark, corpora):
     raw, tgt = corpora
     for r in dsir_weights(raw, tgt).collect():
         assert r.avg_logw == r.logw_e9 / _DSIR_SCALE / r.n_feats
+
+
+def test_persisted_model_scores_identically(spark, corpora, tmp_path):
+    from feasibility_etl_spark.operators.corpus import dsir_model, dsir_score
+
+    raw, tgt = corpora
+    inline = sorted(
+        (r.doc_id, r.n_feats, r.logw_e9) for r in dsir_weights(raw, tgt).collect()
+    )
+    path = str(tmp_path / "dsir_model")
+    dsir_model(raw, tgt).write.parquet(path)
+    served = sorted(
+        (r.doc_id, r.n_feats, r.logw_e9)
+        for r in dsir_score(raw, spark.read.parquet(path)).collect()
+    )
+    assert served == inline
+    # and new documents score through the frozen model without retraining
+    probe = spark.createDataFrame(
+        [(500, "python code review")], "doc_id long, text string"
+    )
+    rows = dsir_score(probe, spark.read.parquet(path)).collect()
+    assert len(rows) == 1 and rows[0].n_feats == 5
