@@ -409,6 +409,13 @@ def main() -> None:
 
     spark = build_session("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # Pre-fork the Python worker pool + Arrow serialization machinery so
+    # the first mapInPandas-bearing query doesn't absorb that one-time
+    # bring-up (same rationale as the parquet/broadcast warm-up below —
+    # measured ~3.5s on the first Python-stage query without this).
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (b for b in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
     # warm the parquet reader / broadcast / window / noop-sink machinery on
     # the smallest SF so per-query timings measure the query, not one-time
     # session bring-up (falls back to the bench SF if no sibling exists)
