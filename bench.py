@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "DEDUP-PRUNE",
     "CORPUS-PACK",
     "CORPUS-DECONTAM",
+    "CORPUS-DECONTAM-BLOOM",
     "SIM-TOPK",
     "TEXT-QUALITY",
     "TEXT-LANGID",

@@ -1,6 +1,8 @@
 from __future__ import annotations
 
 from ._shared import DataFrame, F, SparkSession, _sum_cents, _sum_cents_sql, blocked_jaccard_pairs, clean_text, connected_components, decontaminate, exact_dup_groups, load, near_dup_pairs, pack_shards, prune_components, register_views, session_agg, simhash_candidates, sliding_agg, split_corpus, token_count, tumbling_agg
+from ..operators.dedup import shingles
+from ..operators.sketches import bloom_decontaminate
 
 
 
@@ -574,4 +576,102 @@ SELECT d.doc_id, d.lang, d.source
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
   AND d.doc_id % 97 <> 0
+"""
+
+
+def q_corpus_decontam_combined(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-DECONTAM (driver combined entry): the exact broadcast
+    semi-join scrub (``part='exact'``) UNION the Bloom-prefiltered scale
+    path (``part='bloom'``, sketches.bloom_decontaminate) — the contract
+    is that both parts are row-identical, so ONE oracle SELECT serves
+    both with only the part literal changing. The bloom path's 100 TB
+    win: the clean crowd answers an in-row membership probe against a
+    ~64 KB broadcast filter instead of exploding its shingles through
+    the eval-gram semi-join; only flagged suspects (true hits + ~1e-4
+    false positives) pay the exact join."""
+    docs = load(spark, sf, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    cols = ["doc_id", "lang", "source"]
+    exact = decontaminate(docs, eval_docs).select(*cols)
+    fast = bloom_decontaminate(docs, eval_docs).select(*cols)
+    return exact.withColumn("part", F.lit("exact")).unionByName(
+        fast.withColumn("part", F.lit("bloom"))
+    )
+
+
+_DECONTAM_PART_SQL = r"""
+  SELECT d.doc_id, d.lang, d.source, '{part}' AS part
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND d.doc_id % 97 <> 0
+"""
+
+ORACLE_CORPUS_DECONTAM_COMBINED = (
+    ORACLE_CORPUS_DECONTAM.rsplit("SELECT d.doc_id", 1)[0]
+    + _DECONTAM_PART_SQL.format(part="exact")
+    + "UNION ALL"
+    + _DECONTAM_PART_SQL.format(part="bloom")
+)
+
+
+def q_corpus_decontam_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-DECONTAM-BLOOM (granular singleton): the Bloom-prefiltered
+    decontamination path alone — same oracle as the exact operator (the
+    no-false-negative guarantee makes the outputs bit-identical); kept
+    separate in the bench so the prefilter's cost delta vs the exact
+    broadcast semi-join is measured, not asserted."""
+    docs = load(spark, sf, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    return bloom_decontaminate(docs, eval_docs).select("doc_id", "lang", "source")
+
+
+def q_sketch_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """SKETCH-BLOOM (granular): the dense word table of the Bloom filter
+    over the eval slice's distinct word-8-grams (m=16 Kbit, k=5) — every
+    one of the 512 words, zeros included, so the oracle pins the md5
+    double-hash probe positions, the bit_or packing, AND the dense-array
+    assembly verbatim."""
+    from ..operators.sketches import bloom_build
+
+    docs = load(spark, sf, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    sh = F.array_distinct(shingles(F.col("text"), n=8))
+    grams = eval_docs.select(F.explode(sh).alias("g")).distinct()
+    bloom = bloom_build(grams, "g", m_bits=1 << 14, n_hashes=5)
+    return (
+        bloom.select(F.posexplode("bloom").alias("w", "word"))
+        .select(F.col("w").cast("long").alias("w"), "word")
+        .orderBy("w")
+    )
+
+
+ORACLE_SKETCH_BLOOM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+  WHERE doc_id % 97 = 0
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+         END AS s
+  FROM toks
+), g AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh
+), hx AS (
+  SELECT CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(g), 9, 8)) AS BIGINT) * 2 + 1 AS h2
+  FROM g
+), pos AS (
+  SELECT ((h1 + r.i * h2) & 16383) AS p FROM hx, range(5) r(i)
+), wt AS (
+  SELECT (p >> 5) AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST((p & 31) AS INT)) AS word
+  FROM pos GROUP BY 1
+)
+SELECT r.i AS w, COALESCE(wt.word, 0) AS word
+FROM range(512) r(i) LEFT JOIN wt ON wt.w = r.i
+ORDER BY w
 """

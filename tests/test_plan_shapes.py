@@ -52,6 +52,12 @@ MAX_EXCHANGES = {
     "DEDUP-FUZZY": 1,     # bucketed (token, band) equi-join, no cartesian
     "CORPUS-PACK": 1,     # bucket-windowed cumsum, no global sort
     "CORPUS-DECONTAM": 2, # gram explode + semi-join (eval side broadcast)
+    "CORPUS-DECONTAM-BLOOM": 6,  # exact's 2 (eval-gram distinct +
+                          # contaminated distinct) + the bloom build's aggs
+                          # (word bit_or, dense union agg, 1-row pack) — all
+                          # eval-scale; the corpus gram stream meets only a
+                          # broadcast filter + broadcast semi-join (pinned
+                          # below)
     "SIM-TOPK": 1,        # TakeOrderedAndProject merge
     "SIM-IVF": 3,         # kmeans train aggs; serve path broadcast+pruned
     "TEXT-QUALITY": 0,    # pure projections
@@ -114,6 +120,42 @@ def test_exchange_budget(spark, name):
     n = len(re.findall(r"\bExchange\b", plan))
     assert n <= MAX_EXCHANGES[name], f"{name}: {n} exchanges > {MAX_EXCHANGES[name]}"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_bloom_prefilter_adds_no_corpus_shuffle(spark):
+    # the decontam prefilter's contract: dropping non-eval grams from the
+    # exploded corpus stream against the broadcast filter adds ZERO
+    # exchanges beyond the (eval-scale) bloom build itself — the corpus
+    # branch is scan → explode → codegen'd probe, never a shuffle
+    import pyspark.sql.functions as F
+
+    from feasibility_etl_spark.operators.dedup import shingles
+    from feasibility_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+    from feasibility_etl_spark.sources.catalog import load
+
+    docs = load(spark, SF, "documents")
+    sh = F.array_distinct(shingles(F.col("text"), n=8))
+    grams = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.explode(sh).alias("g")
+    ).distinct()
+    bloom = bloom_build(grams, "g", m_bits=1 << 14)
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"\bExchange\b", plan))
+
+    suspects = (
+        docs.select("doc_id", F.explode(sh).alias("_g"))
+        .crossJoin(F.broadcast(bloom))
+        .where(bloom_maybe_contains(F.col("_g"), F.col("bloom"), 1 << 14))
+    )
+    assert n_exchanges(suspects) == n_exchanges(bloom)
+    # and the probe stays inside whole-stage codegen (no BatchEvalPython,
+    # no interpreted HOF filter stage)
+    assert "BatchEvalPython" not in suspects._jdf.queryExecution().executedPlan().toString()
 
 
 def test_repetition_operator_is_zero_shuffle(spark):

@@ -51,6 +51,10 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: transition stream — the scalar-attach pattern; the model joins proper
 #: are hash equi-joins on the gram keys. TEXT-ROWS inherits it via its
 #: part='lm' slice.
+#: CORPUS-DECONTAM-BLOOM cross-joins the SINGLE-ROW Bloom-filter array
+#: (~64 KB) onto the corpus scan — the scalar-attach pattern that makes
+#: the flag pass an in-row membership probe with zero corpus shuffle.
+#: The driver's combined CORPUS-DECONTAM entry inherits it.
 #: CORPUS-DSIR cross-joins the SINGLE-ROW (t_raw, t_tgt) feature totals
 #: onto the DSIR_BUCKETS-row weight table (1 x 4096 product); the
 #: scoring join is a broadcast hash equi-join on bucket. CORPUS-ASSIGN
@@ -64,6 +68,7 @@ CARTESIAN_OK = {
     # QUALITY-KLLGATE: 1-row KLL-threshold broadcast attach onto the
     # scored stream (inherits CORPUS-DSIR's totals attach too).
     "QUALITY-KLLGATE",
+    "CORPUS-DECONTAM-BLOOM", "CORPUS-DECONTAM",
 }
 
 #: Queries that legitimately run Arrow-batched Python: multimodal decode,
