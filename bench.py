@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "E-PROFILE",
     "DEDUP-INCR",
     "TEXT-BM25",
+    "SEARCH-RRF",
     "SKETCH-HLL",
     "SKETCH-THETA",
     "LINE-DEDUP",

@@ -189,6 +189,82 @@ ORDER BY bm25 DESC, doc_id LIMIT 10
 """
 
 
+def q_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """SEARCH-RRF granular: hybrid retrieval — the fixed BM25 query's
+    top-20 (ranked over 9-dp-rounded scores, the family's engine-stable
+    ordering) fused with the vec_id=0 embedding query's exact-cosine
+    top-20 via Reciprocal Rank Fusion (k=60), final top-10. The fused
+    score is a fixed-order sum of 1/(60+rank) doubles from exact integer
+    ranks — bit-stable, so the oracle hash-matches; cosine ranks are
+    bit-equal per the SIM-TOPK discipline."""
+    from ..operators.search import _ranked_take, bm25_scores, rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    scored = bm25_scores(docs, list(BM25_TERMS)).select(
+        "doc_id", F.round("bm25", 9).alias("bm25")
+    )
+    bm = _ranked_take(scored, "bm25", "doc_id", 20).select("doc_id", "rank")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cs = cosine_topk(emb, qv, k=20).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm, cs], id_col="doc_id", k=60, topk=10)
+
+
+ORACLE_SEARCH_RRF = f"""
+WITH bmscore AS ({_bm25_oracle()}),
+bm AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+       FROM bmscore ORDER BY bm25 DESC, doc_id LIMIT 20),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT c.vec_id AS cid,
+    list_sum(list_transform(range(1, len(c.embedding) + 1),
+      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+       i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+       i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS cos_sim
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id != 0
+),
+cs AS (SELECT cid, CAST(row_number() OVER (ORDER BY cos_sim DESC, cid) AS BIGINT) AS r
+       FROM cscored ORDER BY cos_sim DESC, cid LIMIT 20),
+fused AS (
+  SELECT COALESCE(bm.doc_id, cs.cid) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(bm.r AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE))
+       + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(cs.r AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE)) AS rrf
+  FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.cid
+)
+SELECT doc_id, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+def q_search_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-BM25-TOPK (driver combined entry): ``part='bm25'`` is the
+    classic top-10 retrieval, ``part='rrf'`` the hybrid BM25+cosine RRF
+    fusion (see q_search_rrf) — one entry verifies both retrieval
+    surfaces, keeping the driver registry at 50."""
+    bm = q_text_bm25_topk(spark, sf).select(
+        F.lit("bm25").alias("part"), "doc_id", F.col("bm25").alias("score"), "rank"
+    )
+    rrf = q_search_rrf(spark, sf).select(
+        F.lit("rrf").alias("part"), "doc_id", F.col("rrf").alias("score"), "rank"
+    )
+    return bm.unionByName(rrf)
+
+
+ORACLE_SEARCH_SUITE = f"""
+SELECT 'bm25' AS part, doc_id, bm25 AS score, rank FROM ({ORACLE_TEXT_BM25_TOPK})
+UNION ALL
+SELECT 'rrf' AS part, doc_id, rrf AS score, rank FROM ({ORACLE_SEARCH_RRF})
+"""
+
+
 def q_dedup_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     """DEDUP-FUZZY granular: typo-level near-miss pairs (1 ≤ levenshtein
     ≤ 1) over part names with a deterministic last-char-drop typo
@@ -252,8 +328,8 @@ def q_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
 # in tests/test_sketches.py). Slots were freed by the compaction above.
 QUERIES["DEDUP-FUZZY"] = q_dedup_fuzzy
 ORACLES["DEDUP-FUZZY"] = ORACLE_DEDUP_FUZZY
-QUERIES["TEXT-BM25-TOPK"] = q_text_bm25_topk
-ORACLES["TEXT-BM25-TOPK"] = ORACLE_TEXT_BM25_TOPK
+QUERIES["TEXT-BM25-TOPK"] = q_search_suite
+ORACLES["TEXT-BM25-TOPK"] = ORACLE_SEARCH_SUITE
 QUERIES["SKETCH-KLL"] = q_sketch_kll
 ORACLES["SKETCH-KLL"] = ORACLE_SKETCH_KLL
 QUERIES["SKETCH-CONTAM"] = q_sketch_contam
@@ -343,6 +419,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "CORPUS-DECONTAM": q_corpus_decontam,
     "CORPUS-DECONTAM-BLOOM": q_corpus_decontam_bloom,
     "SKETCH-BLOOM": q_sketch_bloom,
+    "TEXT-BM25-TOPK": q_text_bm25_topk,
+    "SEARCH-RRF": q_search_rrf,
     "QUALITY-KLLGATE": q_quality_kllgate,
 }
 
@@ -405,4 +483,6 @@ ALL_ORACLES: dict[str, str] = {
     "CORPUS-DECONTAM": ORACLE_CORPUS_DECONTAM,
     "CORPUS-DECONTAM-BLOOM": ORACLE_CORPUS_DECONTAM,
     "SKETCH-BLOOM": ORACLE_SKETCH_BLOOM,
+    "TEXT-BM25-TOPK": ORACLE_TEXT_BM25_TOPK,
+    "SEARCH-RRF": ORACLE_SEARCH_RRF,
 }

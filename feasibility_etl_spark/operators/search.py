@@ -147,11 +147,93 @@ def bm25_topk(
     no unpartitioned WindowExec (which would log a move-everything-to-
     one-partition warning on every run for what is a k-row operation)."""
     scored = bm25_scores(df, query_terms, text_col, id_col, k1, b)
-    ordered = scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
-    item = F.struct((-F.col("bm25")).alias("_negs"), F.col(id_col).alias("_id"))
-    packed = ordered.agg(F.sort_array(F.collect_list(item)).alias("_top"))
+    return _ranked_take(scored, "bm25", id_col, k)
+
+
+def _ranked_take(scored: DataFrame, score_col: str, id_col: str, k: int) -> DataFrame:
+    """Top-``k`` of ``scored`` as ``(id_col, score_col, rank)`` — ordered
+    take (TakeOrderedAndProject) + sorted-array posexplode rank, the
+    family's no-WindowExec formulation (see bm25_topk)."""
+    top = scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+    item = F.struct((-F.col(score_col)).alias("_negs"), F.col(id_col).alias("_id"))
+    packed = top.agg(F.sort_array(F.collect_list(item)).alias("_top"))
     return packed.select(F.posexplode("_top").alias("_pos", "_row")).select(
         F.col("_row._id").alias(id_col),
-        (-F.col("_row._negs")).alias("bm25"),
+        (-F.col("_row._negs")).alias(score_col),
         (F.col("_pos") + 1).cast("long").alias("rank"),
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int = 10,
+    score_col: str = "rrf",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    fuse N ranked lists into one by ``score(d) = Σ_r 1 / (k + rank_r(d))``
+    — the standard hybrid-retrieval combiner (lexical BM25 + semantic
+    ANN), robust to incomparable score scales because only RANKS enter.
+
+    Each input needs ``(id_col, rank)``; documents absent from a list
+    contribute 0 for it. k=60 is the paper's constant. Inputs are top-k
+    lists by construction (a few dozen rows), so the full-outer join
+    chain and the final take are driver-trivial at any corpus scale —
+    all the heavy lifting happened inside the per-system retrievers.
+
+    Determinism: the score is a FIXED-ORDER sum (callers' list order) of
+    ``1/(k + rank)`` doubles from exact integer ranks — bit-stable across
+    engines; ties break by id.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    renamed = [
+        r.select(F.col(id_col), F.col("rank").alias(f"_r{i}"))
+        for i, r in enumerate(rankings)
+    ]
+    joined = renamed[0]
+    for nxt in renamed[1:]:
+        joined = joined.join(nxt, id_col, "full_outer")
+    score = None
+    for i in range(len(renamed)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"_r{i}").cast("double")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    scored = joined.select(F.col(id_col), score.alias(score_col))
+    return _ranked_take(scored, score_col, id_col, topk)
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_df: DataFrame,
+    k: int = 10,
+    pool: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval for ONE query: BM25 over ``docs`` and exact
+    cosine over ``embeddings`` (ids shared with ``docs``), each taking a
+    ``pool``-deep list, fused with RRF → ``(id_col, rrf, rank)`` top-k.
+
+    ``query_vec_df`` is a single-row ``(query_id, query_vec)`` frame (the
+    semantic twin of ``query_terms``). For multi-query batches run the
+    retrievers with their native multi-query support and fuse per query
+    partition — the single-query form keeps the operator compositional.
+    """
+    from .similarity import cosine_topk
+
+    lex = bm25_topk(docs, query_terms, k=pool, text_col=text_col, id_col=id_col)
+    sem = cosine_topk(
+        embeddings, query_vec_df, k=pool, corpus_id=vec_id, corpus_vec=vec_col
+    ).select(F.col(vec_id).alias(id_col), "rank")
+    return rrf_fuse(
+        [lex.select(id_col, "rank"), sem], id_col=id_col, k=rrf_k, topk=k
     )

@@ -67,6 +67,9 @@ MAX_EXCHANGES = {
     "TEXT-REPETITION": 1, # bench entry spreads the one-row-group input; the
                           # operator itself is zero-shuffle (pinned below)
     "TEXT-BM25": 1,       # single-row stats agg; scoring is a broadcast
+    "SEARCH-RRF": 4,      # bm25 stats agg + two top-20 pack aggs + the
+                          # fused top-10 take; the pool full-outer join
+                          # and the final rank run on ≤40 rows
     "E-PROFILE": 2,       # single-pass agg + tiny pivot
     "MM-IMAGE": 0,        # mapInPandas decode, no shuffle
     "PIPE-DOCS": 10,      # multi-op pipeline entry (dedup + profile + joins)

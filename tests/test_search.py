@@ -76,3 +76,73 @@ def test_bm25_partitioning_invariant(spark, docs):
     one = {r.doc_id: r.bm25 for r in bm25_scores(docs.repartition(1), ["quick"]).collect()}
     many = {r.doc_id: r.bm25 for r in bm25_scores(docs.repartition(7), ["quick"]).collect()}
     assert one == many  # bit-identical: no cross-row double aggregation
+
+
+# ----------------------------------------------------------- RRF fusion
+
+def _rrf_expected(lists, k=60):
+    score = {}
+    for ranks in lists:
+        for d, r in ranks.items():
+            score[d] = score.get(d, 0.0) + 1.0 / (k + r)
+    return score
+
+
+def test_rrf_matches_model(spark):
+    from feasibility_etl_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2), (1, 3)], "doc_id long, rank long"
+    )
+    got = {r.doc_id: r.rrf for r in rrf_fuse([a, b], topk=10).collect()}
+    exp = _rrf_expected([{1: 1, 2: 2, 3: 3}, {3: 1, 4: 2, 1: 3}])
+    assert got.keys() == exp.keys()
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], abs=1e-15)
+    # docs in both lists outrank docs in one
+    ranks = {r.doc_id: r.rank for r in rrf_fuse([a, b], topk=10).collect()}
+    assert ranks[1] < ranks[2] and ranks[3] < ranks[4]
+
+
+def test_rrf_topk_and_tiebreak(spark):
+    from feasibility_etl_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1), (6, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(6, 1), (5, 2)], "doc_id long, rank long")
+    rows = rrf_fuse([a, b], topk=2).collect()
+    # symmetric scores -> tie broken by doc_id ascending
+    assert [r.doc_id for r in rows] == [5, 6]
+    assert [r.rank for r in rows] == [1, 2]
+    assert rows[0].rrf == rows[1].rrf
+
+
+def test_hybrid_topk_end_to_end(spark):
+    from conftest import SF0001
+
+    from feasibility_etl_spark.operators.search import hybrid_topk
+    from feasibility_etl_spark.operators.similarity import cosine_topk
+    from feasibility_etl_spark.sources.catalog import load
+    import pyspark.sql.functions as F
+
+    docs = load(spark, SF0001, "documents")
+    emb = load(spark, SF0001, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    fused = hybrid_topk(docs, emb, ["spark", "join", "vector"], qv, k=10, pool=20)
+    rows = fused.collect()
+    assert len(rows) == 10 and [r.rank for r in rows] == list(range(1, 11))
+    # every fused doc came from one of the two pools
+    lex_ids = {r.doc_id for r in
+               __import__("feasibility_etl_spark.operators.search", fromlist=["bm25_topk"]).bm25_topk(
+                   docs, ["spark", "join", "vector"], k=20).collect()}
+    sem_ids = {r.vec_id for r in cosine_topk(emb, qv, k=20).collect()}
+    assert all(r.doc_id in lex_ids | sem_ids for r in rows)
+    # a doc present in both pools must beat a doc present in neither's top
+    both = lex_ids & sem_ids
+    if both:
+        got_ranks = {r.doc_id: r.rank for r in rows}
+        assert min(got_ranks.get(d, 99) for d in both) <= 3

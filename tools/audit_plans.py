@@ -46,7 +46,9 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: a join over the underlying events.
 #: SKETCH-CONTAM cross-joins two SINGLE-ROW global sketch aggregates
 #: (corpus and eval theta sketches) — a 1x1 product.
-#: TEXT-BM25-TOPK inherits TEXT-BM25's single-row corpus-stats attach.
+#: TEXT-BM25-TOPK inherits TEXT-BM25's single-row corpus-stats attach;
+#: SEARCH-RRF inherits it too and adds cosine_topk's broadcast of ≤5
+#: query vectors (SIM-TOPK's allowlisted shape).
 #: LM-SCORE cross-joins the SINGLE-ROW training-token total (N) onto the
 #: transition stream — the scalar-attach pattern; the model joins proper
 #: are hash equi-joins on the gram keys. TEXT-ROWS inherits it via its
@@ -68,7 +70,7 @@ CARTESIAN_OK = {
     # QUALITY-KLLGATE: 1-row KLL-threshold broadcast attach onto the
     # scored stream (inherits CORPUS-DSIR's totals attach too).
     "QUALITY-KLLGATE",
-    "CORPUS-DECONTAM-BLOOM", "CORPUS-DECONTAM",
+    "CORPUS-DECONTAM-BLOOM", "CORPUS-DECONTAM", "SEARCH-RRF",
 }
 
 #: Queries that legitimately run Arrow-batched Python: multimodal decode,
