@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "SKETCH-FREQ",
     "LM-SCORE",
     "CORPUS-DSIR",
+    "CORPUS-NOVELTY",
     "CORPUS-PACKSEQ",
     "QUALITY-KLLGATE",
 ]

@@ -523,8 +523,15 @@ def q_corpus_assign(spark: SparkSession, sf: str) -> DataFrame:
     bucket-by-hash-prefix + offsets, no single-partition sort), and
     CORPUS-DSIR (dsir_feats/dsir_logw_e9: DSIR importance weights vs the
     doc_id%101 target slice, exact nano-BIGINT sums; see q_corpus_dsir —
-    empty docs carry NULLs)."""
-    from ..operators.corpus import epoch_order, mix_sources, stratified_sample
+    empty docs carry NULLs), and CORPUS-NOVELTY (n_grams8/n_shared8/
+    novelty: cross-document 8-gram redundancy — exact integer counts, one
+    IEEE division)."""
+    from ..operators.corpus import (
+        epoch_order,
+        mix_sources,
+        novelty_signals,
+        stratified_sample,
+    )
 
     docs = load(spark, sf, "documents")
     s = split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
@@ -546,18 +553,66 @@ def q_corpus_assign(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_feats").alias("dsir_feats"),
         F.col("logw_e9").alias("dsir_logw_e9"),
     )
+    nov = novelty_signals(docs).select(
+        "doc_id",
+        F.col("n_grams").alias("n_grams8"),
+        F.col("n_shared").alias("n_shared8"),
+        "novelty",
+    )
     return (
         packed.join(mixed, "doc_id", "left")
         .join(sampled, "doc_id", "left")
         .join(epochs, "doc_id")
         .join(dsir, "doc_id", "left")
+        .join(nov, "doc_id")
         .select(
             "doc_id", "split", "n_tok", "shard_id",
             F.coalesce(F.col("in_mix"), F.lit(False)).alias("in_mix"),
             F.coalesce(F.col("in_sample"), F.lit(False)).alias("in_sample"),
             "epoch_pos", "dsir_feats", "dsir_logw_e9",
+            "n_grams8", "n_shared8", "novelty",
         )
     )
+
+
+def q_corpus_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-NOVELTY granular: cross-document 8-gram novelty per doc
+    (RefinedWeb-style corpus-redundancy signal). Counts are exact
+    integers and the score is one IEEE division of exact longs — the
+    oracle hash-matches bit-for-bit; the md5 gram hashing is a pure
+    shuffle-width optimization (identical strings ⇒ identical hashes ⇒
+    identical counts)."""
+    from ..operators.corpus import novelty_signals
+
+    return novelty_signals(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+ORACLE_CORPUS_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+         END AS s
+  FROM toks
+), g AS (
+  SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+), c AS (
+  SELECT g, COUNT(*) AS nd FROM g GROUP BY g
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(*) FILTER (WHERE c.nd >= 2) AS n_shared,
+       CAST(COUNT(*) - COUNT(*) FILTER (WHERE c.nd >= 2) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM g JOIN c USING (g)
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
 
 
 def q_corpus_dsir(spark: SparkSession, sf: str) -> DataFrame:
@@ -686,11 +741,13 @@ ep AS (
 )
 SELECT s.doc_id, s.split, p.n_tok, p.shard_id, (m.doc_id IS NOT NULL) AS in_mix,
        (samp.doc_id IS NOT NULL) AS in_sample, ep.epoch_pos,
-       d.n_feats AS dsir_feats, d.logw_e9 AS dsir_logw_e9
+       d.n_feats AS dsir_feats, d.logw_e9 AS dsir_logw_e9,
+       nv.n_grams AS n_grams8, nv.n_shared AS n_shared8, nv.novelty
 FROM s JOIN p ON s.doc_id = p.doc_id LEFT JOIN m ON s.doc_id = m.doc_id
 LEFT JOIN samp ON s.doc_id = samp.doc_id
 JOIN ep ON s.doc_id = ep.doc_id
 LEFT JOIN ({ORACLE_CORPUS_DSIR}) d ON s.doc_id = d.doc_id
+JOIN ({ORACLE_CORPUS_NOVELTY}) nv ON s.doc_id = nv.doc_id
 """
 
 

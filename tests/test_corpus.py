@@ -176,3 +176,50 @@ def test_epoch_order_is_exact_global_rank(spark):
     # seeded: a different seed is a different permutation
     other = {r.doc_id: r.epoch_pos for r in epoch_order(df, seed=8).collect()}
     assert other != got and sorted(other.values()) == list(range(500))
+
+
+# ------------------------------------------------------- novelty signals
+
+def test_novelty_hand_built(spark):
+    from feasibility_etl_spark.operators.corpus import novelty_signals
+
+    # 3-gram regime: doc 1 and 2 share "a b c d" (grams "a b c", "b c d");
+    # doc 3 is fully original; doc 4 duplicates doc 1 verbatim
+    rows = [
+        (1, "a b c d x y"),
+        (2, "a b c d p q"),
+        (3, "completely different words here now"),
+        (4, "a b c d x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in novelty_signals(df, ngram=3).collect()}
+    # doc1: grams {abc,bcd,cdx,dxy} -> abc,bcd shared with 2; all 4 shared with 4
+    assert got[1].n_grams == 4 and got[1].n_shared == 4 and got[1].novelty == 0.0
+    assert got[4].n_grams == 4 and got[4].n_shared == 4
+    # doc2: abc,bcd shared; cdp,dpq original
+    assert got[2].n_grams == 4 and got[2].n_shared == 2
+    assert got[2].novelty == pytest.approx(0.5)
+    # doc3: 3 grams, none shared
+    assert got[3].n_grams == 3 and got[3].n_shared == 0 and got[3].novelty == 1.0
+
+
+def test_novelty_short_doc_whole_text_shingle(spark):
+    from feasibility_etl_spark.operators.corpus import novelty_signals
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "other")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in novelty_signals(df, ngram=8).collect()}
+    assert got[1].n_grams == 1 and got[1].n_shared == 1  # whole-text shingle
+    assert got[3].n_grams == 1 and got[3].n_shared == 0
+
+
+def test_novelty_partitioning_invariant(spark):
+    from feasibility_etl_spark.operators.corpus import novelty_signals
+    from conftest import SF0001
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    a = sorted(map(tuple, novelty_signals(docs).collect()))
+    b = sorted(map(tuple, novelty_signals(docs.repartition(7, "source")).collect()))
+    assert a == b

@@ -51,6 +51,9 @@ MAX_EXCHANGES = {
                           # output; serve joins are broadcast (hinted)
     "DEDUP-FUZZY": 1,     # bucketed (token, band) equi-join, no cartesian
     "CORPUS-PACK": 1,     # bucket-windowed cumsum, no global sort
+    "CORPUS-NOVELTY": 3,  # per-gram window count + per-doc rollup (the
+                          # gram stream shuffles as (id, md5) pairs only)
+                          # + the entry's presentation orderBy
     "CORPUS-DECONTAM": 2, # gram explode + semi-join (eval side broadcast)
     "CORPUS-DECONTAM-BLOOM": 6,  # exact's 2 (eval-gram distinct +
                           # contaminated distinct) + the bloom build's aggs
