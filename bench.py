@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "SKETCH-THETA",
     "LINE-DEDUP",
     "BPE-ENCODE",
+    "WP-ENCODE",
+    "UNIGRAM-ENCODE",
     "SKETCH-FREQ",
     "LM-SCORE",
     "CORPUS-DSIR",

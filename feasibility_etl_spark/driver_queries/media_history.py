@@ -414,6 +414,106 @@ def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _wp_vocab_values() -> str:
+    from ..operators.wordpiece import DEMO_WP_VOCAB
+
+    return ", ".join("('" + p.replace("'", "''") + "')" for p in DEMO_WP_VOCAB)
+
+
+# WP-ENCODE oracle: greedy longest-match is a deterministic SINGLE-PATH
+# walk over (word, position) states, so SQL can replay it exactly — a
+# non-recursive stage precomputes the longest vocab match per (word,
+# position) (`best`), and the recursive `walk` steps each distinct word
+# through those matches, accreting the ##-rendered piece string. A
+# position with no match turns the whole word into [UNK] (BERT
+# convention). Verified piece-for-piece against the operator on the full
+# corpus before freezing.
+ORACLE_WP_ENCODE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE trim(text) <> ''
+), stream AS (
+  SELECT doc_id, u.i AS pos, t[CAST(u.i AS INT)] AS w
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+), words AS (
+  SELECT DISTINCT w FROM stream
+), vp AS (
+  SELECT CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS body,
+         (piece LIKE '##%') AS cont
+  FROM (VALUES {_wp_vocab_values()}) v(piece)
+), wpos AS (
+  SELECT words.w AS w, p.cpos AS cpos
+  FROM words, unnest(range(0, len(words.w))) p(cpos)
+), best AS (
+  SELECT wpos.w, wpos.cpos, MAX(len(vp.body)) AS blen
+  FROM wpos JOIN vp
+    ON vp.cont = (wpos.cpos > 0)
+   AND vp.body = substr(wpos.w, CAST(wpos.cpos + 1 AS INT), len(vp.body))
+  GROUP BY 1, 2
+), walk AS (
+  SELECT w, CAST(0 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS seg, false AS unk
+  FROM words
+  UNION ALL
+  SELECT s.w,
+         CASE WHEN b.blen IS NULL THEN CAST(len(s.w) AS BIGINT)
+              ELSE s.pos + b.blen END,
+         CASE WHEN b.blen IS NULL THEN s.seg
+              ELSE s.seg || CASE WHEN s.pos > 0 THEN ' ##' ELSE '' END
+                   || substr(s.w, CAST(s.pos + 1 AS INT), CAST(b.blen AS INT)) END,
+         (b.blen IS NULL)
+  FROM walk s LEFT JOIN best b ON b.w = s.w AND b.cpos = s.pos
+  WHERE s.pos < len(s.w) AND NOT s.unk
+), seg AS (
+  SELECT w, CASE WHEN unk THEN '[UNK]' ELSE seg END AS seg,
+         CASE WHEN unk THEN 1 ELSE len(string_split(seg, ' ')) END AS npieces
+  FROM walk WHERE pos >= len(w)
+)
+SELECT s.doc_id,
+       string_agg(g.seg, ' ' ORDER BY s.pos) AS wp_text,
+       CAST(SUM(g.npieces) AS BIGINT) AS n_tok
+FROM stream s JOIN seg g ON g.w = s.w
+GROUP BY s.doc_id
+"""
+
+
+def q_wp_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """WP-ENCODE (granular singleton): WordPiece greedy longest-match
+    encoding with the frozen DEMO_WP_VOCAB (operators/wordpiece.py) —
+    Arrow-batched mapInPandas, checked FULL-ORACLE: greedy matching is a
+    single-path walk, so DuckDB replays it with a precomputed
+    longest-match table + a recursive walk (see ORACLE_WP_ENCODE)."""
+    from ..operators.wordpiece import DEMO_WP_VOCAB, wordpiece_encode
+
+    docs = load(spark, sf, "documents").where(F.trim("text") != "")
+    return wordpiece_encode(docs, DEMO_WP_VOCAB).select(
+        "doc_id",
+        F.array_join("wp_tokens", " ").alias("wp_text"),
+        F.col("n_wp_tokens").alias("n_tok"),
+    )
+
+
+def q_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """UNIGRAM-ENCODE (granular singleton, rows-only by documented
+    design): Unigram-LM Viterbi encoding (operators/unigram.py, Kudo
+    2018) with a vocabulary trained in-plan on the corpus word table.
+    Viterbi's per-state argmax has no DuckDB 1.0 twin (no keyed
+    recursion; path enumeration is exponential), so the driver records
+    rows-only and tests/test_unigram.py pins the semantics: pure-Python
+    reference parity per word, round-trip reconstruction, EM
+    normalization, partition invariance."""
+    from ..operators.unigram import unigram_encode, unigram_train
+
+    docs = load(spark, sf, "documents").where(F.trim("text") != "")
+    pieces = unigram_train(docs, vocab_size=120, seed_size=200, max_words=2000)
+    return unigram_encode(docs, pieces).select(
+        "doc_id",
+        F.array_join("ug_tokens", " ").alias("ug_text"),
+        F.col("n_ug_tokens").alias("n_tok"),
+    ).orderBy("doc_id")
+
+
 def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """LM-SCORE granular: Stupid-Backoff bigram LM quality scoring
     (operators/lm.py, Brants et al. 2007) — train on the even-doc_id half
@@ -483,7 +583,9 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
     n_tok, rank in chunk_id), and BPE-ENCODE (part='bpe': real byte-pair
     encoding with the frozen DEMO_MERGES — space-joined token stream in
     chunk_text, true token count in n_tok; full oracle via rank-order
-    string rewriting, see q_bpe_encode), and LM-SCORE (part='lm':
+    string rewriting, see q_bpe_encode), WP-ENCODE (part='wp': WordPiece
+    greedy longest-match with the frozen DEMO_WP_VOCAB — full oracle via
+    the recursive greedy-walk replay, see q_wp_encode), and LM-SCORE (part='lm':
     Stupid-Backoff LM scores — transition count in n_tok, the exact
     BIGINT nano-log10 sum in fp; see q_lm_score)."""
     from ..operators.text import chunk_documents, top_terms
@@ -496,6 +598,14 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("chunk_text"),
         F.col("n_trans").alias("n_tok"),
         F.col("logp_e9").alias("fp"),
+    )
+    wp = q_wp_encode(spark, sf).select(
+        F.lit("wp").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.col("wp_text").alias("chunk_text"),
+        F.col("n_tok"),
+        F.lit(None).cast("long").alias("fp"),
     )
     bpe = q_bpe_encode(spark, sf).select(
         F.lit("bpe").alias("part"),
@@ -529,7 +639,7 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
         "n_tok",
         F.lit(None).cast("long").alias("fp"),
     )
-    return win.unionByName(ch).unionByName(tt).unionByName(bpe).unionByName(lm_rows)
+    return win.unionByName(ch).unionByName(tt).unionByName(bpe).unionByName(wp).unionByName(lm_rows)
 
 
 ORACLE_TEXT_ROWS = f"""
@@ -560,6 +670,10 @@ UNION ALL
 SELECT 'bpe' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
        bpe_text AS chunk_text, n_tok, CAST(NULL AS BIGINT) AS fp
 FROM ({ORACLE_BPE_ENCODE}) b
+UNION ALL
+SELECT 'wp' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
+       wp_text AS chunk_text, n_tok, CAST(NULL AS BIGINT) AS fp
+FROM ({ORACLE_WP_ENCODE}) wpx
 UNION ALL
 SELECT 'lm' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
        CAST(NULL AS VARCHAR) AS chunk_text, n_trans AS n_tok, logp_e9 AS fp

@@ -82,6 +82,10 @@ MAX_EXCHANGES = {
     "LINE-DEDUP": 3,      # line-freq countDistinct (2-phase) + doc rebuild;
                           # the offender join is broadcast by design
     "BPE-ENCODE": 0,      # scan -> tokens -> mapInPandas encode, no shuffle
+    "WP-ENCODE": 0,       # same shape, greedy longest-match encoder
+    "UNIGRAM-ENCODE": 1,  # same shape + the entry's presentation orderBy
+                          # (training's word-count pass runs eagerly at
+                          # plan-build time)
     "SKETCH-FREQ": 2,     # per-day accumulate agg + global combine agg
     "LM-SCORE": 5,        # uni/bigram count aggs + two gram-key model joins
                           # + per-doc sum; N attaches as a 1-row broadcast

@@ -79,7 +79,8 @@ CARTESIAN_OK = {
 #: merge ranks is the sanctioned tier). MM-MEDIA unions the two decode
 #: pipelines; TEXT-ROWS carries the BPE stream as its part='bpe' slice.
 PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL",
-             "MM-MEDIA", "BPE-ENCODE", "TEXT-ROWS"}
+             "MM-MEDIA", "BPE-ENCODE", "WP-ENCODE", "UNIGRAM-ENCODE",
+             "TEXT-ROWS"}
 
 
 def audit(name: str, plan: str) -> tuple[list[str], list[str]]:

@@ -82,6 +82,10 @@ def main() -> None:
         ),
         # eval side stays base-sized (a benchmark doesn't grow with the
         # corpus) — only the corpus-side shingle stream scales
+        "corpus_novelty": lambda d: corpus.novelty_signals(d),
+        "bloom_decontam": lambda d: __import__(
+            "feasibility_etl_spark.operators.sketches", fromlist=["bloom_decontaminate"]
+        ).bloom_decontaminate(d, d.where(F.col("doc_id") % 97 == 0)),
         "corpus_decontam": lambda d: corpus.decontaminate(
             d, docs1.where(F.col("doc_id") % 97 == 0)
         ),
