@@ -45,6 +45,44 @@ FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def q_s_jsonl(spark: SparkSession, sf: str) -> DataFrame:
+    """S-JSONL (granular singleton): JSONL sink + source round-trip audit
+    (sources/jsonl.py) — the LLM-corpus interchange format. Writes the
+    filtered orders slice as newline-delimited JSON, reads it back with
+    the EXPLICIT schema (no inference pass), and audits the same
+    count + exact-cents sum the JDBC sink entry uses; doubles survive the
+    text round-trip exactly (Spark writes shortest-roundtrip decimal
+    strings), so the oracle is the same source-side aggregate."""
+    import os
+    import tempfile
+
+    from ..sources.jsonl import read_jsonl, write_jsonl
+
+    path = os.path.join(tempfile.gettempdir(), "feasibility_etl_spark_jsonl_sink")
+    orders = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    write_jsonl(orders, path, compression=None)
+    back = read_jsonl(spark, path, orders.schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"), _sum_cents("o_totalprice", "total_cents")
+    )
+
+
+def q_sink_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """S-JDBC-SINK (driver combined entry): ``part='jdbc'`` is the
+    parquet-stand-in JDBC sink audit, ``part='jsonl'`` the JSONL
+    round-trip audit — one entry verifies both sink surfaces."""
+    jdbc = q_s_jdbc_sink(spark, sf).select(F.lit("jdbc").alias("part"), "*")
+    jsonl = q_s_jsonl(spark, sf).select(F.lit("jsonl").alias("part"), "*")
+    return jdbc.unionByName(jsonl)
+
+
+ORACLE_SINK_SUITE = f"""
+SELECT 'jdbc' AS part, * FROM ({ORACLE_S_JDBC_SINK})
+UNION ALL
+SELECT 'jsonl' AS part, * FROM ({ORACLE_S_JDBC_SINK})
+"""
+
+
 # ---------------------------------------------------- projections / filters
 
 def q_p_project(spark: SparkSession, sf: str) -> DataFrame:
