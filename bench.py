@@ -230,6 +230,37 @@ def run_sessionize_bench(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_rows
 
 
+def run_exact_gate_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """Streaming EXACT-dedup gate at bench SF (streaming/bloom_gate.py):
+    the same 4-micro-batch documents replay as run_dedup_gate_bench, but
+    gated on content fingerprints with the Bloom fast path — the
+    comparative entry: exact membership should run far above the
+    near-dup gate's rate (one md5 probe per doc vs banded LSH joins)."""
+    import shutil
+
+    from feasibility_etl_spark.sources.catalog import load as cat_load
+    from feasibility_etl_spark.streaming.bloom_gate import exact_dedup_gate_sink
+
+    staging = "/tmp/spark_graft_xgate_stage"
+    ckpt = staging + "_ckpt"
+    out = staging + "_out"
+    for p in (staging, ckpt, out):
+        shutil.rmtree(p, ignore_errors=True)
+    docs = cat_load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_rows = docs.count()
+    docs.repartition(8).write.mode("overwrite").parquet(staging)
+
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging)
+    )
+    q = exact_dedup_gate_sink(stream, out, ckpt, shuffle_partitions=8)
+    q.awaitTermination()
+    return time.time() - t0, n_rows
+
+
 def run_scd2_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
     """Streaming SCD2 fold at bench SF: per-user event_type observations
     replayed as a 4-micro-batch CDC stream through scd2_sink — every
@@ -486,6 +517,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error stream-dedup-gate-10x: {e}", file=sys.stderr)
     timings["stream-dedup-gate-10x"] = gate10_s
+    xgate_s, n_xgate = -1.0, 0
+    try:
+        xgate_s, n_xgate = run_exact_gate_bench(spark, sf_dir)
+        xgate_s = round(xgate_s, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error stream-exact-gate: {e}", file=sys.stderr)
+    timings["stream-exact-gate"] = xgate_s
     scd2s_s, n_scd2s = -1.0, 0
     try:
         scd2s_s, n_scd2s = run_scd2_sink_bench(spark, sf_dir)
@@ -515,6 +553,9 @@ def main() -> None:
                 ),
                 "stream_dedup_gate_10x_rows_per_sec": (
                     round(n_gate10 / gate10_s) if gate10_s > 0 else None
+                ),
+                "stream_exact_gate_rows_per_sec": (
+                    round(n_xgate / xgate_s) if xgate_s > 0 else None
                 ),
                 "stream_scd2_rows_per_sec": (
                     round(n_scd2s / scd2s_s) if scd2s_s > 0 else None

@@ -1,0 +1,122 @@
+"""Streaming exact-dedup gate: streamed result == batch exact_dedup,
+exactness survives Bloom false positives, near-dups are NOT dropped
+(this is the exact gate), replay idempotency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feasibility_etl_spark.operators.dedup import exact_dedup
+from feasibility_etl_spark.operators.sketches import bloom_build
+from feasibility_etl_spark.operators.text import fingerprint
+from feasibility_etl_spark.streaming.bloom_gate import (
+    _read_state,
+    exact_dedup_gate_sink,
+    exact_gate_batch,
+)
+
+A = "the quick brown fox jumps over the lazy dog"
+B = "completely different content about database engines"
+C = "yet another unrelated passage describing mountains"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gate_batch_intra_batch_and_exactness(spark):
+    batch = _df(
+        spark,
+        [
+            (10, A),
+            (11, "  " + A + "  "),  # normalizes equal -> dup of 10
+            (12, A.replace("lazy", "sleepy")),  # near but NOT exact -> kept
+            (13, B),
+        ],
+    )
+    kept = sorted(r.doc_id for r in exact_gate_batch(batch, None, None).collect())
+    assert kept == [10, 12, 13]
+
+
+def test_gate_batch_drops_state_matches_only(spark):
+    fps = _df(spark, [(1, A)]).select(
+        fingerprint("text").alias("fp")
+    )
+    bloom = bloom_build(fps, "fp", m_bits=1 << 14)
+    batch = _df(spark, [(20, A), (21, A.replace("dog", "cat")), (22, C)])
+    kept = sorted(
+        r.doc_id
+        for r in exact_gate_batch(batch, fps, bloom, m_bits=1 << 14).collect()
+    )
+    assert kept == [21, 22]
+
+
+def test_gate_batch_exact_under_heavy_false_positives(spark):
+    # 64-bit filter over 200 fingerprints: nearly every probe is a false
+    # positive -> everything takes the exact tier -> result unchanged
+    state_docs = _df(spark, [(i, f"state doc number {i}") for i in range(200)])
+    fps = state_docs.select(fingerprint("text").alias("fp"))
+    bloom = bloom_build(fps, "fp", m_bits=64, n_hashes=2)
+    batch = _df(
+        spark,
+        [(500, "state doc number 7"), (501, "a genuinely new document")],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in exact_gate_batch(
+            batch, fps, bloom, m_bits=64, n_hashes=2
+        ).collect()
+    )
+    assert kept == [501]
+
+
+def test_streaming_equals_batch_exact_dedup(spark, tmp_path):
+    b0 = _df(spark, [(1, A), (2, B), (3, A)])          # 3 dups 1 in-batch
+    b1 = _df(spark, [(4, "  " + A), (5, C), (6, B)])   # 4,6 dup state; 5 new
+    b2 = _df(spark, [(7, C), (8, "brand new final doc")])
+    stage = str(tmp_path / "stage")
+    b0.coalesce(1).write.parquet(stage + "/f0")
+    b1.coalesce(1).write.parquet(stage + "/f1")
+    b2.coalesce(1).write.parquet(stage + "/f2")
+
+    base = str(tmp_path / "gated")
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage + "/f*")
+    )
+    q = exact_dedup_gate_sink(src, base, str(tmp_path / "ckpt"), m_bits=1 << 14)
+    q.awaitTermination()
+
+    accepted = sorted(r.doc_id for r in spark.read.parquet(base + "/docs").collect())
+    # batch order may vary with file listing, but content-wise the gate
+    # keeps exactly one doc per distinct normalized text
+    all_docs = b0.unionByName(b1).unionByName(b2)
+    batch_equiv = exact_dedup(all_docs)
+    assert len(accepted) == batch_equiv.count() == 4
+    texts = {
+        r.text.strip().lower()
+        for r in spark.read.parquet(base + "/docs").collect()
+    }
+    assert texts == {
+        r.text.strip().lower() for r in batch_equiv.collect()
+    }
+    # fingerprint index mirrors the corpus 1:1; bloom state has one row per batch
+    assert spark.read.parquet(base + "/fps").count() == 4
+    blooms = spark.read.parquet(base + "/bloom")
+    assert blooms.count() == 3 and set(blooms.columns) >= {"bloom", "batch_id"}
+
+
+def test_replay_excludes_own_state_partition(spark, tmp_path):
+    fps_dir = str(tmp_path / "fps")
+    batch = _df(spark, [(1, A), (2, B)])
+    batch.select(fingerprint("text").alias("fp")).write.parquet(
+        fps_dir + "/batch_id=0"
+    )
+    replay_view = _read_state(spark, fps_dir, before_batch=0)
+    assert replay_view.count() == 0
+    later_view = _read_state(spark, fps_dir, before_batch=1)
+    assert later_view.count() == 2
+    missing = _read_state(spark, str(tmp_path / "nope"), before_batch=5)
+    assert missing is None
