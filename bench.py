@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "J-ATTACH",
     "A-WORKLOG",
     "A-COLLECT",
+    "A-PIVOT",
     "VIEW-CTE",
     "VIEW-IDIOMATIC",
     "WIN-SESSION",

@@ -306,7 +306,30 @@ def q_a_salted(spark: SparkSession, sf: str) -> DataFrame:
         )
         for m in ("rollup", "cube")
     ]
-    return salted.unionByName(levels[0]).unionByName(levels[1])
+    # part='pivot': A-PIVOT/A-UNPIVOT round trip — explicit-values pivot
+    # to the wide form, stack-based multi-measure unpivot back to long;
+    # all-null cells drop, so the round trip IS the plain GROUP BY (the
+    # oracle) while exercising both operators end-to-end
+    from ..operators.aggregates import pivot_agg, unpivot_groups
+
+    piv = pivot_agg(
+        li, ["l_returnflag"], "l_linestatus", ["F", "O"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("l_extendedprice")).cast("long").alias("c"),
+        ],
+    )
+    unpiv = unpivot_groups(
+        piv, ["l_returnflag"],
+        {"F": ["F_n", "F_c"], "O": ["O_n", "O_c"]},
+        "l_linestatus", ["n_items", "price_cents"],
+    ).select(
+        F.lit("pivot").alias("part"), "l_returnflag", "l_linestatus",
+        F.lit(None).cast("long").alias("gid"), "n_items", "price_cents",
+    )
+    return (
+        salted.unionByName(levels[0]).unionByName(levels[1]).unionByName(unpiv)
+    )
 
 
 def _multilevel_sql(mode: str) -> str:
@@ -325,4 +348,37 @@ SELECT 'salted' AS part, l_returnflag, CAST(NULL AS VARCHAR) AS l_linestatus,
 FROM lineitem GROUP BY l_returnflag
 UNION ALL {_multilevel_sql("rollup")}
 UNION ALL {_multilevel_sql("cube")}
+UNION ALL
+SELECT 'pivot' AS part, l_returnflag, l_linestatus,
+       CAST(NULL AS BIGINT) AS gid, COUNT(*) AS n_items,
+       {_sum_cents_sql("l_extendedprice", "price_cents")}
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_a_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """A-PIVOT (granular singleton): the WIDE pivot form — explicit
+    pivot values (one conditional-agg pass, no distinct scan of the
+    pivot column), count + exact-cents sum per (returnflag, linestatus)
+    cell. Empty cells are NULL (the FILTER-aggregate convention; the
+    oracle mirrors count's 0 with NULLIF)."""
+    from ..operators.aggregates import pivot_agg
+
+    return pivot_agg(
+        load(spark, sf, "lineitem"),
+        ["l_returnflag"], "l_linestatus", ["F", "O"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("l_extendedprice")).cast("long").alias("c"),
+        ],
+    ).orderBy("l_returnflag")
+
+
+ORACLE_A_PIVOT = f"""
+SELECT l_returnflag,
+       NULLIF(COUNT(*) FILTER (WHERE l_linestatus = 'F'), 0) AS F_n,
+       {_sum_cents_sql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END", "F_c")},
+       NULLIF(COUNT(*) FILTER (WHERE l_linestatus = 'O'), 0) AS O_n,
+       {_sum_cents_sql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END", "O_c")}
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -134,3 +134,61 @@ def multilevel_agg(
     else:
         raise ValueError(f"mode must be 'rollup' or 'cube', got {mode!r}")
     return grouped.agg(F.grouping_id().cast("long").alias(gid_col), *aggs)
+
+
+def pivot_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Wide pivot with EXPLICIT pivot values — the 100 TB form.
+
+    ``df.groupBy().pivot(col)`` without a value list first runs a full
+    distinct scan just to learn the column headers; passing
+    ``pivot_values`` makes the pivot a single conditional-aggregation
+    pass (one shuffle, map-side partials), and fixes the output schema
+    regardless of which values a given partition of data happens to
+    contain. Cells with no contributing rows are NULL (not 0) — the
+    SQL FILTER-aggregate convention."""
+    return df.groupBy(*keys).pivot(pivot_col, list(pivot_values)).agg(*aggs)
+
+
+def unpivot_groups(
+    df: DataFrame,
+    ids: Sequence[str],
+    groups: dict[str, Sequence[str]],
+    var_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Unpivot grouped wide columns back to long rows via ``stack`` —
+    the multi-measure melt (``DataFrame.unpivot`` handles one measure
+    per variable; a pivot built with k aggs needs k values per emitted
+    row). ``groups`` maps each output label to its wide columns, in
+    ``value_cols`` order::
+
+        unpivot_groups(piv, ["k"], {"F": ["F_n", "F_c"],
+                                    "O": ["O_n", "O_c"]},
+                       "status", ["n", "cents"])
+
+    Pure per-row projection — zero shuffle; rows where every measure is
+    NULL (a pivot cell no data reached) are dropped, restoring GROUP BY
+    semantics on the round trip."""
+    parts = []
+    for label, cols in groups.items():
+        quoted = "'" + label.replace("'", "\\'") + "'"
+        parts.append(", ".join([quoted, *cols]))
+    expr = (
+        f"stack({len(groups)}, "
+        + ", ".join(parts)
+        + f") as ({var_col}, "
+        + ", ".join(value_cols)
+        + ")"
+    )
+    out = df.select(*ids, F.expr(expr))
+    keep = None
+    for c in value_cols:
+        cond = F.col(c).isNotNull()
+        keep = cond if keep is None else keep | cond
+    return out.where(keep) if keep is not None else out

@@ -118,3 +118,43 @@ def test_multilevel_is_single_expand_single_agg_pass(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Expand") == 1          # one branch-per-set expand
     assert plan.count("Exchange") == 1        # one shuffle, partials map-side
+
+
+# ------------------------------------------------------ pivot / unpivot
+
+def test_pivot_unpivot_roundtrip_is_group_by(spark):
+    from feasibility_etl_spark.operators.aggregates import pivot_agg, unpivot_groups
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 3.0), ("b", "y", 4.0)],
+        "k string, s string, v double",
+    )
+    piv = pivot_agg(
+        df, ["k"], "s", ["x", "y", "z"],
+        [F.count(F.lit(1)).alias("n"), F.sum("v").alias("t")],
+    )
+    assert set(piv.columns) == {"k", "x_n", "x_t", "y_n", "y_t", "z_n", "z_t"}
+    back = unpivot_groups(
+        piv, ["k"], {"x": ["x_n", "x_t"], "y": ["y_n", "y_t"], "z": ["z_n", "z_t"]},
+        "s", ["n", "t"],
+    )
+    got = sorted(map(tuple, back.collect()))
+    exp = sorted(
+        map(tuple, df.groupBy("k", "s").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("t")
+        ).collect())
+    )
+    # 'z' never occurs and (b, x) never occurs: all-null rows dropped,
+    # restoring exact GROUP BY semantics
+    assert got == exp
+
+
+def test_unpivot_is_zero_shuffle(spark):
+    from feasibility_etl_spark.operators.aggregates import unpivot_groups
+
+    df = spark.createDataFrame([("a", 1, 2, 3, 4)], "k string, xn int, xt int, yn int, yt int")
+    out = unpivot_groups(df, ["k"], {"x": ["xn", "xt"], "y": ["yn", "yt"]}, "s", ["n", "t"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert sorted(map(tuple, out.collect())) == [("a", "x", 1, 2), ("a", "y", 3, 4)]

@@ -40,6 +40,10 @@ MAX_EXCHANGES = {
     "J-SALTED": 0,        # salted broadcast join: zero shuffles by design
     "A-WORKLOG": 1,
     "A-COLLECT": 1,       # per-key collect agg
+    "A-PIVOT": 3,         # one conditional-agg pass (explicit pivot
+                          # values — no distinct scan of the pivot col)
+                          # + the entry's presentation orderBy range
+                          # partitioning
     "WIN-SESSION": 1,     # one key-partitioned window chain
     "WIN-SLIDE": 1,
     "SCD2-APPLY": 5,      # shared-key windows + current-join + close agg + union
