@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "E-PROFILE",
     "DEDUP-INCR",
     "TEXT-BM25",
+    "TEXT-TFIDF",
     "SEARCH-RRF",
     "SKETCH-HLL",
     "SKETCH-THETA",

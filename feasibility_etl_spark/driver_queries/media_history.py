@@ -572,6 +572,45 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-TFIDF (granular singleton): per-doc top-5 characteristic
+    terms by tf-idf (text.tfidf_topterms) — ranking over the
+    9-dp-rounded score (ln is 1-ulp engine-dependent), term-asc
+    tie-break, nano-BIGINT score column; full oracle."""
+    from ..operators.text import tfidf_topterms
+
+    return tfidf_topterms(load(spark, sf, "documents"), k=5).orderBy(
+        "doc_id", "rank"
+    )
+
+
+ORACLE_TEXT_TFIDF = r"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+), dfx AS (
+  SELECT tf.*, COUNT(*) OVER (PARTITION BY term) AS dfq FROM tf
+), nn AS (SELECT COUNT(*) AS n FROM documents
+), s AS (
+  SELECT doc_id, term, tf,
+         ROUND(CAST(tf AS DOUBLE)
+               * (ln((nn.n + 1.0) / (dfq + 1.0)) + 1.0), 9) AS s9
+  FROM dfx, nn
+)
+SELECT doc_id, term, tf,
+       CAST(ROUND(s9 * 1e9, 0) AS BIGINT) AS score_e9,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY s9 DESC, term) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 5
+ORDER BY doc_id, rank
+"""
+
+
 def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-ROWS: the row-exploding text ops union-tagged — covers
     TEXT-WINNOW (part='winnow': winnowing fingerprints, fixed-base rolling
@@ -598,6 +637,14 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("chunk_text"),
         F.col("n_trans").alias("n_tok"),
         F.col("logp_e9").alias("fp"),
+    )
+    tfidf = q_text_tfidf(spark, sf).select(
+        F.lit("tfidf").alias("part"),
+        "doc_id",
+        F.col("rank").alias("chunk_id"),
+        F.col("term").alias("chunk_text"),
+        F.col("tf").alias("n_tok"),
+        F.col("score_e9").alias("fp"),
     )
     wp = q_wp_encode(spark, sf).select(
         F.lit("wp").alias("part"),
@@ -639,7 +686,8 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
         "n_tok",
         F.lit(None).cast("long").alias("fp"),
     )
-    return win.unionByName(ch).unionByName(tt).unionByName(bpe).unionByName(wp).unionByName(lm_rows)
+    return (win.unionByName(ch).unionByName(tt).unionByName(bpe)
+            .unionByName(wp).unionByName(tfidf).unionByName(lm_rows))
 
 
 ORACLE_TEXT_ROWS = f"""
@@ -674,6 +722,10 @@ UNION ALL
 SELECT 'wp' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
        wp_text AS chunk_text, n_tok, CAST(NULL AS BIGINT) AS fp
 FROM ({ORACLE_WP_ENCODE}) wpx
+UNION ALL
+SELECT 'tfidf' AS part, doc_id, rank AS chunk_id, term AS chunk_text,
+       tf AS n_tok, score_e9 AS fp
+FROM ({ORACLE_TEXT_TFIDF}) tdx
 UNION ALL
 SELECT 'lm' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
        CAST(NULL AS VARCHAR) AS chunk_text, n_trans AS n_tok, logp_e9 AS fp

@@ -548,3 +548,61 @@ def repetition_signals(
         *[frac(F.col(f"_s{n}")["best_m"]).alias(f"top{n}_frac") for n in top_ns],
         *[frac(F.col(f"_s{n}")["dup"]).alias(f"dup{n}_frac") for n in dup_ns],
     )
+
+
+def tfidf_topterms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` CHARACTERISTIC terms by tf-idf →
+    ``(id_col, term, tf, score_e9, rank)`` — keyword extraction for
+    corpus curation (topical routing, index keys, dedup explainability).
+    ``top_terms`` answers "what is frequent"; this answers "what makes
+    THIS document different", down-weighting corpus-common words with
+    the smooth idf ``ln((N+1)/(df+1)) + 1`` (never negative, never
+    divides by zero).
+
+    Plan shape at scale: the (doc, term) tf table pre-aggregates
+    map-side before its one shuffle; per-term document frequency is a
+    WINDOW over the term hash partition of that same table (no
+    count-table self-join — novelty_signals' lesson); N attaches as a
+    1-row broadcast; the final per-doc top-k is a window over the doc
+    partition. Three gram-scale shuffles total, all carrying (doc,
+    term, counts) rows.
+
+    Determinism: ranking compares the 9-dp-ROUNDED score (``ln`` is
+    1-ulp engine-dependent; tf ≤ doc length keeps the product's error
+    under 1e-10), ties by term ascending — the bm25_topk discipline.
+    ``score_e9`` is the nano-scaled BIGINT of the same rounded score.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy(id_col).orderBy(
+        F.desc("_score9"), F.asc("term")
+    )
+    idf = (
+        F.log((F.col("_n").cast("double") + 1.0) / (F.col("_df").cast("double") + 1.0))
+        + 1.0
+    )
+    return (
+        tf.withColumn("_df", F.count(F.lit(1)).over(w_term))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_score9", F.round(F.col("tf").cast("double") * idf, 9))
+        .withColumn("rank", F.row_number().over(w_doc).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(F.col("_score9") * 1e9).cast("long").alias("score_e9"),
+            "rank",
+        )
+    )

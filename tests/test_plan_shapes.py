@@ -77,6 +77,10 @@ MAX_EXCHANGES = {
     "SEARCH-RRF": 4,      # bm25 stats agg + two top-20 pack aggs + the
                           # fused top-10 take; the pool full-outer join
                           # and the final rank run on ≤40 rows
+    "TEXT-TFIDF": 5,      # tf agg + per-term df window + per-doc rank
+                          # window (3 gram-scale shuffles carrying (doc,
+                          # term, counts)) + the 1-row N agg + the
+                          # entry's presentation orderBy
     "E-PROFILE": 2,       # single-pass agg + tiny pivot
     "MM-IMAGE": 0,        # mapInPandas decode, no shuffle
     "PIPE-DOCS": 10,      # multi-op pipeline entry (dedup + profile + joins)

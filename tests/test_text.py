@@ -299,3 +299,33 @@ def test_word_ngrams_strict_no_short_doc_fallback(spark):
     rows = df.select(word_ngrams("text", 3).alias("g")).collect()
     assert rows[0].g == ["a b c"]
     assert rows[1].g == [] and rows[2].g == [] and rows[3].g == []
+
+
+def test_tfidf_topterms_hand_computed(spark):
+    import math
+
+    from feasibility_etl_spark.operators.text import tfidf_topterms
+
+    # "rare" appears only in doc 1; "common" in all 3 docs. For doc 1 the
+    # rare term must outrank the common one even at equal tf.
+    df = spark.createDataFrame(
+        [
+            (1, "common rare common rare"),
+            (2, "common words here"),
+            (3, "common other stuff"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rank): r for r in tfidf_topterms(df, k=2).collect()}
+    assert out[(1, 1)].term == "rare" and out[(1, 2)].term == "common"
+    r = out[(1, 1)]
+    expect = round(2.0 * (math.log(4.0 / 2.0) + 1.0), 9)
+    assert r.tf == 2 and r.score_e9 == round(expect * 1e9)
+    # common has idf ln(4/4)+1 = 1 -> score == tf
+    c = out[(1, 2)]
+    assert c.score_e9 == round(2.0 * 1e9)
+    # every doc yields at most k rows, ranked 1..k
+    by_doc = {}
+    for (did, rank) in out:
+        by_doc.setdefault(did, []).append(rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())

@@ -71,6 +71,9 @@ CARTESIAN_OK = {
     # scored stream (inherits CORPUS-DSIR's totals attach too).
     "QUALITY-KLLGATE",
     "CORPUS-DECONTAM-BLOOM", "CORPUS-DECONTAM", "SEARCH-RRF",
+    # TEXT-TFIDF: the 1-row corpus-count broadcast attach (scalar-attach
+    # pattern); the tf/df/rank stages are hash aggs and windows.
+    "TEXT-TFIDF",
 }
 
 #: Queries that legitimately run Arrow-batched Python: multimodal decode,
