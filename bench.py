@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "CORPUS-DECONTAM",
     "CORPUS-DECONTAM-BLOOM",
     "SIM-TOPK",
+    "SIM-BQ",
     "TEXT-QUALITY",
     "TEXT-LANGID",
     "J-SALTED",

@@ -328,7 +328,8 @@ def q_sketch_contam(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return contamination_estimate(
-        docs.where("doc_id % 25 = 0"), docs.where("doc_id % 40 = 0")
+        docs.where("doc_id < 500 AND doc_id % 25 = 0"),
+        docs.where("doc_id < 520 AND doc_id % 40 = 0"),
     )
 
 
@@ -345,9 +346,11 @@ WITH toks AS (
          END AS s
   FROM toks
 ), c AS (
-  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 25 = 0
+  SELECT DISTINCT unnest(s) AS g FROM sh
+  WHERE doc_id < 500 AND doc_id % 25 = 0
 ), e AS (
-  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 40 = 0
+  SELECT DISTINCT unnest(s) AS g FROM sh
+  WHERE doc_id < 520 AND doc_id % 40 = 0
 ), n AS (
   SELECT (SELECT COUNT(*) FROM c) AS n_c, (SELECT COUNT(*) FROM e) AS n_e,
          (SELECT COUNT(*) FROM (SELECT g FROM c INTERSECT SELECT g FROM e)) AS n_s

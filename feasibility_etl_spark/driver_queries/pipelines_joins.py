@@ -102,8 +102,17 @@ def q_emb_quant(spark: SparkSession, sf: str) -> DataFrame:
     through) on a DETERMINISTIC consecutive-vec_id pair set, full-oracle
     because the zip_with+aggregate fold is sequential in both engines →
     bit-equal doubles, with the 0.95 threshold flag. Splits EMB-NEARDUP's
-    rows-only trust surface the way DEDUP-VERIFY split DEDUP-CANDIDATES."""
-    from ..operators.similarity import emb_centroids, verify_cosine_pairs
+    rows-only trust surface the way DEDUP-VERIFY split DEDUP-CANDIDATES;
+    part='mrl' (EMB-MRL): Matryoshka truncation to 16 dims + L2 renorm
+    exploded to (vec_id, idx, value) — sqrt/divide are correctly-rounded
+    IEEE on both engines; part='bq' (EMB-BQ): 1-bit sign quantization
+    packed 32-dims-per-long, word in the n_vecs slot — integer-exact."""
+    from ..operators.similarity import (
+        binary_quantize,
+        emb_centroids,
+        truncate_embeddings,
+        verify_cosine_pairs,
+    )
 
     emb = load(spark, sf, "embeddings")
     null_tail = [
@@ -143,7 +152,34 @@ def q_emb_quant(spark: SparkSession, sf: str) -> DataFrame:
         "cos_sim",
         (F.col("cos_sim") >= 0.95).alias("is_near_dup"),
     )
-    return quant.unionByName(cent).unionByName(ver)
+    mrl = (
+        truncate_embeddings(emb, 16, out_col="_t")
+        .select("vec_id", F.posexplode("_t").alias("idx", "_v"))
+        .select(
+            F.lit("mrl").alias("part"), "vec_id",
+            F.lit(None).cast("double").alias("scale"), "idx",
+            F.lit(None).cast("int").alias("code"),
+            F.lit(None).cast("long").alias("n_vecs"),
+            F.col("_v").alias("centroid"),
+            *null_tail,
+        )
+    )
+    bq = (
+        binary_quantize(emb)
+        .select("vec_id", F.posexplode("bq").alias("idx", "_w"))
+        .select(
+            F.lit("bq").alias("part"), "vec_id",
+            F.lit(None).cast("double").alias("scale"), "idx",
+            F.lit(None).cast("int").alias("code"),
+            F.col("_w").alias("n_vecs"),
+            F.lit(None).cast("double").alias("centroid"),
+            *null_tail,
+        )
+    )
+    return (
+        quant.unionByName(cent).unionByName(ver)
+        .unionByName(mrl).unionByName(bq)
+    )
 
 
 ORACLE_EMB_QUANT = """
@@ -194,6 +230,34 @@ FROM (
            AS denom
   FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
 )
+UNION ALL
+SELECT 'mrl' AS part, vec_id, CAST(NULL AS DOUBLE) AS scale,
+       CAST(u.i - 1 AS INTEGER) AS idx, CAST(NULL AS INTEGER) AS code,
+       CAST(NULL AS BIGINT) AS n_vecs,
+       CASE WHEN nrm = 0 THEN 0.0
+            ELSE CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) / nrm
+       END AS centroid,
+       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cos_sim,
+       CAST(NULL AS BOOLEAN) AS is_near_dup
+FROM (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(range(1, 17),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+           AS nrm
+  FROM embeddings
+), unnest(range(1, 17)) AS u(i)
+UNION ALL
+SELECT 'bq' AS part, vec_id, CAST(NULL AS DOUBLE) AS scale,
+       CAST(w.i AS INTEGER) AS idx, CAST(NULL AS INTEGER) AS code,
+       CAST(list_sum(list_transform(range(0, 32),
+         b -> CASE WHEN 32 * w.i + b < len(embedding)
+                    AND embedding[CAST(32 * w.i + b + 1 AS INT)] >= 0
+                   THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END))
+            AS BIGINT) AS n_vecs,
+       CAST(NULL AS DOUBLE) AS centroid,
+       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cos_sim,
+       CAST(NULL AS BOOLEAN) AS is_near_dup
+FROM embeddings, unnest(range(0, CAST(ceil(len(embedding) / 32.0) AS BIGINT))) AS w(i)
 """
 
 

@@ -382,3 +382,34 @@ SELECT l_returnflag,
        {_sum_cents_sql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END", "O_c")}
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def q_sim_bq(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-BQ (granular singleton): the 1-bit ANN tier — binary-quantized
+    codes (32 sign bits per long), Hamming top-10 for 3 query vectors via
+    XOR+popcount. Integer-exact distances ⇒ ranks are engine-identical
+    and the oracle hash-matches (the oracle counts sign mismatches
+    directly, which equals popcount-of-XOR over the packed codes)."""
+    from ..operators.similarity import binary_quantize, hamming_topk
+
+    bq = binary_quantize(load(spark, sf, "embeddings"))
+    q = bq.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("bq").alias("query_bq")
+    )
+    return hamming_topk(bq, q, k=10)
+
+
+ORACLE_SIM_BQ = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+d AS (
+  SELECT q.qid, c.vec_id AS cid,
+    CAST(len(list_filter(range(1, len(c.embedding) + 1),
+      i -> (CAST(c.embedding[i] AS DOUBLE) >= 0)
+           != (CAST(q.qv[i] AS DOUBLE) >= 0))) AS BIGINT) AS hamming
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.qid
+)
+SELECT qid AS query_id, cid AS vec_id, hamming,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS BIGINT)
+         AS rank
+FROM d QUALIFY rank <= 10
+"""

@@ -846,3 +846,95 @@ def emb_centroids(
     return agg.select(
         F.col("grp").alias(group_col), "idx", "n_vecs", centroid.alias("centroid")
     )
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Matryoshka-style dimensionality truncation (Kusupati et al. 2022,
+    arXiv:2205.13147): keep the first ``dim`` components and L2-
+    renormalize — the storage/speed knob for MRL-trained embedding
+    models (truncated prefixes remain usable because training nests the
+    information). Pure per-row Column math, zero shuffle; an all-zero
+    prefix stays all-zero instead of dividing by zero. Cosine over the
+    output needs no further normalization (vectors are unit length)."""
+    out = out_col or vec_col
+    prefix = F.slice(F.col(vec_col), 1, dim)
+    nrm = l2_norm(prefix)
+    normed = F.transform(
+        prefix, lambda x: F.when(nrm == 0, F.lit(0.0)).otherwise(
+            x.cast("double") / nrm
+        )
+    )
+    return df.withColumn(out, normed)
+
+
+def binary_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "bq",
+) -> DataFrame:
+    """1-bit binary quantization: sign bits of the vector packed into
+    ``array<long>`` words (32 dims per word, low bits first — the
+    Bloom-filter word convention, non-negative on any engine). 32×
+    smaller than float32 and Hamming distance becomes XOR + popcount —
+    the cheapest ANN tier; re-rank survivors with exact cosine. Pure
+    per-row math, zero shuffle, no seeds (the sign function IS the
+    quantizer), so any engine reproduces the codes bit-for-bit."""
+    vec = F.col(vec_col)
+    n_words = F.ceil(F.size(vec) / F.lit(32)).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, b: F.when(
+                (w * 32 + b < F.size(vec))
+                & (F.element_at(vec, (w * 32 + b + 1).cast("int")) >= 0),
+                acc + F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), b.cast("int")
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    return df.withColumn(out_col, words)
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_bq: str = "bq",
+    query_id: str = "query_id",
+    query_bq: str = "query_bq",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k by Hamming distance over binary-quantized codes →
+    ``(query_id, vec_id, hamming, rank)``. Queries broadcast; distance
+    is ``Σ bit_count(xor(word_a, word_b))`` — integer-exact, so ranks
+    (distance-asc, id-asc ties) are engine-identical and the oracle
+    hash-matches, unlike float-scored ANN tiers. Per-query top-k via
+    window rank (the cosine_topk shape)."""
+    q = F.broadcast(queries.select(F.col(query_id), F.col(query_bq)))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(corpus_bq),
+            F.col(query_bq),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col(query_id), F.col(corpus_id), dist.alias("hamming")
+    )
+    if exclude_self:
+        scored = scored.where(F.col(query_id) != F.col(corpus_id))
+    w = Window.partitionBy(query_id).orderBy(F.asc("hamming"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )

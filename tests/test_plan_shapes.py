@@ -66,6 +66,8 @@ MAX_EXCHANGES = {
                           # broadcast filter + broadcast semi-join (pinned
                           # below)
     "SIM-TOPK": 1,        # TakeOrderedAndProject merge
+    "SIM-BQ": 1,          # per-query rank window; queries broadcast,
+                          # hamming is in-row XOR+popcount
     "SIM-IVF": 3,         # kmeans train aggs; serve path broadcast+pruned
     "TEXT-QUALITY": 0,    # pure projections
     "TEXT-LANGID": 0,

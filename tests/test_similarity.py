@@ -277,3 +277,86 @@ def test_emb_centroids_exact_and_order_independent(spark):
         for r in emb_centroids(rev, "label").collect()
     }
     assert got2 == got
+
+
+# ------------------------------------------ MRL truncation / binary codes
+
+def test_truncate_embeddings_unit_norm_and_zero_safe(spark):
+    import math
+
+    from feasibility_etl_spark.operators.similarity import truncate_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, -5.0]), (2, [0.0, 0.0, 7.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.embedding for r in truncate_embeddings(df, 2).collect()}
+    assert out[1] == [0.6, 0.8]  # 3-4-5 triangle, renormalized
+    assert out[2] == [0.0, 0.0]  # zero prefix stays zero, no div-by-zero
+    assert abs(math.hypot(*out[1]) - 1.0) < 1e-12
+
+
+def test_binary_quantize_packs_sign_bits(spark):
+    from feasibility_etl_spark.operators.similarity import binary_quantize
+
+    vec = [1.0 if i % 3 == 0 else -1.0 for i in range(40)]  # 40 dims -> 2 words
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    words = binary_quantize(df).collect()[0].bq
+    assert len(words) == 2
+    expect0 = sum(1 << b for b in range(32) if b % 3 == 0)
+    expect1 = sum(1 << b for b in range(8) if (32 + b) % 3 == 0)
+    assert words == [expect0, expect1]
+    assert all(0 <= w < (1 << 32) for w in words)
+
+
+def test_hamming_topk_agrees_with_python(spark):
+    import random
+
+    from feasibility_etl_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bq = binary_quantize(df)
+    queries = bq.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("bq").alias("query_bq")
+    )
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.hamming)
+        for r in hamming_topk(bq, queries, k=5).collect()
+    }
+    # python reference
+    bits = {i: [v >= 0 for v in vec] for i, vec in rows}
+    for qid in range(3):
+        dists = sorted(
+            (sum(a != b for a, b in zip(bits[qid], bits[c])), c)
+            for c in bits if c != qid
+        )
+        for rank, (d, c) in enumerate(dists[:5], 1):
+            assert got[(qid, rank)] == (c, d)
+
+
+def test_hamming_correlates_with_cosine(spark):
+    # sanity: binary codes of similar vectors are close in hamming
+    from feasibility_etl_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+    import random
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [v + rng.uniform(-0.05, 0.05) for v in base]
+    far = [rng.uniform(-1, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    bq = binary_quantize(df)
+    q = bq.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("bq").alias("query_bq")
+    )
+    top = hamming_topk(bq, q, k=2).orderBy("rank").collect()
+    assert top[0].vec_id == 1  # the perturbed twin ranks first

@@ -62,7 +62,7 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: scoring join is a broadcast hash equi-join on bucket. CORPUS-ASSIGN
 #: inherits it via its dsir_* columns.
 CARTESIAN_OK = {
-    "SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN",
+    "SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN", "SIM-BQ",
     "J-LOOKUP-INSERT", "E-AUDIT",
     "TEXT-BM25", "TEXT-PROFILE", "SKETCH-THETA",
     "SKETCH-CONTAM", "SKETCH-CONTAM-SCOUT", "TEXT-BM25-TOPK",
