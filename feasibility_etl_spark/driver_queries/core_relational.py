@@ -67,19 +67,42 @@ def q_s_jsonl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_s_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """S-CSV (granular singleton): CSV sink + source round-trip audit
+    (sources/csv.py, RFC-4180 quoting) — same explicit-schema read-back
+    + count/exact-cents audit as the JSONL twin; doubles survive the
+    text round-trip exactly (shortest-roundtrip printing)."""
+    import os
+    import tempfile
+
+    from ..sources.csv import read_csv, write_csv
+
+    path = os.path.join(tempfile.gettempdir(), "feasibility_etl_spark_csv_sink")
+    orders = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    write_csv(orders, path)
+    back = read_csv(spark, path, orders.schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"), _sum_cents("o_totalprice", "total_cents")
+    )
+
+
 def q_sink_suite(spark: SparkSession, sf: str) -> DataFrame:
     """S-JDBC-SINK (driver combined entry): ``part='jdbc'`` is the
-    parquet-stand-in JDBC sink audit, ``part='jsonl'`` the JSONL
-    round-trip audit — one entry verifies both sink surfaces."""
+    parquet-stand-in JDBC sink audit, ``part='jsonl'`` / ``part='csv'``
+    the text-format round-trip audits — one entry verifies all three
+    sink surfaces."""
     jdbc = q_s_jdbc_sink(spark, sf).select(F.lit("jdbc").alias("part"), "*")
     jsonl = q_s_jsonl(spark, sf).select(F.lit("jsonl").alias("part"), "*")
-    return jdbc.unionByName(jsonl)
+    csv = q_s_csv(spark, sf).select(F.lit("csv").alias("part"), "*")
+    return jdbc.unionByName(jsonl).unionByName(csv)
 
 
 ORACLE_SINK_SUITE = f"""
 SELECT 'jdbc' AS part, * FROM ({ORACLE_S_JDBC_SINK})
 UNION ALL
 SELECT 'jsonl' AS part, * FROM ({ORACLE_S_JDBC_SINK})
+UNION ALL
+SELECT 'csv' AS part, * FROM ({ORACLE_S_JDBC_SINK})
 """
 
 
