@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "VIEW-IDIOMATIC",
     "WIN-SESSION",
     "WIN-SLIDE",
+    "WIN-RESAMPLE",
     "DEDUP-EXACT",
     "DEDUP-NGRAM",
     "DEDUP-MINHASH",

@@ -2,7 +2,7 @@ from __future__ import annotations
 
 from ._shared import DataFrame, F, PII_PATTERNS, SparkSession, _cents, bpe_ish_token_count, clean_text, delta_pair, dim_join, fingerprint, hrs_to_sec, jira_ts, lang_id, load, mean_word_length, pack_shards, pct_change_abs, pct_diff, pii_counts, punct_ratio, quality_score, redact_pii, repetition_signals, split_corpus, stopword_ratio, token_count
 from .core_relational import ORACLE_A_LINKED, ORACLE_E_GATE, ORACLE_E_ISOLATE, q_a_linked, q_e_gate, q_e_isolate
-from .views_dedup_corpus import ORACLE_CORPUS_PACK, ORACLE_CORPUS_SPLIT, ORACLE_TEXT_CLEAN, ORACLE_WIN_SLIDE, ORACLE_WIN_TUMBLE, q_win_slide, q_win_tumble
+from .views_dedup_corpus import ORACLE_CORPUS_PACK, ORACLE_CORPUS_SPLIT, ORACLE_TEXT_CLEAN, ORACLE_WIN_SLIDE, ORACLE_WIN_TUMBLE, ORACLE_WIN_RESAMPLE, q_win_slide, q_win_tumble, q_win_resample
 from .similarity_text import ORACLE_TEXT_FINGERPRINT, ORACLE_TEXT_LANGID, ORACLE_TEXT_QUALITY, ORACLE_TEXT_TOKENS
 
 
@@ -488,7 +488,9 @@ FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
 
 def q_win_fixed(spark: SparkSession, sf: str) -> DataFrame:
     """WIN-FIXED: fixed-size event-time windows union-tagged — covers
-    WIN-TUMBLE (1-day tumbling, keyed) and WIN-SLIDE (1h/30m sliding)."""
+    WIN-TUMBLE (1-day tumbling, keyed), WIN-SLIDE (1h/30m sliding), and
+    WIN-RESAMPLE (hourly gap-filled resampling — empty buckets explicit,
+    n_events 0-filled, value_cents honestly NULL; see q_win_resample)."""
     tumble = q_win_tumble(spark, sf).select(
         F.lit("tumble").alias("win_kind"),
         "window_start",
@@ -503,7 +505,11 @@ def q_win_fixed(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         F.lit(None).cast("long").alias("value_cents"),
     )
-    return tumble.unionByName(slide)
+    resampled = q_win_resample(spark, sf).select(
+        F.lit("resample").alias("win_kind"),
+        "window_start", "event_type", "n_events", "value_cents",
+    )
+    return tumble.unionByName(slide).unionByName(resampled)
 
 
 ORACLE_WIN_FIXED = f"""
@@ -513,6 +519,9 @@ UNION ALL
 SELECT 'slide' AS win_kind, window_start, CAST(NULL AS VARCHAR) AS event_type,
        n_events, CAST(NULL AS BIGINT) AS value_cents
 FROM ({ORACLE_WIN_SLIDE})
+UNION ALL
+SELECT 'resample' AS win_kind, window_start, event_type, n_events, value_cents
+FROM ({ORACLE_WIN_RESAMPLE})
 """
 
 

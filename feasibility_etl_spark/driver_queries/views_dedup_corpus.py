@@ -543,6 +543,43 @@ FROM t
 """
 
 
+def q_win_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """WIN-RESAMPLE (granular singleton): hourly resampling of events per
+    event_type with gap fill — empty buckets become explicit rows
+    (n_events filled 0, value_cents honestly NULL); each key's spine
+    spans its own [min, max] bucket. Oracle: DuckDB time_bucket +
+    generate_series spine, identical left join."""
+    from ..streaming.windows import resample
+
+    ev = load(spark, sf, "events")
+    out = resample(
+        ev, "ts", "1 hour",
+        [F.count(F.lit(1)).alias("n_events"), _sum_cents("value", "value_cents")],
+        keys=["event_type"], fill={"n_events": 0},
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "value_cents",
+    )
+
+
+ORACLE_WIN_RESAMPLE = f"""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws,
+         COUNT(*) AS n_events, {_sum_cents_sql("value", "value_cents")}
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(ws) AS lo, MAX(ws) AS hi FROM b GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS ws
+  FROM bounds
+)
+SELECT strftime(s.ws, '%Y-%m-%d %H:%M:%S') AS window_start, s.event_type,
+       COALESCE(b.n_events, 0) AS n_events, b.value_cents
+FROM spine s LEFT JOIN b ON b.event_type = s.event_type AND b.ws = s.ws
+"""
+
+
 def q_corpus_decontam(spark: SparkSession, sf: str) -> DataFrame:
     """CORPUS-DECONTAM: scrub training docs sharing any word 8-gram with a
     held-out eval set (doc_id % 97 == 0 stands in for the benchmark). The

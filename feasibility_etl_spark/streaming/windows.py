@@ -160,3 +160,52 @@ def enrich_stream(
     """
     keys = [on] if isinstance(on, str) else list(on)
     return stream.join(F.broadcast(dim), keys, how)
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Fixed-interval resampling WITH GAP FILL — the time-series
+    completion of ``tumbling_agg``: buckets with no events become
+    explicit rows instead of silently missing, so downstream
+    charting/forecasting/rate math sees a dense, regular series.
+
+    Per key, a bucket spine spans that key's own [min, max] bucket
+    (``sequence`` over timestamps — no global clock assumption, keys
+    with different lifetimes get different spines) and left-joins the
+    bucket aggregates; ``fill`` maps agg columns to the value empty
+    buckets take (e.g. ``{"n_events": 0}``) — unfilled columns stay
+    NULL, the honest default for means/sums.
+
+    Scale shape: one shuffle for the bucket aggregation (map-side
+    partials), one bounded per-key bounds agg, and the spine join keyed
+    identically to the aggregation. The spine is keys × buckets rows —
+    generated, never scanned.
+    """
+    agged = tumbling_agg(df, ts_col, duration, aggs, keys)
+    bounds = agged.groupBy(*[F.col(k) for k in keys]).agg(
+        F.min("window_start").alias("_lo"), F.max("window_start").alias("_hi")
+    )
+    spine = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {duration}"))
+        ).alias("window_start"),
+    )
+    out = spine.join(agged, [*keys, "window_start"], "left").drop("window_end")
+    if fill:
+        out = out.select(
+            *keys,
+            "window_start",
+            *[
+                F.coalesce(F.col(c), F.lit(fill[c])).alias(c) if c in fill else F.col(c)
+                for c in agged.columns
+                if c not in (*keys, "window_start", "window_end")
+            ],
+        )
+    return out

@@ -46,6 +46,8 @@ MAX_EXCHANGES = {
                           # partitioning
     "WIN-SESSION": 1,     # one key-partitioned window chain
     "WIN-SLIDE": 1,
+    "WIN-RESAMPLE": 2,    # bucket agg + per-key bounds agg; the spine
+                          # join reuses the agg's (key, bucket) keying
     "SCD2-APPLY": 5,      # shared-key windows + current-join + close agg + union
     "DEDUP-EXACT": 1,     # fingerprint groupBy only
     "DEDUP-NGRAM": 3,     # token explode agg + (block, token) self-join + sizes

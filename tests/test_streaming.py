@@ -282,3 +282,46 @@ def test_join_streams_left_outer_emits_unmatched_on_eviction(spark, tmp_path):
         assert rows[("u2", 3)] is None, "evicted unmatched left row must emit with nulls"
     finally:
         q.stop()
+
+
+# ----------------------------------------------------------- resampling
+
+def test_resample_fills_gaps(spark):
+    from feasibility_etl_spark.streaming.windows import resample
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 01:20:00", 2.0),
+        ("a", "2024-01-01 03:30:00", 3.0),  # hour 2 is a gap for key a
+        ("b", "2024-01-01 05:00:00", 4.0),  # b's spine starts at 05, not 00
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.to_timestamp("ts").alias("ts"), "v"
+    )
+    out = resample(
+        df, "ts", "1 hour",
+        [F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")],
+        keys=["k"], fill={"n": 0},
+    )
+    got = {(r.k, str(r.window_start)): (r.n, r.total) for r in out.collect()}
+    assert got[("a", "2024-01-01 02:00:00")] == (0, None)  # gap: filled n, NULL sum
+    assert got[("a", "2024-01-01 00:00:00")] == (1, 1.0)
+    assert got[("a", "2024-01-01 03:00:00")] == (1, 3.0)
+    # per-key spine: b has exactly one bucket, no phantom hours 0-4
+    assert [k for k in got if k[0] == "b"] == [("b", "2024-01-01 05:00:00")]
+    assert len([k for k in got if k[0] == "a"]) == 4  # hours 0,1,2,3
+
+
+def test_resample_no_keys_global_spine(spark):
+    from feasibility_etl_spark.streaming.windows import resample
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:30",), ("2024-01-01 02:59:00",)], "ts string"
+    ).select(F.to_timestamp("ts").alias("ts"))
+    out = resample(df, "ts", "1 hour", [F.count(F.lit(1)).alias("n")], fill={"n": 0})
+    rows = sorted((str(r.window_start), r.n) for r in out.collect())
+    assert rows == [
+        ("2024-01-01 00:00:00", 1),
+        ("2024-01-01 01:00:00", 0),
+        ("2024-01-01 02:00:00", 1),
+    ]
