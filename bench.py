@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "DEDUP-INCR",
     "TEXT-BM25",
     "TEXT-TFIDF",
+    "COMPRESS-RATIO",
     "SEARCH-RRF",
     "SKETCH-HLL",
     "SKETCH-THETA",

@@ -514,6 +514,18 @@ def q_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_compress_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """COMPRESS-RATIO (granular singleton, rows-only by documented
+    design): per-doc DEFLATE compressibility signals
+    (operators/compressibility.py) — no engine-neutral oracle exists
+    (neither Spark SQL nor DuckDB exposes DEFLATE), so the driver
+    records rows-only and tests/test_text.py pins exact parity against
+    the interpreter's own zlib plus the template-vs-prose ordering."""
+    from ..operators.compressibility import compression_signals
+
+    return compression_signals(load(spark, sf, "documents")).orderBy("doc_id")
+
+
 def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """LM-SCORE granular: Stupid-Backoff bigram LM quality scoring
     (operators/lm.py, Brants et al. 2007) — train on the even-doc_id half

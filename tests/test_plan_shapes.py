@@ -98,6 +98,7 @@ MAX_EXCHANGES = {
     "UNIGRAM-ENCODE": 1,  # same shape + the entry's presentation orderBy
                           # (training's word-count pass runs eagerly at
                           # plan-build time)
+    "COMPRESS-RATIO": 1,  # scan -> mapInPandas zlib + presentation orderBy
     "SKETCH-FREQ": 2,     # per-day accumulate agg + global combine agg
     "LM-SCORE": 5,        # uni/bigram count aggs + two gram-key model joins
                           # + per-doc sum; N attaches as a 1-row broadcast

@@ -329,3 +329,38 @@ def test_tfidf_topterms_hand_computed(spark):
     for (did, rank) in out:
         by_doc.setdefault(did, []).append(rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+
+
+def test_compression_signals_reference_parity_and_ordering(spark):
+    import zlib
+
+    from feasibility_etl_spark.operators.compressibility import (
+        compression_signals,
+    )
+
+    rows = [
+        (1, "spam " * 200),                      # long-range redundancy
+        (2, "the quick brown fox jumps over the lazy dog and then wanders "
+            "through seventeen unrelated meadows describing each uniquely"),
+        (3, ""),
+        (4, "abcdefgh" * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_signals(df).collect()}
+    # exact parity with this interpreter's zlib
+    for did, text in rows:
+        raw = text.encode()
+        assert got[did].n_bytes == len(raw)
+        if raw:
+            assert got[did].n_compressed == len(zlib.compress(raw, 6))
+            assert got[did].compress_ratio == len(zlib.compress(raw, 6)) / len(raw)
+        else:
+            assert got[did].n_compressed == 0 and got[did].compress_ratio is None
+    # the template doc compresses far harder than prose
+    assert got[1].compress_ratio < 0.1 < got[2].compress_ratio
+    # partition invariance
+    again = {
+        r.doc_id: (r.n_compressed, r.compress_ratio)
+        for r in compression_signals(df.repartition(3), parallelism=2).collect()
+    }
+    assert again == {d: (r.n_compressed, r.compress_ratio) for d, r in got.items()}

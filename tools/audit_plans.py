@@ -83,6 +83,7 @@ CARTESIAN_OK = {
 #: pipelines; TEXT-ROWS carries the BPE stream as its part='bpe' slice.
 PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL",
              "MM-MEDIA", "BPE-ENCODE", "WP-ENCODE", "UNIGRAM-ENCODE",
+             "COMPRESS-RATIO",
              "TEXT-ROWS"}
 
 
