@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "SCD2-APPLY",
     "TEXT-REPETITION",
     "E-PROFILE",
+    "E-ROBUST",
     "DEDUP-INCR",
     "TEXT-BM25",
     "TEXT-TFIDF",

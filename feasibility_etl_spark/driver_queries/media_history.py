@@ -743,3 +743,39 @@ SELECT 'lm' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
        CAST(NULL AS VARCHAR) AS chunk_text, n_trans AS n_tok, logp_e9 AS fp
 FROM ({ORACLE_LM_SCORE}) l
 """
+
+
+def q_e_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """E-ROBUST (granular singleton): robust-statistics gates over doc
+    lengths per language — winsorized n_chars (clip to the exact
+    [p5, p95]) and the median/MAD outlier flag (|x-med| > 3·MAD), both
+    via per-key aggregate + broadcast attach (the data never shuffles).
+    Full oracle: Spark's exact percentile and DuckDB's quantile_cont
+    share linear interpolation (the E-QUANTILE precedent)."""
+    from ..quality.gates import mad_outliers, winsorize
+
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    w = winsorize(docs, "n_chars", 0.05, 0.95, keys=["lang"], out_col="clipped")
+    flagged = mad_outliers(w, "n_chars", k=3.0, keys=["lang"])
+    return flagged.select(
+        "doc_id", "lang", "n_chars",
+        F.col("clipped").cast("double").alias("clipped"), "is_outlier",
+    ).orderBy("doc_id")
+
+
+ORACLE_E_ROBUST = """
+WITH b AS (
+  SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi,
+         quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+), m AS (
+  SELECT d.lang, quantile_cont(abs(d.n_chars - b.med), 0.5) AS mad
+  FROM documents d JOIN b USING (lang) GROUP BY d.lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi) AS clipped,
+       (abs(d.n_chars - b.med) > 3.0 * m.mad) AS is_outlier
+FROM documents d JOIN b USING (lang) JOIN m USING (lang)
+ORDER BY d.doc_id
+"""

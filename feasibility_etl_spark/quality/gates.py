@@ -116,3 +116,65 @@ def filter_by_quantile(
     else:
         joined = df.crossJoin(F.broadcast(df.agg(thr)))
     return joined.where(F.col(score_col) >= F.col("_thr")).drop("_thr")
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    keys: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``col`` to its (per-``keys``) exact [lower_q, upper_q]
+    quantiles — tail-robust score normalization before thresholding or
+    averaging (a handful of pathological documents otherwise drag any
+    mean-based gate). Same scale shape as :func:`filter_by_quantile`:
+    ONE per-key aggregate for both bounds, broadcast back onto the scan;
+    the data never shuffles."""
+    keys = list(keys or [])
+    aggs = [
+        F.percentile(F.col(col), F.lit(lower_q)).alias("_lo"),
+        F.percentile(F.col(col), F.lit(upper_q)).alias("_hi"),
+    ]
+    bounds = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    joined = df.join(F.broadcast(bounds), keys) if keys else df.crossJoin(
+        F.broadcast(bounds)
+    )
+    clipped = F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi"))
+    return joined.withColumn(out_col or col, clipped).drop("_lo", "_hi")
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    k: float = 3.0,
+    keys: Sequence[str] | None = None,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Flag rows where ``|x - median| > k * MAD`` (median absolute
+    deviation) per ``keys`` group — the robust outlier rule (median/MAD
+    shrug off the very outliers that poison mean/stddev z-scores; the
+    classic k=3 is ≈ 4.5σ under normality). Two bounded aggregates
+    (median, then MAD around it), both broadcast back; rows where MAD=0
+    (over half the group identical) flag only exact deviants
+    (|x-med| > 0). Returns ``df`` + boolean ``flag_col``."""
+    keys = list(keys or [])
+    med_agg = F.percentile(F.col(col), F.lit(0.5)).alias("_med")
+    med = df.groupBy(*keys).agg(med_agg) if keys else df.agg(med_agg)
+    with_med = df.join(F.broadcast(med), keys) if keys else df.crossJoin(
+        F.broadcast(med)
+    )
+    dev = F.abs(F.col(col) - F.col("_med"))
+    mad_agg = F.percentile(dev, F.lit(0.5)).alias("_mad")
+    mad = (
+        with_med.groupBy(*keys).agg(mad_agg) if keys else with_med.agg(mad_agg)
+    )
+    full = (
+        with_med.join(F.broadcast(mad), keys)
+        if keys
+        else with_med.crossJoin(F.broadcast(mad))
+    )
+    return full.withColumn(
+        flag_col, F.abs(F.col(col) - F.col("_med")) > F.lit(k) * F.col("_mad")
+    ).drop("_med", "_mad")

@@ -86,6 +86,9 @@ MAX_EXCHANGES = {
                           # term, counts)) + the 1-row N agg + the
                           # entry's presentation orderBy
     "E-PROFILE": 2,       # single-pass agg + tiny pivot
+    "E-ROBUST": 4,        # p5/p95 bounds agg + median agg + MAD agg
+                          # (all lang-cardinality, broadcast back) + the
+                          # entry's presentation orderBy
     "MM-IMAGE": 0,        # mapInPandas decode, no shuffle
     "PIPE-DOCS": 10,      # multi-op pipeline entry (dedup + profile + joins)
     "PIPE-EVENTS": 1,

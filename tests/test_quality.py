@@ -114,3 +114,54 @@ def test_profile_columns_approx_mode_no_expand(spark):
     got = {r.col_name: r for r in prof.collect()}
     assert got["g"].n_distinct == 7  # HLL exact at tiny cardinality
     assert abs(got["id"].n_distinct - 1000) <= 30
+
+
+# ------------------------------------------------- robust-statistics gates
+
+def test_winsorize_clips_to_exact_quantiles(spark):
+    import numpy as np
+
+    from feasibility_etl_spark.quality.gates import winsorize
+
+    vals = list(range(101))  # 0..100 -> q10=10, q90=90 exactly
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)],
+                               "id long, v double")
+    out = {r.id: r.v for r in winsorize(df, "v", 0.1, 0.9).collect()}
+    assert min(out.values()) == 10.0 and max(out.values()) == 90.0
+    assert out[50] == 50.0  # interior untouched
+    assert out[0] == 10.0 and out[100] == 90.0
+
+
+def test_winsorize_per_key(spark):
+    from feasibility_etl_spark.quality.gates import winsorize
+
+    rows = [("a", float(v)) for v in range(11)] + [("b", float(v)) for v in range(100, 111)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = winsorize(df, "v", 0.0, 0.5, keys=["k"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r.v)
+    assert max(by_key["a"]) == 5.0 and max(by_key["b"]) == 105.0
+
+
+def test_mad_outliers_flags_robustly(spark):
+    from feasibility_etl_spark.quality.gates import mad_outliers
+
+    # 20 inliers around 10 (MAD 1) + one wild outlier that would wreck a
+    # mean/stddev z-score but not the median/MAD rule
+    rows = [(i, 10.0 + (i % 3) - 1) for i in range(20)] + [(99, 1000.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r.id: r.is_outlier for r in mad_outliers(df, "v", k=3.0).collect()}
+    assert out[99] is True
+    assert sum(out.values()) == 1  # nothing else flagged
+
+
+def test_mad_zero_flags_only_exact_deviants(spark):
+    from feasibility_etl_spark.quality.gates import mad_outliers
+
+    # >half identical -> MAD = 0 -> only values different from the median flag
+    rows = [(i, 5.0) for i in range(8)] + [(8, 5.5), (9, 7.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r.id: r.is_outlier for r in mad_outliers(df, "v", k=3.0).collect()}
+    assert out[8] is True and out[9] is True
+    assert not any(out[i] for i in range(8))
