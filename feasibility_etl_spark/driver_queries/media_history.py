@@ -751,16 +751,37 @@ def q_e_robust(spark: SparkSession, sf: str) -> DataFrame:
     [p5, p95]) and the median/MAD outlier flag (|x-med| > 3·MAD), both
     via per-key aggregate + broadcast attach (the data never shuffles).
     Full oracle: Spark's exact percentile and DuckDB's quantile_cont
-    share linear interpolation (the E-QUANTILE precedent)."""
-    from ..quality.gates import mad_outliers, winsorize
+    share linear interpolation (the E-QUANTILE precedent).
 
+    Plan note: naively CHAINING gates.winsorize -> gates.mad_outliers
+    duplicates each one's aggregate subtree (Spark does not reuse
+    exchanges across differing parent aggregates — the LM/DSIR lesson),
+    costing 8 exchanges / extra scans; this entry computes the three
+    base quantiles in ONE per-key pass and MAD in a second (MAD is
+    inherently sequential after the median), then attaches both."""
     docs = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    w = winsorize(docs, "n_chars", 0.05, 0.95, keys=["lang"], out_col="clipped")
-    flagged = mad_outliers(w, "n_chars", k=3.0, keys=["lang"])
-    return flagged.select(
-        "doc_id", "lang", "n_chars",
-        F.col("clipped").cast("double").alias("clipped"), "is_outlier",
-    ).orderBy("doc_id")
+    stats = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.05)).alias("_lo"),
+        F.percentile(F.col("n_chars"), F.lit(0.95)).alias("_hi"),
+        F.percentile(F.col("n_chars"), F.lit(0.5)).alias("_med"),
+    )
+    with_stats = docs.join(F.broadcast(stats), "lang")
+    mad = with_stats.groupBy("lang").agg(
+        F.percentile(F.abs(F.col("n_chars") - F.col("_med")), F.lit(0.5)).alias(
+            "_mad"
+        )
+    )
+    return (
+        with_stats.join(F.broadcast(mad), "lang")
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.least(F.greatest(F.col("n_chars").cast("double"), F.col("_lo")),
+                    F.col("_hi")).alias("clipped"),
+            (F.abs(F.col("n_chars") - F.col("_med"))
+             > F.lit(3.0) * F.col("_mad")).alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 ORACLE_E_ROBUST = """
