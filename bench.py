@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "LM-SCORE",
     "CORPUS-DSIR",
     "CORPUS-NOVELTY",
+    "CORPUS-SAMPLEK",
     "CORPUS-PACKSEQ",
     "QUALITY-KLLGATE",
 ]

@@ -712,3 +712,25 @@ SELECT r.i AS w, COALESCE(wt.word, 0) AS word
 FROM range(512) r(i) LEFT JOIN wt ON wt.w = r.i
 ORDER BY w
 """
+
+
+def q_corpus_samplek(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-SAMPLEK (granular singleton): exact-count stratified
+    sampling — exactly min(7, n) docs per source via the seedless
+    md5(id) permutation (corpus.sample_k); full oracle (row_number over
+    the identical ordering)."""
+    from ..operators.corpus import sample_k
+
+    return sample_k(load(spark, sf, "documents"), "source", 7).select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
+
+
+ORACLE_CORPUS_SAMPLEK = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 7 ORDER BY doc_id
+"""

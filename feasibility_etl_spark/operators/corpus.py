@@ -593,3 +593,34 @@ def novelty_signals(
             ).alias("novelty"),
         )
     )
+
+
+def sample_k(
+    df: DataFrame,
+    strata_col: str,
+    k: int | dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic exact-COUNT stratified sample: keep exactly
+    ``min(k, n)`` rows per stratum — the fixed-budget companion to
+    ``stratified_sample``'s fixed-rate (eval-set carving, per-domain
+    annotation budgets, balanced few-shot pools all want "K per group",
+    not a fraction). Selection order is the same seedless ``md5(id)``
+    permutation, so the two samplers draw NESTED subsets (the k-sample
+    is a prefix of any larger sample of the same stratum) and re-runs
+    and engines agree row-for-row. ``k`` is one budget or a per-stratum
+    dict (unlisted strata → dropped). One window shuffle, same shape
+    and scale note as stratified_sample."""
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w_rank = Window.partitionBy(strata_col).orderBy(*order)
+    if isinstance(k, dict):
+        cap = F.create_map(*[F.lit(x) for kv in k.items() for x in kv])[
+            F.col(strata_col)
+        ]
+    else:
+        cap = F.lit(int(k))
+    return (
+        df.withColumn("_rn", F.row_number().over(w_rank))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -223,3 +223,36 @@ def test_novelty_partitioning_invariant(spark):
     a = sorted(map(tuple, novelty_signals(docs).collect()))
     b = sorted(map(tuple, novelty_signals(docs.repartition(7, "source")).collect()))
     assert a == b
+
+
+def test_sample_k_exact_counts_and_nesting(spark):
+    from feasibility_etl_spark.operators.corpus import sample_k, stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sample_k(docs, "source", 7)
+    counts = {r.source: r.n for r in out.groupBy("source").count()
+              .withColumnRenamed("count", "n").collect()}
+    sizes = {r.source: r.n for r in docs.groupBy("source").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert counts == {s: min(7, n) for s, n in sizes.items()}
+    # nested-subset property: the k-sample is a prefix of the rate sample
+    rate = {r.doc_id for r in stratified_sample(docs, "source", 0.5).collect()}
+    small = {r.doc_id for r in sample_k(docs, "source", 3).collect()}
+    big = {r.doc_id for r in sample_k(docs, "source", 10).collect()}
+    assert small <= big
+    # per-stratum dict budgets; unlisted strata dropped
+    srcs = sorted(sizes)
+    budget = {srcs[0]: 2, srcs[1]: 5}
+    capped = sample_k(docs, "source", budget)
+    got = {r.source: r.n for r in capped.groupBy("source").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert got == {srcs[0]: 2, srcs[1]: 5}
+
+
+def test_sample_k_deterministic_across_partitioning(spark):
+    from feasibility_etl_spark.operators.corpus import sample_k
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(r.doc_id for r in sample_k(docs, "lang", 5).collect())
+    b = sorted(r.doc_id for r in sample_k(docs.repartition(9), "lang", 5).collect())
+    assert a == b

@@ -57,6 +57,8 @@ MAX_EXCHANGES = {
                           # output; serve joins are broadcast (hinted)
     "DEDUP-FUZZY": 1,     # bucketed (token, band) equi-join, no cartesian
     "CORPUS-PACK": 1,     # bucket-windowed cumsum, no global sort
+    "CORPUS-SAMPLEK": 2,  # one stratum-partitioned rank window + the
+                          # entry's presentation orderBy
     "CORPUS-NOVELTY": 3,  # per-gram window count + per-doc rollup (the
                           # gram stream shuffles as (id, md5) pairs only)
                           # + the entry's presentation orderBy
