@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "CORPUS-DSIR",
     "CORPUS-NOVELTY",
     "CORPUS-SAMPLEK",
+    "CORPUS-CONTAMSCORE",
     "CORPUS-PACKSEQ",
     "QUALITY-KLLGATE",
 ]

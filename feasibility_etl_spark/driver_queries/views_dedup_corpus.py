@@ -734,3 +734,43 @@ SELECT doc_id, source FROM (
   FROM documents
 ) WHERE rn <= 7 ORDER BY doc_id
 """
+
+
+def q_corpus_contamscore(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-CONTAMSCORE (granular singleton): per-doc contamination
+    fraction vs the doc_id%97 eval slice (corpus.contamination_scores) —
+    the scoring form of CORPUS-DECONTAM's binary drop; exact integer
+    counts + one IEEE division ⇒ full oracle."""
+    from ..operators.corpus import contamination_scores
+
+    docs = load(spark, sf, "documents")
+    return contamination_scores(
+        docs, docs.where(F.col("doc_id") % 97 == 0)
+    ).orderBy("doc_id")
+
+
+ORACLE_CORPUS_CONTAMSCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+         END AS s
+  FROM toks
+), eval_sh AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+), g AS (
+  SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(*) FILTER (WHERE e.g IS NOT NULL) AS n_contaminated,
+       CAST(COUNT(*) FILTER (WHERE e.g IS NOT NULL) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS contamination
+FROM g LEFT JOIN eval_sh e USING (g)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""

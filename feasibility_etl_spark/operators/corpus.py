@@ -624,3 +624,45 @@ def sample_k(
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Per-document contamination FRACTION against the eval set →
+    ``(id_col, n_grams, n_contaminated, contamination)`` — the scoring
+    form of :func:`decontaminate`'s binary drop. Pipelines that must
+    keep borderline documents (a quote of a benchmark question inside
+    organic discussion) threshold on the fraction instead of dropping
+    on any single shared gram; the binary operator is this with
+    ``contamination > 0``.
+
+    Same scale shape as the exact decontam: eval's distinct grams
+    broadcast, the corpus gram stream left-semi-tags against them
+    in-flow (here a left join + count), one per-doc rollup shuffle
+    carrying (id, counts).
+    """
+    sh = F.array_distinct(shingles(F.col(text_col), n=ngram))
+    eval_sh = eval_docs.select(F.explode(sh).alias("_g")).distinct()
+    grams = docs.select(F.col(id_col), F.explode(sh).alias("_g"))
+    tagged = grams.join(
+        F.broadcast(eval_sh.withColumn("_hit", F.lit(1))), "_g", "left"
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            id_col, "n_grams", "n_contaminated",
+            (F.col("n_contaminated").cast("double")
+             / F.col("n_grams").cast("double")).alias("contamination"),
+        )
+    )

@@ -256,3 +256,25 @@ def test_sample_k_deterministic_across_partitioning(spark):
     a = sorted(r.doc_id for r in sample_k(docs, "lang", 5).collect())
     b = sorted(r.doc_id for r in sample_k(docs.repartition(9), "lang", 5).collect())
     assert a == b
+
+
+def test_contamination_scores_consistent_with_binary_decontam(spark):
+    from feasibility_etl_spark.operators.corpus import (
+        contamination_scores,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_docs = docs.where(F.col("doc_id") % 11 == 0)
+    scores = {r.doc_id: r for r in contamination_scores(docs, eval_docs).collect()}
+    kept = {r.doc_id for r in decontaminate(docs, eval_docs).collect()}
+    eval_ids = {r.doc_id for r in eval_docs.collect()}
+    for did, r in scores.items():
+        assert 0.0 <= r.contamination <= 1.0
+        assert r.n_contaminated <= r.n_grams
+        if did not in eval_ids:
+            # binary decontam == (contamination > 0) outside the eval set
+            assert (did in kept) == (r.contamination == 0.0), did
+    # eval docs are fully contaminated by construction
+    for did in eval_ids:
+        assert scores[did].contamination == 1.0

@@ -59,6 +59,9 @@ MAX_EXCHANGES = {
     "CORPUS-PACK": 1,     # bucket-windowed cumsum, no global sort
     "CORPUS-SAMPLEK": 2,  # one stratum-partitioned rank window + the
                           # entry's presentation orderBy
+    "CORPUS-CONTAMSCORE": 3,  # eval-gram distinct + per-doc rollup +
+                              # presentation orderBy; the tag join is a
+                              # broadcast over the gram stream
     "CORPUS-NOVELTY": 3,  # per-gram window count + per-doc rollup (the
                           # gram stream shuffles as (id, md5) pairs only)
                           # + the entry's presentation orderBy
