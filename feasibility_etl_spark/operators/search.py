@@ -237,3 +237,50 @@ def hybrid_topk(
     return rrf_fuse(
         [lex.select(id_col, "rank"), sem], id_col=id_col, k=rrf_k, topk=k
     )
+
+
+def rrf_fuse_grouped(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int = 10,
+    score_col: str = "rrf",
+) -> DataFrame:
+    """Per-query Reciprocal Rank Fusion over MULTI-query ranked lists —
+    the batch form of :func:`rrf_fuse`: each input carries
+    ``(query_col, id_col, rank)`` for many queries at once (the shape
+    ``cosine_topk``/``bm25`` batch retrieval produces), fusion joins on
+    (query, doc), and the final top-k ranks WITHIN each query partition.
+
+    The full-outer joins key on (query, doc) pairs — pool-sized per
+    query, so the fused frame is ``n_queries × pool`` rows and the rank
+    window streams per query; nothing here scales with the corpus.
+    Determinism matches rrf_fuse (fixed-order sum of 1/(k+rank) doubles,
+    id-asc ties)."""
+    if not rankings:
+        raise ValueError("rrf_fuse_grouped needs at least one ranking")
+    keys = [query_col, id_col]
+    renamed = [
+        r.select(*keys, F.col("rank").alias(f"_r{i}"))
+        for i, r in enumerate(rankings)
+    ]
+    joined = renamed[0]
+    for nxt in renamed[1:]:
+        joined = joined.join(nxt, keys, "full_outer")
+    score = None
+    for i in range(len(renamed)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"_r{i}").cast("double")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    from pyspark.sql.window import Window
+
+    scored = joined.select(*keys, score.alias(score_col))
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= topk
+    )

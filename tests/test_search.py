@@ -146,3 +146,27 @@ def test_hybrid_topk_end_to_end(spark):
     if both:
         got_ranks = {r.doc_id: r.rank for r in rows}
         assert min(got_ranks.get(d, 99) for d in both) <= 3
+
+
+def test_rrf_grouped_matches_per_query_fuse(spark):
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.operators.search import rrf_fuse, rrf_fuse_grouped
+
+    a_rows = [(q, d, r) for q in (0, 1) for r, d in enumerate([10 + q, 20 + q, 30 + q], 1)]
+    b_rows = [(q, d, r) for q in (0, 1) for r, d in enumerate([30 + q, 40 + q, 10 + q], 1)]
+    a = spark.createDataFrame(a_rows, "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame(b_rows, "query_id long, doc_id long, rank long")
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.rrf)
+        for r in rrf_fuse_grouped([a, b], topk=4).collect()
+    }
+    # per-query single fuse gives identical results
+    for q in (0, 1):
+        single = rrf_fuse(
+            [a.where(F.col("query_id") == q).drop("query_id"),
+             b.where(F.col("query_id") == q).drop("query_id")],
+            topk=4,
+        ).collect()
+        for r in single:
+            assert got[(q, r.rank)] == (r.doc_id, r.rrf)
