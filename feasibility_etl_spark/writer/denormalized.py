@@ -122,3 +122,27 @@ def write_partitioned(
     small-files problem instead.
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in ``df``, leaving every other partition untouched — the
+    incremental-job primitive (rerun yesterday's load without nuking the
+    table; plain ``mode("overwrite")`` + partitionBy deletes EVERYTHING
+    first, the classic production incident). Implemented with a scoped
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` so the session
+    default (static — the safe-by-noisy-failure setting for full
+    rewrites) is restored afterwards. Idempotent under retry: a replayed
+    job rewrites the same partitions to the same content."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

@@ -153,3 +153,46 @@ def test_hash_id_dims_resolve_fks_consistently(spark, dims):
     # no Window sort anywhere in the dim plan (the strategy's point)
     plan = res.dims["jira_user"]._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from feasibility_etl_spark.writer.denormalized import (
+        overwrite_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [(d, i, "v1") for d in ("d1", "d2", "d3") for i in range(5)],
+        "day string, id long, v string",
+    )
+    write_partitioned(base, path, ["day"])
+
+    # incremental rerun of day 2 only, with different content
+    day2 = spark.createDataFrame(
+        [("d2", i, "v2") for i in range(3)], "day string, id long, v string"
+    )
+    overwrite_partitions(day2, path, ["day"])
+
+    back = spark.read.parquet(path)
+    by_day = {
+        r.day: (r.n, r.vs)
+        for r in back.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_set("v").alias("vs"))
+        .collect()
+    }
+    assert by_day["d1"] == (5, ["v1"]) and by_day["d3"] == (5, ["v1"])
+    assert by_day["d2"] == (3, ["v2"])  # replaced, not appended
+    # the session default is restored (static)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() != "dynamic"
+
+    # idempotent under retry
+    overwrite_partitions(day2, path, ["day"])
+    assert spark.read.parquet(path).count() == 13
+
+    # contrast: the naive static overwrite destroys the other days —
+    # the footgun overwrite_partitions exists to remove
+    write_partitioned(day2, path, ["day"], mode="overwrite")
+    assert {r.day for r in spark.read.parquet(path).select("day").distinct().collect()} == {"d2"}
