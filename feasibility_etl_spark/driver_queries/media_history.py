@@ -157,7 +157,9 @@ def q_sim_ann(spark: SparkSession, sf: str) -> DataFrame:
     SIM-LSH (hyperplane buckets + multiprobe), SIM-IVF (k-means cells +
     nprobe), SIM-PQ (product-quantization ADC + exact re-rank), and
     SIM-IVFPQ (fused coarse cells + residual PQ codes — the production
-    serving shape). Rows-only by design (seeded hyperplanes / iterative
+    serving shape), and SIM-IVFBQ (coarse cells + 1-bit Hamming shortlist
+    + exact re-rank — the codebook-free memory-light tier). Rows-only by
+    design (seeded hyperplanes / iterative
     k-means have no SQL twin); recall vs the SIM-TOPK exact baseline pinned
     in tests."""
     emb = load(spark, sf, "embeddings")
@@ -176,12 +178,21 @@ def q_sim_ann(spark: SparkSession, sf: str) -> DataFrame:
         emb, queries, k=10, n_cells=16, nprobe=4, n_subspaces=8, n_codes=16,
         train_fraction=0.5, max_iter=4, refine=4,
     )
+    from ..operators.similarity import ivfbq_topk
+
+    ivfbq = ivfbq_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, shortlist=40,
+        train_fraction=0.5, max_iter=8,
+    )
     parts = [
         df.select(
             F.lit(method).alias("method"), "query_id", "vec_id", "cos_sim",
             F.col("rank").cast("long").alias("rank"),
         )
-        for method, df in (("lsh", lsh), ("ivf", ivf), ("pq", pq), ("ivfpq", ivfpq))
+        for method, df in (
+            ("lsh", lsh), ("ivf", ivf), ("pq", pq), ("ivfpq", ivfpq),
+            ("ivfbq", ivfbq),
+        )
     ]
     out = parts[0]
     for p in parts[1:]:

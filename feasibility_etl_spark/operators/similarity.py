@@ -938,3 +938,112 @@ def hamming_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= k
     )
+
+
+def ivfbq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    shortlist: int = 40,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    max_iter: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Fused IVF + binary quantization: k-means cells prune WHICH rows
+    are read (~nprobe/n_cells of the corpus), 1-bit Hamming distance
+    prunes WHICH of those pay a float dot product (a ``shortlist`` per
+    query via XOR+popcount over 32x-compressed codes), exact cosine
+    re-ranks the shortlist — the memory-light modern serving recipe
+    (IVF-PQ's sibling: where PQ approximates the SCORE with trained
+    codebooks, BQ is codebook-free and only approximates the ORDER,
+    fixed by the exact re-rank). Recall vs brute force is pinned in
+    tests; the internals (k-means) keep this rows-only like the other
+    trained ANN tiers.
+
+    Scale shape: the cell join reads nprobe/n_cells of the code table;
+    Hamming scoring touches only packed longs (the float vectors are
+    attached AFTER the shortlist by an id-keyed join, so full vectors
+    ride through neither the cell join nor the Hamming stage)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus if train_fraction >= 1.0 else corpus.sample(train_fraction, seed)
+    featurized = train.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(
+        featurized
+    )
+    assigned = (
+        model.transform(
+            corpus.select(
+                F.col(corpus_id),
+                F.col(corpus_vec),
+                array_to_vector(F.col(corpus_vec).cast("array<double>")).alias(
+                    "features"
+                ),
+            )
+        ).select(F.col(corpus_id), F.col(corpus_vec), F.col("prediction").alias("_cell"))
+    )
+    codes = binary_quantize(assigned, vec_col=corpus_vec, out_col="_bq").select(
+        corpus_id, "_cell", "_bq"
+    )
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "_cell int, _centroid array<double>",
+    )
+    q_bq = binary_quantize(queries, vec_col=query_vec, out_col="_qbq")
+
+    probe_w = Window.partitionBy(query_id).orderBy(F.col("_dist2"), F.col("_cell"))
+    probes = (
+        q_bq.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(query_id), F.col(query_vec), F.col("_qbq"), F.col("_cell"),
+            F.aggregate(
+                F.zip_with(
+                    F.col(query_vec), F.col("_centroid"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("_dist2"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select(query_id, query_vec, "_qbq", "_cell")
+    )
+
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("_bq"), F.col("_qbq"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    short_w = Window.partitionBy(query_id).orderBy(F.asc("_ham"), F.asc(corpus_id))
+    shortlisted = (
+        codes.join(F.broadcast(probes.select(query_id, "_qbq", "_cell")), "_cell")
+        .where(F.col(query_id) != F.col(corpus_id))
+        .select(F.col(query_id), F.col(corpus_id), ham.alias("_ham"))
+        .withColumn("_sr", F.row_number().over(short_w))
+        .where(F.col("_sr") <= shortlist)
+        .select(query_id, corpus_id)
+    )
+
+    rerank = (
+        shortlisted.join(assigned.select(corpus_id, corpus_vec), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(
+            F.col(query_id), F.col(corpus_id),
+            cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return rerank.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -360,3 +360,32 @@ def test_hamming_correlates_with_cosine(spark):
     )
     top = hamming_topk(bq, q, k=2).orderBy("rank").collect()
     assert top[0].vec_id == 1  # the perturbed twin ranks first
+
+
+def test_ivfbq_recall_and_shortlist_containment(spark):
+    from feasibility_etl_spark.operators.similarity import ivfbq_topk, ivf_topk
+
+    corpus = clustered_embeddings(spark)
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(corpus, queries, k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    fused = ivfbq_topk(
+        corpus, queries, k=10, n_cells=8, nprobe=2, shortlist=40
+    )
+    rows = fused.collect()
+    a = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(e & a) / len(e)
+    # 1-bit codes + exact re-rank at nprobe=2 of 8 cells: recall holds up
+    # against the float-scoring IVF at the same probe budget
+    ivf = ivf_topk(corpus, queries, k=10, n_cells=8, nprobe=2)
+    recall_ivf = len(e & {(r.query_id, r.vec_id) for r in ivf.collect()}) / len(e)
+    assert recall > 0.8, f"ivf-bq recall {recall}"
+    assert recall >= recall_ivf - 0.1, (recall, recall_ivf)
+    # output is well-formed per query
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
