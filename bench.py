@@ -269,6 +269,54 @@ def run_exact_gate_bench(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_rows
 
 
+def run_exact_gate_10x_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """The exact gate at 10x micro-batch size — the amortization proof
+    the minhash-gate 10x entry gives its family: rows/s should scale
+    near-linearly with batch size because the per-batch cost is fixed
+    (checkpoint commit, bloom merge, plan bring-up) while the per-row
+    cost is one md5 probe. Same 10-replica corpus recipe as
+    run_dedup_gate_10x_bench — shuffled-word replicas keep fingerprints
+    distinct from their parents, so the gate does representative work."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.operators.text import tokens
+    from feasibility_etl_spark.sources.catalog import load as cat_load
+    from feasibility_etl_spark.streaming.bloom_gate import exact_dedup_gate_sink
+
+    staging = "/tmp/spark_graft_xgate10_stage"
+    ckpt = staging + "_ckpt"
+    out = staging + "_out"
+    for p in (staging, ckpt, out):
+        shutil.rmtree(p, ignore_errors=True)
+    docs = cat_load(spark, sf_dir, "documents").select("doc_id", "text")
+    replicas = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.col("text")
+            if i == 0
+            else F.concat_ws(" ", F.shuffle(tokens("text"))).alias("text"),
+        )
+        for i in range(10)
+    ]
+    big = replicas[0]
+    for r in replicas[1:]:
+        big = big.unionByName(r)
+    n_rows = big.count()
+    big.repartition(8).write.mode("overwrite").parquet(staging)
+
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging)
+    )
+    q = exact_dedup_gate_sink(stream, out, ckpt, shuffle_partitions=8)
+    q.awaitTermination()
+    return time.time() - t0, n_rows
+
+
 def run_scd2_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
     """Streaming SCD2 fold at bench SF: per-user event_type observations
     replayed as a 4-micro-batch CDC stream through scd2_sink — every
@@ -532,6 +580,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error stream-exact-gate: {e}", file=sys.stderr)
     timings["stream-exact-gate"] = xgate_s
+    xgate10_s, n_xgate10 = -1.0, 0
+    try:
+        xgate10_s, n_xgate10 = run_exact_gate_10x_bench(spark, sf_dir)
+        xgate10_s = round(xgate10_s, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error stream-exact-gate-10x: {e}", file=sys.stderr)
+    timings["stream-exact-gate-10x"] = xgate10_s
     scd2s_s, n_scd2s = -1.0, 0
     try:
         scd2s_s, n_scd2s = run_scd2_sink_bench(spark, sf_dir)
@@ -564,6 +619,9 @@ def main() -> None:
                 ),
                 "stream_exact_gate_rows_per_sec": (
                     round(n_xgate / xgate_s) if xgate_s > 0 else None
+                ),
+                "stream_exact_gate_10x_rows_per_sec": (
+                    round(n_xgate10 / xgate10_s) if xgate10_s > 0 else None
                 ),
                 "stream_scd2_rows_per_sec": (
                     round(n_scd2s / scd2s_s) if scd2s_s > 0 else None
