@@ -264,7 +264,12 @@ def run_exact_gate_bench(spark, sf_dir: str) -> tuple[float, int]:
         .option("maxFilesPerTrigger", "2")
         .parquet(staging)
     )
-    q = exact_dedup_gate_sink(stream, out, ckpt, shuffle_partitions=8)
+    # m_bits sized per the sink's own guidance (~10 bits per expected
+    # accepted doc): an undersized filter saturates and every row takes
+    # the exact tier, measuring index scans instead of the gate
+    q = exact_dedup_gate_sink(
+        stream, out, ckpt, m_bits=1 << 20, shuffle_partitions=8
+    )
     q.awaitTermination()
     return time.time() - t0, n_rows
 
@@ -312,7 +317,9 @@ def run_exact_gate_10x_bench(spark, sf_dir: str) -> tuple[float, int]:
         .option("maxFilesPerTrigger", "2")
         .parquet(staging)
     )
-    q = exact_dedup_gate_sink(stream, out, ckpt, shuffle_partitions=8)
+    q = exact_dedup_gate_sink(
+        stream, out, ckpt, m_bits=1 << 20, shuffle_partitions=8
+    )
     q.awaitTermination()
     return time.time() - t0, n_rows
 

@@ -862,14 +862,25 @@ def truncate_embeddings(
     prefix stays all-zero instead of dividing by zero. Cosine over the
     output needs no further normalization (vectors are unit length)."""
     out = out_col or vec_col
-    prefix = F.slice(F.col(vec_col), 1, dim)
-    nrm = l2_norm(prefix)
-    normed = F.transform(
-        prefix, lambda x: F.when(nrm == 0, F.lit(0.0)).otherwise(
-            x.cast("double") / nrm
-        )
+    # Stage the norm as a plain column BEFORE the transform: HOF lambdas
+    # evaluate interpreted with no CSE (the repo's documented lesson), so
+    # an l2_norm fold referenced inside the lambda would re-run its
+    # O(dim) aggregate per ELEMENT — O(dim^2) per row at real embedding
+    # dims. The staged alias is referenced twice in the lambda (guard +
+    # divide), which keeps CollapseProject from inlining the non-cheap
+    # fold back into the lambda body (single-use aliases are inlined
+    # regardless of cost); plan-asserted in tests/test_similarity.py.
+    tmp_p, tmp_n = "__mrl_prefix", "__mrl_nrm"
+    staged = df.withColumn(tmp_p, F.slice(F.col(vec_col), 1, dim)).withColumn(
+        tmp_n, l2_norm(F.col(tmp_p))
     )
-    return df.withColumn(out, normed)
+    normed = F.transform(
+        F.col(tmp_p),
+        lambda x: F.when(F.col(tmp_n) == 0, F.lit(0.0)).otherwise(
+            x.cast("double") / F.col(tmp_n)
+        ),
+    )
+    return staged.withColumn(out, normed).drop(tmp_p, tmp_n)
 
 
 def binary_quantize(
@@ -883,11 +894,15 @@ def binary_quantize(
     smaller than float32 and Hamming distance becomes XOR + popcount —
     the cheapest ANN tier; re-rank survivors with exact cosine. Pure
     per-row math, zero shuffle, no seeds (the sign function IS the
-    quantizer), so any engine reproduces the codes bit-for-bit."""
+    quantizer), so any engine reproduces the codes bit-for-bit. An empty
+    vector codes to an empty word array (guarded: an unclamped
+    ``sequence(0, n_words-1)`` would yield the DESCENDING ``[0, -1]``
+    for n_words=0 and emit two spurious zero words whose length mismatch
+    silently corrupts zip_with Hamming distances downstream)."""
     vec = F.col(vec_col)
     n_words = F.ceil(F.size(vec) / F.lit(32)).cast("int")
     words = F.transform(
-        F.sequence(F.lit(0), n_words - 1),
+        F.sequence(F.lit(0), F.greatest(n_words, F.lit(1)) - 1),
         lambda w: F.aggregate(
             F.sequence(F.lit(0), F.lit(31)),
             F.lit(0).cast("long"),
@@ -900,7 +915,10 @@ def binary_quantize(
             ).otherwise(acc),
         ),
     )
-    return df.withColumn(out_col, words)
+    return df.withColumn(
+        out_col,
+        F.when(F.size(vec) == 0, F.array().cast("array<long>")).otherwise(words),
+    )
 
 
 def hamming_topk(

@@ -37,9 +37,28 @@ def read_csv(
 ) -> DataFrame:
     """Read CSV with an EXPLICIT schema. With ``keep_corrupt_col`` the
     malformed raw lines ride along in ``_corrupt_record`` (text source +
-    ``from_csv`` — fully prunable, no caching workaround; the header
-    line is excluded by value match since the text source has no header
-    notion). Otherwise the native reader applies ``mode`` directly."""
+    ``from_csv`` — fully prunable, no caching workaround).
+
+    ``keep_corrupt_col`` limitations (the text-source formulation trades
+    them for prunable corrupt capture; use the native path — default —
+    when they matter):
+
+    - **Header is excluded by VALUE, not position** (the text source has
+      no header notion): both the bare and the fully-``quote``-wrapped
+      renderings of the schema's field names (with the configured
+      ``sep``) are dropped — so a header written by a quoting writer is
+      recognized — but a header using a DIFFERENT separator/quoting
+      convention lands as a corrupt record, and a legitimate data line
+      that exactly equals the header rendering is silently dropped.
+      A positional first-line-per-file exclusion would need a per-file
+      row index, which the distributed text source cannot provide
+      without an RDD zipWithIndex pass.
+    - **Multiline quoted records are unsupported**: the text source
+      splits on newlines before ``from_csv`` parses, so a quoted field
+      containing a newline arrives as two corrupt fragments. The native
+      reader (``keep_corrupt_col=False`` + ``multiLine=true``) handles
+      them.
+    """
     if keep_corrupt_col:
         full = T.StructType(
             list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
@@ -54,8 +73,13 @@ def read_csv(
         }
         raw = spark.read.text(path).where(F.trim("value") != "")
         if header:
-            header_line = ",".join(f.name for f in schema.fields)
-            raw = raw.where(F.col("value") != F.lit(header_line))
+            names = [f.name for f in schema.fields]
+            header_bare = sep.join(names)
+            header_quoted = sep.join(f"{quote}{n}{quote}" for n in names)
+            raw = raw.where(
+                (F.col("value") != F.lit(header_bare))
+                & (F.col("value") != F.lit(header_quoted))
+            )
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in full.fields)
         parsed = raw.select(F.from_csv("value", ddl, opts).alias("_r"))
         return parsed.select("_r.*")

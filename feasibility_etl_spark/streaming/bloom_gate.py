@@ -7,10 +7,9 @@ exact_dedup family key) against everything accepted so far. Where the
 near-dup gate must band-join the MinHash index every batch, exact
 membership admits a two-tier check:
 
-1. **Bloom tier (always, tiny)**: the accepted-so-far Bloom filter is
-   the OR of per-batch filters — a few KB per batch, merged in
-   milliseconds (``sketches.bloom_merge``). Batch rows whose
-   fingerprint misses the filter are DEFINITELY new (no false
+1. **Bloom tier (always, tiny)**: one CUMULATIVE Bloom filter — the OR
+   of every accepted fingerprint so far — probed per row. Batch rows
+   whose fingerprint misses the filter are DEFINITELY new (no false
    negatives) and skip membership entirely.
 2. **Exact tier (only when the Bloom says maybe)**: suspects' distinct
    fingerprints broadcast against the persisted fingerprint index in a
@@ -24,24 +23,60 @@ accepted corpus is EXACTLY ``exact_dedup`` of the arrival stream (with
 first-arrival-wins ordering) — pinned against the batch operator in
 tests/test_bloom_gate.py.
 
-Durability (the dedup_gate rules): nothing collects to the driver;
-every batch overwrites its OWN ``batch_id=N`` directories (replay of an
-at-least-once micro-batch replaces, never duplicates); state reads
-always exclude ``batch_id >= current`` so a replayed batch never gates
-against its prior attempt. State layout under ``base_dir``:
-``docs/batch_id=N`` (accepted documents), ``fps/batch_id=N`` (their
-fingerprints), ``bloom/batch_id=N`` (their Bloom filter, one row).
+Per-batch cost discipline (the round-4 profile showed per-batch FIXED
+costs dominating: a ~1.2 s distributed bloom build, re-reading and
+re-merging every prior batch's filter, and ~3 recomputations of the
+fingerprinted batch across the gate's actions):
+
+- The fingerprinted, batch-internally-deduped frame is built ONCE and
+  ``persist()``-ed; every downstream action (suspect probe, doc write,
+  fp write, bloom update) reads the cache instead of re-running the
+  md5+window subtree.
+- Bloom state is CUMULATIVE: ``bloom/batch-N.bin`` holds the merged
+  filter through batch N, so a batch reads exactly ONE small file
+  (its predecessor) instead of re-listing and re-OR-ing N per-batch
+  filters — state read stays O(1) as the stream ages. The file is raw
+  little-endian int64 words written through the Hadoop FileSystem API
+  (works on s3a://, hdfs://, file://) with a write-tmp-then-rename
+  commit: a Spark job exists to write DATASETS; scheduling one per
+  micro-batch to move a 64 KB sketch measured ~0.5 s of pure overhead.
+- The batch's new bits are aggregated SPARSE in Spark (probe explode →
+  one map-side-combined ``bit_or`` shuffle, at most ``m_bits/32`` rows
+  regardless of batch size) and OR-ed into the predecessor filter
+  driver-side. A Bloom filter is driver-sized BY CONSTRUCTION
+  (``m_bits/8`` bytes — 64 KB at the 2^18 default); this is the same
+  bounded-driver-solve policy as the tokenizer word tables, not a
+  corpus-scale collect.
+- The docs write and the sparse-bits aggregation are independent jobs
+  over the SAME cached survivors; the sink submits them concurrently
+  (two driver threads), so the batch pays max(write, aggregate) instead
+  of their sum.
+
+Durability (the dedup_gate rules): corpus data never collects to the
+driver; every batch overwrites its OWN ``batch_id=N`` directories
+(replay of an at-least-once micro-batch replaces, never duplicates);
+state reads always exclude ``batch_id >= current`` so a replayed batch
+never gates against its prior attempt — for the cumulative bloom that
+means reading exactly ``batch_id = N-1`` (foreachBatch ids are
+contiguous under the checkpoint contract; batch N only exists after
+N-1 committed). State layout under ``base_dir``: ``docs/batch_id=N``
+(accepted documents WITH their ``fp`` fingerprint column — the
+fingerprint index is a column-pruned read of the docs state, not a
+second write job per batch) and ``bloom/batch-N.bin`` (the cumulative
+filter through batch N).
 """
 
 from __future__ import annotations
 
 import os
+import struct
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.sketches import bloom_build, bloom_maybe_contains, bloom_merge
+from ..operators.sketches import _bloom_probes, bloom_maybe_contains
 from ..operators.text import fingerprint
 from .conf import scoped_shuffle_partitions
 
@@ -60,6 +95,72 @@ def _read_state(
     return df.where(F.col("batch_id") < F.lit(before_batch)).drop("batch_id")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` through the JVM Hadoop FS API —
+    the same abstraction Spark's own writers use, so the sketch-state
+    files land wherever the dataset state does (file://, hdfs://,
+    s3a://) without a per-scheme driver code path."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _bloom_path(bloom_dir: str, batch_id: int) -> str:
+    return os.path.join(bloom_dir, f"batch-{batch_id}.bin")
+
+
+def _write_bloom_words(
+    spark: SparkSession, bloom_dir: str, batch_id: int, words: list[int]
+) -> None:
+    """Commit the cumulative filter through ``batch_id`` as raw little-
+    endian int64 words: write to a ``.tmp`` sibling, then delete-and-
+    rename over the final name (replays replace, never append)."""
+    final = _bloom_path(bloom_dir, batch_id)
+    fs, jfinal = _hadoop_fs(spark, final)
+    _, jtmp = _hadoop_fs(spark, final + ".tmp")
+    out = fs.create(jtmp, True)
+    out.write(bytearray(struct.pack(f"<{len(words)}q", *words)))
+    out.close()
+    if fs.exists(jfinal):
+        fs.delete(jfinal, False)
+    fs.rename(jtmp, jfinal)
+
+
+def _read_prev_bloom(
+    spark: SparkSession, bloom_dir: str, batch_id: int
+) -> list[int] | None:
+    """The cumulative filter through batch ``batch_id - 1`` as a driver
+    list of words (one small-file read — never a listing or merge of
+    all prior batches), or None when no predecessor exists."""
+    if batch_id <= 0:
+        return None
+    path = _bloom_path(bloom_dir, batch_id - 1)
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    inp = fs.open(jpath)
+    try:
+        blob = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(inp))
+    finally:
+        inp.close()
+    return list(struct.unpack(f"<{len(blob) // 8}q", blob))
+
+
+def _fingerprint_dedup(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``batch`` + ``_fp``, keeping the min-id row per fingerprint
+    (first-arrival-wins). One window shuffle, NO broadcast: the
+    groupBy-min + broadcast-semi-join alternative force-broadcasts the
+    distinct-fp set, which is not broadcast-sized for batch backfills."""
+    b = batch.withColumn("_fp", fingerprint(text_col))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        b.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def exact_gate_batch(
     batch: DataFrame,
     fps_index: DataFrame | None,
@@ -68,30 +169,67 @@ def exact_gate_batch(
     id_col: str = "doc_id",
     m_bits: int = 1 << 18,
     n_hashes: int = 5,
+    fingerprinted: bool = False,
 ) -> DataFrame:
     """One gating step: the subset of ``batch`` surviving exact dedup
     against the accepted state and smaller-id batch-mates. Returns the
     batch columns plus ``_fp``. Usable directly for batch backfills;
-    the sink wraps it per micro-batch."""
-    b = batch.withColumn("_fp", fingerprint(text_col))
-    keep = b.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    b = b.join(F.broadcast(keep), [id_col, "_fp"], "left_semi")
-    if bloom_row is None or fps_index is None:
+    the sink wraps it per micro-batch (passing ``fingerprinted=True``
+    with a persisted pre-fingerprinted frame so the md5+window subtree
+    runs once across the gate's several actions).
+
+    A missing ``bloom_row`` with a PRESENT ``fps_index`` degrades
+    safely: every distinct fingerprint becomes a suspect (exactness
+    preserved, fast path lost) — lost bloom state can never admit a
+    duplicate."""
+    b = batch if fingerprinted else _fingerprint_dedup(batch, text_col, id_col)
+    if fps_index is None:
         return b
-    suspects = (
-        b.crossJoin(F.broadcast(bloom_row))
-        .where(bloom_maybe_contains(F.col("_fp"), F.col("bloom"), m_bits, n_hashes))
-        .select("_fp")
-        .distinct()
-    )
-    if suspects.isEmpty():
-        # definite-new batch: the fingerprint index is never scanned
-        return b
-    matched = fps_index.select("fp").join(
-        F.broadcast(suspects.withColumnRenamed("_fp", "fp")), "fp", "left_semi"
-    )
-    return b.join(
-        F.broadcast(matched.withColumnRenamed("fp", "_fp")), "_fp", "left_anti"
+    # no .distinct(): b is already one row per fingerprint (the window
+    # dedup), so the extra shuffle bought nothing per batch
+    if bloom_row is not None:
+        suspects = (
+            b.crossJoin(F.broadcast(bloom_row))
+            .where(bloom_maybe_contains(F.col("_fp"), F.col("bloom"), m_bits, n_hashes))
+            .select("_fp")
+        )
+    else:
+        suspects = b.select("_fp")
+    # cache the tiny suspect set: it feeds both the isEmpty probe and the
+    # semi-join below — without it the probe plan runs twice per batch
+    suspects = suspects.persist()
+    try:
+        if suspects.isEmpty():
+            # definite-new batch: the fingerprint index is never scanned
+            return b
+        matched = fps_index.select("fp").join(
+            F.broadcast(suspects.withColumnRenamed("_fp", "fp")), "fp", "left_semi"
+        )
+        return b.join(
+            F.broadcast(matched.withColumnRenamed("fp", "_fp")), "_fp", "left_anti"
+        )
+    finally:
+        suspects.unpersist()
+
+
+def _sparse_bloom_words(fps: DataFrame, m_bits: int, n_hashes: int) -> list:
+    """The set bits of ``fps.fp`` as sparse ``(_w, _word)`` rows — probe
+    explode + one map-side-combined bit_or shuffle; the collect is
+    bounded by ``m_bits/32`` rows no matter the batch size."""
+    probes = F.array(*_bloom_probes(F.col("fp"), m_bits, n_hashes))
+    return (
+        fps.select(F.explode(probes).alias("_p"))
+        .select(
+            F.shiftright(F.col("_p"), 5).alias("_w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.col("_p").bitwiseAND(F.lit(31)).cast("int"),
+            ).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_word"))
+        .collect()
     )
 
 
@@ -107,47 +245,50 @@ def exact_dedup_gate_sink(
     shuffle_partitions: int | None = None,
 ):
     """Start the exact-dedup gate as a ``foreachBatch`` streaming query
-    (see module docstring for tiers, layout, and replay semantics).
-    ``m_bits`` sizes the PER-BATCH filters; the merged filter keeps that
-    size (OR of aligned words), so FPR grows with total accepted volume
-    — size it for the expected corpus (~10 bits per accepted doc for
-    ~1% FPR; a saturated filter only degrades the fast path, never
-    correctness)."""
+    (see module docstring for tiers, layout, cost discipline, and replay
+    semantics). ``m_bits`` sizes the cumulative filter; FPR grows with
+    total accepted volume — size it for the expected corpus (~10 bits
+    per accepted doc for ~1% FPR; a saturated filter only degrades the
+    fast path, never correctness)."""
     docs_dir = os.path.join(base_dir, "docs")
-    fps_dir = os.path.join(base_dir, "fps")
     bloom_dir = os.path.join(base_dir, "bloom")
+    n_words = m_bits // 32
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         with scoped_shuffle_partitions(spark, shuffle_partitions):
-            fps_index = _read_state(spark, fps_dir, before_batch=batch_id)
-            blooms = _read_state(spark, bloom_dir, before_batch=batch_id)
-            merged = None
-            if blooms is not None and not blooms.isEmpty():
-                # one 8K-word row, but rebuilding it re-reads every batch's
-                # bloom file — and it is referenced by the isEmpty probe AND
-                # the survivor plan, so cache it for the batch's lifetime
-                merged = bloom_merge(blooms).persist()
+            docs_state = _read_state(spark, docs_dir, before_batch=batch_id)
+            fps_index = docs_state.select("fp") if docs_state is not None else None
+            prev = _read_prev_bloom(spark, bloom_dir, batch_id)
+            bloom_row = (
+                spark.createDataFrame([(prev,)], "bloom array<long>")
+                if prev is not None
+                else None
+            )
+            b = _fingerprint_dedup(batch, text_col, id_col).persist()
             survivors = exact_gate_batch(
-                batch, fps_index, merged, text_col, id_col, m_bits, n_hashes
+                b, fps_index, bloom_row, text_col, id_col, m_bits, n_hashes,
+                fingerprinted=True,
             ).persist()
             try:
-                survivors.drop("_fp").write.mode("overwrite").parquet(
-                    os.path.join(docs_dir, f"batch_id={batch_id}")
-                )
                 new_fps = survivors.select(F.col("_fp").alias("fp"))
-                new_fps.write.mode("overwrite").parquet(
-                    os.path.join(fps_dir, f"batch_id={batch_id}")
-                )
-                bloom_build(
-                    new_fps, "fp", m_bits=m_bits, n_hashes=n_hashes
-                ).write.mode("overwrite").parquet(
-                    os.path.join(bloom_dir, f"batch_id={batch_id}")
-                )
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    write_f = pool.submit(
+                        lambda: survivors.withColumnRenamed("_fp", "fp")
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(docs_dir, f"batch_id={batch_id}"))
+                    )
+                    sparse_f = pool.submit(
+                        _sparse_bloom_words, new_fps, m_bits, n_hashes
+                    )
+                    merged = list(prev) if prev is not None else [0] * n_words
+                    for r in sparse_f.result():
+                        merged[r["_w"]] |= r["_word"]
+                    write_f.result()
+                _write_bloom_words(spark, bloom_dir, batch_id, merged)
             finally:
                 survivors.unpersist()
-                if merged is not None:
-                    merged.unpersist()
+                b.unpersist()
 
     writer = (
         docs_stream.writeStream.foreachBatch(_process)

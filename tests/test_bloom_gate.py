@@ -102,10 +102,18 @@ def test_streaming_equals_batch_exact_dedup(spark, tmp_path):
     assert texts == {
         r.text.strip().lower() for r in batch_equiv.collect()
     }
-    # fingerprint index mirrors the corpus 1:1; bloom state has one row per batch
-    assert spark.read.parquet(base + "/fps").count() == 4
-    blooms = spark.read.parquet(base + "/bloom")
-    assert blooms.count() == 3 and set(blooms.columns) >= {"bloom", "batch_id"}
+    # the fingerprint index IS the docs state's fp column (one write per
+    # batch, column-pruned on read); bloom state: one CUMULATIVE filter
+    # file per batch — later filters contain every earlier set bit
+    fps = spark.read.parquet(base + "/docs").select("fp")
+    assert fps.count() == fps.distinct().count() == 4
+    from feasibility_etl_spark.streaming.bloom_gate import _read_prev_bloom
+
+    first = _read_prev_bloom(spark, base + "/bloom", 1)   # through batch 0
+    last = _read_prev_bloom(spark, base + "/bloom", 3)    # through batch 2
+    assert first is not None and last is not None
+    assert any(w != 0 for w in first)
+    assert all((a & b) == a for a, b in zip(first, last))  # monotone OR
 
 
 def test_replay_excludes_own_state_partition(spark, tmp_path):

@@ -81,3 +81,17 @@ def test_partitioned_layout(spark, tmpdir):
     assert {d for d in os.listdir(path) if d.startswith("lang=")} == {
         f"lang={l}" for l in langs
     }
+
+
+def test_corrupt_path_drops_quoted_header_variant(spark, tmpdir):
+    # a header written by a quoting writer ("a","b") must also be
+    # recognized in the keep_corrupt_col text path, not land as corrupt
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    p = os.path.join(tmpdir, "quoted_header.csv")
+    with open(p, "w") as f:
+        f.write('"a","b"\n1,x\n2,y\n')
+    out = read_csv(spark, p, schema, keep_corrupt_col=True).collect()
+    assert sorted((r.a, r.b) for r in out) == [(1, "x"), (2, "y")]
+    assert all(r[CORRUPT_COL] is None for r in out)

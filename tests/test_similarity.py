@@ -296,6 +296,35 @@ def test_truncate_embeddings_unit_norm_and_zero_safe(spark):
     assert abs(math.hypot(*out[1]) - 1.0) < 1e-12
 
 
+def test_truncate_embeddings_norm_stays_staged(spark):
+    # HOF lambdas have no CSE: if CollapseProject inlined the staged
+    # l2-norm fold back into the transform lambda, it would re-run per
+    # ELEMENT (O(dim^2) per row). The dual reference (guard + divide)
+    # keeps the alias un-inlined — pin it in the optimized plan.
+    from feasibility_etl_spark.operators.similarity import truncate_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    plan = (
+        truncate_embeddings(df, 2)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "__mrl_nrm" in plan
+
+
+def test_binary_quantize_empty_vector_codes_empty(spark):
+    # unclamped sequence(0, -1) would yield descending [0, -1] -> two
+    # spurious zero words whose length corrupts zip_with Hamming math
+    from feasibility_etl_spark.operators.similarity import binary_quantize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, [])], "vec_id long, embedding array<double>"
+    )
+    out = {r.vec_id: r.bq for r in binary_quantize(df).collect()}
+    assert out[2] == []
+    assert out[1] == [1]
+
+
 def test_binary_quantize_packs_sign_bits(spark):
     from feasibility_etl_spark.operators.similarity import binary_quantize
 
