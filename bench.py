@@ -89,6 +89,32 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.time() - t0
 
 
+# Median-of-N timing: single-rep numbers on this host swing with ±40%
+# ambient variance and forced a manual "is it a regression or noise?"
+# triage three rounds running (every flagged regression turned out to be
+# noise). The median absorbs one bad rep per query; the rep count rides
+# in the output JSON so round-over-round comparisons know what they read.
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def run_query_med(spark, name: str, sf_dir: str) -> float:
+    return _median([run_query(spark, name, sf_dir) for _ in range(BENCH_REPS)])
+
+
+def run_stream_med(fn, spark, sf_dir: str) -> tuple[float, int]:
+    """Median-of-reps for the streaming entries (each rep is a full
+    stage→stream→drain cycle; row count is constant across reps)."""
+    runs = [fn(spark, sf_dir) for _ in range(BENCH_REPS)]
+    sec = _median([s for s, _ in runs])
+    return sec, runs[0][1]
+
+
 def run_stream_bench(spark, sf_dir: str) -> tuple[float, int]:
     """End-to-end Structured Streaming throughput: the events table replayed
     as a file stream (8 files, 2 per trigger → 4 micro-batches) through a
@@ -433,7 +459,10 @@ def run_dedup_gate_10x_bench(spark, sf_dir: str) -> tuple[float, int]:
         .option("maxFilesPerTrigger", "2")
         .parquet(staging)
     )
-    q = near_dup_gate_sink(stream, out, ckpt, shuffle_partitions=32)
+    # width 16, not 32: a 12.5k-doc micro-batch keeps 16 cores busy
+    # through the signature stage, and halving the task/file count per
+    # shuffle+write measured 2x faster end-to-end (scheduler-bound)
+    q = near_dup_gate_sink(stream, out, ckpt, shuffle_partitions=16)
     q.awaitTermination()
     return time.time() - t0, n_rows
 
@@ -529,78 +558,45 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         try:
-            timings[name.lower()] = round(run_query(spark, name, sf_dir), 3)
+            timings[name.lower()] = round(run_query_med(spark, name, sf_dir), 3)
         except Exception as e:  # noqa: BLE001
             timings[name.lower()] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
-    # batch suite total first — "stream-window" is reported per-query but
+    # batch suite total first — streaming entries are reported per-query but
     # excluded from the headline sum so `value` stays comparable round-over-
-    # round (micro-batch/checkpoint fixed costs dominate it at bench SF and
+    # round (micro-batch/checkpoint fixed costs dominate them at bench SF and
     # would drown the batch signal; at production scale they amortize away)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    stream_s, n_events = -1.0, 0
-    try:
-        stream_s, n_events = run_stream_bench(spark, sf_dir)
-        stream_s = round(stream_s, 3)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench error stream-window: {e}", file=sys.stderr)
-    timings["stream-window"] = stream_s
-    denorm_s, n_denorm = -1.0, 0
-    try:
-        denorm_s, n_denorm = run_denorm_sink_bench(spark, sf_dir)
-        denorm_s = round(denorm_s, 3)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench error stream-denorm-sink: {e}", file=sys.stderr)
-    timings["stream-denorm-sink"] = denorm_s
-    sess_s, n_sess = -1.0, 0
-    try:
-        sess_s, n_sess = run_sessionize_bench(spark, sf_dir)
-        sess_s = round(sess_s, 3)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench error stream-sessionize: {e}", file=sys.stderr)
-    timings["stream-sessionize"] = sess_s
-    rest_s, n_rest = -1.0, 0
-    try:
-        rest_s, n_rest = run_rest_bench(spark, sf_dir)
-        rest_s = round(rest_s, 3)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench error rest-ingest: {e}", file=sys.stderr)
-    timings["rest-ingest"] = rest_s
-    gate_s, n_gate = -1.0, 0
-    try:
-        gate_s, n_gate = run_dedup_gate_bench(spark, sf_dir)
-        gate_s = round(gate_s, 3)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench error stream-dedup-gate: {e}", file=sys.stderr)
-    timings["stream-dedup-gate"] = gate_s
-    gate10_s, n_gate10 = -1.0, 0
-    try:
-        gate10_s, n_gate10 = run_dedup_gate_10x_bench(spark, sf_dir)
-        gate10_s = round(gate10_s, 3)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench error stream-dedup-gate-10x: {e}", file=sys.stderr)
-    timings["stream-dedup-gate-10x"] = gate10_s
-    xgate_s, n_xgate = -1.0, 0
-    try:
-        xgate_s, n_xgate = run_exact_gate_bench(spark, sf_dir)
-        xgate_s = round(xgate_s, 3)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench error stream-exact-gate: {e}", file=sys.stderr)
-    timings["stream-exact-gate"] = xgate_s
-    xgate10_s, n_xgate10 = -1.0, 0
-    try:
-        xgate10_s, n_xgate10 = run_exact_gate_10x_bench(spark, sf_dir)
-        xgate10_s = round(xgate10_s, 3)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench error stream-exact-gate-10x: {e}", file=sys.stderr)
-    timings["stream-exact-gate-10x"] = xgate10_s
-    scd2s_s, n_scd2s = -1.0, 0
-    try:
-        scd2s_s, n_scd2s = run_scd2_sink_bench(spark, sf_dir)
-        scd2s_s = round(scd2s_s, 3)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench error stream-scd2-sink: {e}", file=sys.stderr)
-    timings["stream-scd2-sink"] = scd2s_s
+
+    stream_entries = [
+        ("stream-window", run_stream_bench, "stream_rows_per_sec"),
+        ("stream-denorm-sink", run_denorm_sink_bench, "stream_denorm_rows_per_sec"),
+        ("stream-sessionize", run_sessionize_bench, "stream_sessionize_rows_per_sec"),
+        ("rest-ingest", run_rest_bench, "rest_rows_per_sec"),
+        ("stream-dedup-gate", run_dedup_gate_bench, "stream_dedup_gate_rows_per_sec"),
+        (
+            "stream-dedup-gate-10x",
+            run_dedup_gate_10x_bench,
+            "stream_dedup_gate_10x_rows_per_sec",
+        ),
+        ("stream-exact-gate", run_exact_gate_bench, "stream_exact_gate_rows_per_sec"),
+        (
+            "stream-exact-gate-10x",
+            run_exact_gate_10x_bench,
+            "stream_exact_gate_10x_rows_per_sec",
+        ),
+        ("stream-scd2-sink", run_scd2_sink_bench, "stream_scd2_rows_per_sec"),
+    ]
+    rates: dict[str, int | None] = {}
+    for entry_name, fn, rate_key in stream_entries:
+        sec, n = -1.0, 0
+        try:
+            sec, n = run_stream_med(fn, spark, sf_dir)
+            sec = round(sec, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error {entry_name}: {e}", file=sys.stderr)
+        timings[entry_name] = sec
+        rates[rate_key] = round(n / sec) if sec > 0 else None
 
     print(
         json.dumps(
@@ -608,31 +604,10 @@ def main() -> None:
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "reps": BENCH_REPS,
                 "queries": timings,
                 "sf": sf,
-                "stream_rows_per_sec": round(n_events / stream_s) if stream_s > 0 else None,
-                "stream_denorm_rows_per_sec": (
-                    round(n_denorm / denorm_s) if denorm_s > 0 else None
-                ),
-                "rest_rows_per_sec": round(n_rest / rest_s) if rest_s > 0 else None,
-                "stream_sessionize_rows_per_sec": (
-                    round(n_sess / sess_s) if sess_s > 0 else None
-                ),
-                "stream_dedup_gate_rows_per_sec": (
-                    round(n_gate / gate_s) if gate_s > 0 else None
-                ),
-                "stream_dedup_gate_10x_rows_per_sec": (
-                    round(n_gate10 / gate10_s) if gate10_s > 0 else None
-                ),
-                "stream_exact_gate_rows_per_sec": (
-                    round(n_xgate / xgate_s) if xgate_s > 0 else None
-                ),
-                "stream_exact_gate_10x_rows_per_sec": (
-                    round(n_xgate10 / xgate10_s) if xgate10_s > 0 else None
-                ),
-                "stream_scd2_rows_per_sec": (
-                    round(n_scd2s / scd2s_s) if scd2s_s > 0 else None
-                ),
+                **rates,
             }
         )
     )

@@ -505,24 +505,124 @@ def q_wp_encode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ug_vocab_values() -> str:
+    from ..operators.unigram import DEMO_UG_PIECES
+
+    return ", ".join(
+        "('" + p.replace("'", "''") + f"', {lp!r})" for p, lp in DEMO_UG_PIECES
+    )
+
+
+def _ug_maxlen() -> int:
+    from ..operators.unigram import DEMO_UG_PIECES
+
+    return max(len(p) for p, _ in DEMO_UG_PIECES)
+
+
+def _ug_unseen() -> float:
+    from ..operators.unigram import UNSEEN_LOGP
+
+    return UNSEEN_LOGP
+
+
+# UNIGRAM-ENCODE oracle: Viterbi max-sum DP replayed EXACTLY in a
+# recursive CTE. The standard objection — per-state argmax needs keyed
+# recursion — is sidestepped by carrying the DP frontier IN THE ROW:
+# each word advances one character position per iteration, and the row
+# carries the best (cost, segmentation) for the last MAXLEN positions
+# (the only ones a piece can reach back to). A non-recursive `cl` stage
+# precomputes, per (word, position), the list of candidate steps
+# (piece length k, piece string, logp — with the k=1 unseen-char floor),
+# so the recursive term is one join + a list_sort argmax: sort by
+# (-cost, -k) replays the operator's tie-break toward the LONGER piece.
+# Exactness: DEMO_UG_PIECES logps are dyadic (multiples of 2^-20), so
+# every path cost is an exact double in any IEEE engine — scores,
+# comparisons, and ties are bit-identical, never approximately so.
+# Verified piece-for-piece against the pure-Python viterbi_word on the
+# full sf0.01 corpus before freezing.
+def _oracle_unigram_encode() -> str:
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE trim(text) <> ''
+), stream AS (
+  SELECT doc_id, u.i AS pos, t[CAST(u.i AS INT)] AS w
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+), words AS (
+  SELECT DISTINCT w FROM stream
+), vp AS (
+  SELECT * FROM (VALUES {_ug_vocab_values()}) v(piece, lp)
+), cand AS (
+  SELECT c.w, c.i, c.k, c.piece,
+         COALESCE(vp.lp,
+                  CASE WHEN c.k = 1 THEN CAST({_ug_unseen()!r} AS DOUBLE) END
+         ) AS lp
+  FROM (
+    SELECT words.w, p.i, k.k,
+           substr(words.w, CAST(p.i - k.k + 1 AS INT), CAST(k.k AS INT)) AS piece
+    FROM words,
+         unnest(range(1, len(words.w) + 1)) p(i),
+         unnest(range(1, {_ug_maxlen()} + 1)) k(k)
+    WHERE k.k <= p.i
+  ) c LEFT JOIN vp ON vp.piece = c.piece
+), cl AS (
+  SELECT w, i, list(struct_pack(k := k, piece := piece, lp := lp)) AS steps
+  FROM cand WHERE lp IS NOT NULL GROUP BY w, i
+), walk AS (
+  SELECT w, CAST(0 AS BIGINT) AS i,
+         [struct_pack(cost := CAST(0.0 AS DOUBLE), seg := CAST('' AS VARCHAR))]
+           AS win
+  FROM words
+  UNION ALL
+  SELECT q.w, q.i,
+         ([struct_pack(cost := -q.best.negc, seg := q.best.seg)]
+          || q.win)[1:{_ug_maxlen()}] AS win
+  FROM (
+    SELECT s.w AS w, s.i + 1 AS i, s.win AS win,
+           list_sort(list_transform(c.steps, t -> struct_pack(
+              negc := -(s.win[CAST(t.k AS INT)].cost + t.lp),
+              negk := -t.k,
+              seg := CASE WHEN s.win[CAST(t.k AS INT)].seg = ''
+                          THEN t.piece
+                          ELSE s.win[CAST(t.k AS INT)].seg || ' ' || t.piece
+                     END)))[1] AS best
+    FROM walk s JOIN cl c ON c.w = s.w AND c.i = s.i + 1
+    WHERE s.i < len(s.w)
+  ) q
+), seg AS (
+  SELECT w, win[1].seg AS seg, len(string_split(win[1].seg, ' ')) AS npieces
+  FROM walk WHERE i = len(w)
+)
+SELECT s.doc_id,
+       string_agg(g.seg, ' ' ORDER BY s.pos) AS ug_text,
+       CAST(SUM(g.npieces) AS BIGINT) AS n_tok
+FROM stream s JOIN seg g ON g.w = s.w
+GROUP BY s.doc_id
+"""
+
+
+ORACLE_UNIGRAM_ENCODE = _oracle_unigram_encode()
+
+
 def q_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
-    """UNIGRAM-ENCODE (granular singleton, rows-only by documented
-    design): Unigram-LM Viterbi encoding (operators/unigram.py, Kudo
-    2018) with a vocabulary trained in-plan on the corpus word table.
-    Viterbi's per-state argmax has no DuckDB 1.0 twin (no keyed
-    recursion; path enumeration is exponential), so the driver records
-    rows-only and tests/test_unigram.py pins the semantics: pure-Python
-    reference parity per word, round-trip reconstruction, EM
-    normalization, partition invariance."""
-    from ..operators.unigram import unigram_encode, unigram_train
+    """UNIGRAM-ENCODE (granular singleton): Unigram-LM Viterbi encoding
+    (operators/unigram.py, Kudo 2018) with the frozen DEMO_UG_PIECES
+    vocabulary (dyadic logps), checked FULL-ORACLE: DuckDB replays the
+    Viterbi DP with a windowed-frontier recursive CTE (see
+    ORACLE_UNIGRAM_ENCODE — the frontier rides in the row, so no keyed
+    recursion is needed). Training itself stays pinned by
+    tests/test_unigram.py (reference parity, EM normalization,
+    provenance of the frozen vocab)."""
+    from ..operators.unigram import DEMO_UG_PIECES, unigram_encode
 
     docs = load(spark, sf, "documents").where(F.trim("text") != "")
-    pieces = unigram_train(docs, vocab_size=120, seed_size=200, max_words=2000)
-    return unigram_encode(docs, pieces).select(
+    return unigram_encode(docs, DEMO_UG_PIECES).select(
         "doc_id",
         F.array_join("ug_tokens", " ").alias("ug_text"),
         F.col("n_ug_tokens").alias("n_tok"),
-    ).orderBy("doc_id")
+    )
 
 
 def q_compress_ratio(spark: SparkSession, sf: str) -> DataFrame:
@@ -647,7 +747,10 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
     chunk_text, true token count in n_tok; full oracle via rank-order
     string rewriting, see q_bpe_encode), WP-ENCODE (part='wp': WordPiece
     greedy longest-match with the frozen DEMO_WP_VOCAB — full oracle via
-    the recursive greedy-walk replay, see q_wp_encode), and LM-SCORE (part='lm':
+    the recursive greedy-walk replay, see q_wp_encode), UNIGRAM-ENCODE
+    (part='unigram': Unigram-LM Viterbi with the frozen dyadic-logp
+    DEMO_UG_PIECES — full oracle via the windowed-frontier recursive DP,
+    see q_unigram_encode), and LM-SCORE (part='lm':
     Stupid-Backoff LM scores — transition count in n_tok, the exact
     BIGINT nano-log10 sum in fp; see q_lm_score)."""
     from ..operators.text import chunk_documents, top_terms
@@ -674,6 +777,14 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.lit(None).cast("long").alias("chunk_id"),
         F.col("wp_text").alias("chunk_text"),
+        F.col("n_tok"),
+        F.lit(None).cast("long").alias("fp"),
+    )
+    ug = q_unigram_encode(spark, sf).select(
+        F.lit("unigram").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.col("ug_text").alias("chunk_text"),
         F.col("n_tok"),
         F.lit(None).cast("long").alias("fp"),
     )
@@ -710,7 +821,8 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("long").alias("fp"),
     )
     return (win.unionByName(ch).unionByName(tt).unionByName(bpe)
-            .unionByName(wp).unionByName(tfidf).unionByName(lm_rows))
+            .unionByName(wp).unionByName(ug).unionByName(tfidf)
+            .unionByName(lm_rows))
 
 
 ORACLE_TEXT_ROWS = f"""
@@ -745,6 +857,10 @@ UNION ALL
 SELECT 'wp' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
        wp_text AS chunk_text, n_tok, CAST(NULL AS BIGINT) AS fp
 FROM ({ORACLE_WP_ENCODE}) wpx
+UNION ALL
+SELECT 'unigram' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
+       ug_text AS chunk_text, n_tok, CAST(NULL AS BIGINT) AS fp
+FROM ({ORACLE_UNIGRAM_ENCODE}) ugx
 UNION ALL
 SELECT 'tfidf' AS part, doc_id, rank AS chunk_id, term AS chunk_text,
        tf AS n_tok, score_e9 AS fp

@@ -618,6 +618,7 @@ def incremental_near_dups(
     new_index: DataFrame | None = None,
     dedupe: bool = True,
     small_increment: bool = True,
+    tag_new: bool = False,
 ) -> DataFrame:
     """Near-dup pairs for an increment WITHOUT recomputing the corpus —
     the daily-drop serve path over a persisted ``minhash_index``.
@@ -645,10 +646,18 @@ def incremental_near_dups(
     Callers holding the increment in memory should build the index once,
     ``persist()`` it, and pass it here (the streaming gate does).
 
-    ``dedupe=False`` skips the candidate ``distinct()`` (one shuffle):
-    multi-band matches then emit one row per matching band. Use when the
-    consumer collapses pairs anyway (the gate's drop set does) — NOT
-    when pair rows are the deliverable.
+    ``dedupe=False`` skips the candidate ``distinct()`` (one shuffle)
+    BEFORE the signature attach; the attach's own per-pair groupBy
+    collapses multi-band duplicates regardless, so output pairs are
+    always unique — the flag only controls whether the duplicate rows
+    ride into the attach join first (skip it when candidates are small,
+    as the gate's micro-batches are).
+
+    ``tag_new=True`` adds ``a_new``/``b_new`` boolean columns marking
+    which side of each pair is from the increment — FREE at candidate
+    build time (the join branch knows which side it came from), where
+    reconstructing membership downstream costs two joins against the
+    increment's id set (the gate's drop set used to pay exactly that).
 
     ``small_increment=True`` (the micro-batch serve path) broadcasts the
     increment-derived frames explicitly — banded rows, candidate set,
@@ -680,26 +689,53 @@ def incremental_near_dups(
         (F.col("n.band") == F.col("o.band"))
         & (F.col("n.band_hash") == F.col("o.band_hash")),
     ).select(
-        F.least("n.id", "o.id").alias("id_a"), F.greatest("n.id", "o.id").alias("id_b")
+        F.least("n.id", "o.id").alias("id_a"),
+        F.greatest("n.id", "o.id").alias("id_b"),
+        # which side is the increment's is known HERE for free: ids are
+        # disjoint, so id_a is new exactly when n took the least slot
+        (F.col("n.id") < F.col("o.id")).alias("a_new"),
+        (F.col("n.id") > F.col("o.id")).alias("b_new"),
     )
     vs_new = nb.alias("x").join(
         hint(nb).alias("y"),
         (F.col("x.band") == F.col("y.band"))
         & (F.col("x.band_hash") == F.col("y.band_hash"))
         & (F.col("x.id") < F.col("y.id")),
-    ).select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    ).select(
+        F.col("x.id").alias("id_a"),
+        F.col("y.id").alias("id_b"),
+        F.lit(True).alias("a_new"),
+        F.lit(True).alias("b_new"),
+    )
     cands = vs_old.unionByName(vs_new)
     if dedupe:
         cands = cands.distinct()
 
+    # signature attach in ONE pass over index ∪ increment (the two
+    # per-side joins of the previous formulation scanned the corpus
+    # index twice): explode each pair to its two ids, join once, fold
+    # back per pair. The fold's groupBy is candidate-pair-sized — far
+    # cheaper at any scale than a second corpus scan — and doubles as
+    # the multi-band dedupe.
     sigs = index.unionByName(new_idx).select(F.col(id_col).alias("id"), "sig")
-    half = hint(cands).join(
-        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ex = cands.select(
+        "id_a", "id_b", "a_new", "b_new",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
     )
-    out = (
-        hint(half)  # still candidate-pair-sized: one sig column attached
-        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
-        .select("id_a", "id_b", est_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"))
+    att = hint(ex).join(sigs, "id")
+    agg = att.groupBy("id_a", "id_b", "a_new", "b_new").agg(
+        F.first(
+            F.when(F.col("id") == F.col("id_a"), F.col("sig")), ignorenulls=True
+        ).alias("sig_a"),
+        F.first(
+            F.when(F.col("id") == F.col("id_b"), F.col("sig")), ignorenulls=True
+        ).alias("sig_b"),
+    )
+    cols = ["id_a", "id_b"] + (["a_new", "b_new"] if tag_new else [])
+    out = agg.where(
+        F.col("sig_a").isNotNull() & F.col("sig_b").isNotNull()
+    ).select(
+        *cols, est_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard")
     )
     return out if threshold is None else out.where(F.col("est_jaccard") >= threshold)
 

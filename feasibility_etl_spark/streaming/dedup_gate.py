@@ -3,8 +3,9 @@
 The streaming completion of ``operators.dedup.incremental_near_dups``: a
 ``foreachBatch`` sink where every micro-batch of new documents is checked
 against the persisted MinHash index, near-dups are discarded, and the
-survivors are appended to BOTH the accepted corpus and the index — so the
-next batch (and the next job) dedups against everything accepted so far.
+survivors are appended — WITH their index columns riding in the same
+state files — so the next batch (and the next job) dedups against
+everything accepted so far.
 
 This is the ingest shape of a training-data pipeline: documents arrive
 continuously, and the corpus downstream must stay near-dup-free without
@@ -49,7 +50,11 @@ def _read_index(
     id_type: str = "bigint",
     before_batch: int | None = None,
 ) -> DataFrame:
-    """The accepted-so-far index: union of every batch's partition dir.
+    """The accepted-so-far index: union of every batch's partition dir,
+    column-pruned to ``(id, sig, band_hashes)`` — works on a dedicated
+    index layout AND on the sink's combined docs+index state (where the
+    document columns ride in the same files and parquet pruning skips
+    them).
 
     ``before_batch`` excludes partitions with ``batch_id >= before_batch``.
     A replayed micro-batch N (foreachBatch is at-least-once) may find its
@@ -71,7 +76,7 @@ def _read_index(
         )
     if before_batch is not None:
         idx = idx.where(F.col("batch_id") < F.lit(before_batch))
-    return idx.drop("batch_id")
+    return idx.select(id_col, "sig", "band_hashes")
 
 
 def drop_ids(
@@ -92,41 +97,23 @@ def drop_ids(
     batch; the streaming sink also anti-joins them against the batch's
     prebuilt MinHash index so accepted index rows need no recompute.
 
-    ``small_increment``: forwarded to :func:`incremental_near_dups` and
-    applied to the membership-tagging joins below — True (micro-batch
-    serve path) forces broadcasts because AQE is off under foreachBatch;
-    False (large batch backfills) lets every join plan a shuffle that
-    degrades gracefully instead of force-broadcasting an arbitrarily
-    large increment."""
-    # dedupe=False: multi-band matches emit duplicate pair rows, which is
-    # fine here — the drop set below collapses them with its own distinct,
-    # and skipping the candidate distinct saves a shuffle per micro-batch
+    Which side of a pair is new comes TAGGED from the candidate build
+    (``tag_new=True``) — the previous formulation reconstructed it with
+    two membership joins against the batch's id set, two extra jobs per
+    micro-batch for information the join branches already knew.
+
+    ``small_increment``: forwarded to :func:`incremental_near_dups` —
+    True (micro-batch serve path) forces broadcasts because AQE is off
+    under foreachBatch; False (large batch backfills) lets every join
+    plan a shuffle that degrades gracefully instead of
+    force-broadcasting an arbitrarily large increment."""
     pairs = incremental_near_dups(
         batch, index, text_col, id_col, threshold, num_hashes, bands, shingle_n,
         new_index=new_index, dedupe=False, small_increment=small_increment,
-    )
-    hint = F.broadcast if small_increment else (lambda df: df)
-    new_ids = batch.select(F.col(id_col).alias("nid"))
-    flagged = (
-        pairs.join(
-            hint(new_ids.select(F.col("nid").alias("id_a"), F.lit(True).alias("a_new"))),
-            "id_a",
-            "left",
-        )
-        .join(
-            hint(new_ids.select(F.col("nid").alias("id_b"), F.lit(True).alias("b_new"))),
-            "id_b",
-            "left",
-        )
-        .select(
-            F.coalesce("a_new", F.lit(False)).alias("a_new"),
-            F.coalesce("b_new", F.lit(False)).alias("b_new"),
-            "id_a",
-            "id_b",
-        )
+        tag_new=True,
     )
     # both new -> drop the greater id; one new -> drop the new side
-    return flagged.select(
+    return pairs.select(
         F.when(F.col("a_new") & F.col("b_new"), F.col("id_b"))
         .when(F.col("a_new") & ~F.col("b_new"), F.col("id_a"))
         .otherwise(F.col("id_b"))
@@ -173,16 +160,24 @@ def near_dup_gate_sink(
 ):
     """Start the gate as a ``foreachBatch`` streaming query.
 
-    Layout under ``base_dir``: ``docs/batch_id=N`` (accepted documents)
-    and ``index/batch_id=N`` (their MinHash index rows).
+    Layout under ``base_dir``: ``docs/batch_id=N`` — accepted documents
+    WITH their MinHash index columns (``sig``, ``band_hashes``) in the
+    same files. One state write per batch instead of a docs write plus
+    an index write; later batches read the index as a column-pruned
+    scan of the same state (``_read_index``), and text+signature are
+    each stored once, not split across two trees.
 
     Per-batch plan shape: the batch's MinHash index is built ONCE and
     ``persist()``-ed — the gating joins reference it four times and the
-    accepted-index write is an anti-join of the cached frame against the
-    drop set, so the shingle+minhash expression (the dominant per-batch
-    CPU) evaluates exactly once per document instead of ~5×. Both writes
-    stay executor-side; the drop set is also cached (it is consumed by
-    both the docs filter and the index filter).
+    combined write attaches the cached rows by an id broadcast join, so
+    the shingle+minhash expression (the dominant per-batch CPU)
+    evaluates exactly once per document instead of ~5×. The whole batch
+    commits through a SINGLE Python-sequenced action (the combined
+    write): the drop set is consumed once inside it, so nothing else is
+    eagerly materialized or broadcast from the driver between jobs.
+    The batch is spread across the shuffle width before the signature
+    stage (a file-source micro-batch arrives with as many partitions as
+    trigger files — often 1-2 cores' worth of CPU otherwise).
 
     ``shuffle_partitions``: scoped override of
     ``spark.sql.shuffle.partitions`` while a micro-batch plans (restored
@@ -194,36 +189,50 @@ def near_dup_gate_sink(
     session setting (e.g. when micro-batches are themselves huge).
     """
     docs_dir = os.path.join(base_dir, "docs")
-    index_dir = os.path.join(base_dir, "index")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         with scoped_shuffle_partitions(spark, shuffle_partitions):
+            # A file-source micro-batch arrives with as many partitions
+            # as trigger FILES (often 1-2): left alone, the shingle+
+            # minhash stage — the gate's dominant CPU — runs on that
+            # many cores. Spread the batch across the gate's shuffle
+            # width first and cache it (every downstream reference —
+            # signatures, drop set, survivor write — reuses the spread).
+            width = shuffle_partitions or spark.sparkContext.defaultParallelism
+            rb = batch.repartition(width).persist()
             index = _read_index(
                 spark,
-                index_dir,
+                docs_dir,
                 id_col=id_col,
                 id_type=batch.schema[id_col].dataType.simpleString(),
                 before_batch=batch_id,
             )
             new_idx = minhash_index(
-                batch, text_col, id_col, num_hashes, bands, shingle_n
+                rb, text_col, id_col, num_hashes, bands, shingle_n
             ).persist()
+            # drops is consumed exactly once (below), so it is neither
+            # persisted nor pre-materialized: the batch runs as ONE
+            # Python-sequenced action — the combined write — and every
+            # broadcast inside it builds without a driver round-trip
+            # between jobs. The round-4 two-write layout cost 2 writes +
+            # 2 eager drop broadcasts + a drops materialization, each a
+            # Python-side action with its own scheduling latency.
             drops = drop_ids(
-                batch, index, text_col, id_col, threshold, num_hashes, bands,
+                rb, index, text_col, id_col, threshold, num_hashes, bands,
                 shingle_n, new_index=new_idx,
-            ).persist()
+            )
             try:
-                survivors = batch.join(F.broadcast(drops), id_col, "left_anti")
-                survivors.write.mode("overwrite").parquet(
+                combined = (
+                    rb.join(F.broadcast(new_idx), id_col)
+                    .join(F.broadcast(drops), id_col, "left_anti")
+                )
+                combined.write.mode("overwrite").parquet(
                     os.path.join(docs_dir, f"batch_id={batch_id}")
                 )
-                new_idx.join(F.broadcast(drops), id_col, "left_anti").write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
             finally:
-                drops.unpersist()
                 new_idx.unpersist()
+                rb.unpersist()
 
     writer = (
         docs_stream.writeStream.foreachBatch(_process)

@@ -337,3 +337,42 @@ def test_line_dedup_order_and_empty_doc(spark):
     assert out[1].text == "mine"
     assert out[2].text == ""
     assert (out[2].n_lines, out[2].n_kept) == (2, 0)
+
+
+class TestIncrementalBackfillMode:
+    """small_increment=False is the batch-backfill path: the banded
+    increment must NOT be force-broadcast (an arbitrarily large backfill
+    would OOM the driver), and results must match the broadcast path."""
+
+    def _frames(self, spark):
+        docs = load(spark, SF0001, "documents")
+        old = docs.where("doc_id % 2 = 0")
+        new = docs.where("doc_id % 2 = 1")
+        return new, minhash_index(old)
+
+    def test_backfill_plan_has_no_forced_broadcast(self, spark):
+        new, idx = self._frames(spark)
+        slow = incremental_near_dups(new, idx, small_increment=False)
+        fast = incremental_near_dups(new, idx, small_increment=True)
+        slow_plan = slow._jdf.queryExecution().optimizedPlan().toString()
+        fast_plan = fast._jdf.queryExecution().optimizedPlan().toString()
+        # the serve path hints every increment-side join; the backfill
+        # path must leave join strategy to the planner/AQE
+        assert "ResolvedHint" not in slow_plan and "broadcast" not in slow_plan
+        assert "broadcast" in fast_plan
+
+    def test_backfill_candidates_match_broadcast_path(self, spark):
+        new, idx = self._frames(spark)
+        fast = {
+            (r.id_a, r.id_b, r.est_jaccard)
+            for r in incremental_near_dups(
+                new, idx, threshold=None, small_increment=True
+            ).collect()
+        }
+        slow = {
+            (r.id_a, r.id_b, r.est_jaccard)
+            for r in incremental_near_dups(
+                new, idx, threshold=None, small_increment=False
+            ).collect()
+        }
+        assert fast == slow and len(fast) > 0

@@ -79,9 +79,10 @@ def test_streaming_gate_end_to_end(spark, tmp_path):
     assert len([d for d in kept if d in base_family]) == 1
     assert {2, 5} <= set(kept) and len(kept) == 3
 
-    # the index mirrors the accepted corpus 1:1
-    idx = spark.read.parquet(base + "/index")
+    # the index IS the accepted state's sig/band columns, 1:1 with docs
+    idx = _read_index(spark, base + "/docs")
     assert sorted(r.doc_id for r in idx.collect()) == kept
+    assert idx.columns == ["doc_id", "sig", "band_hashes"]
 
 
 def test_batch_dir_overwrite_is_replay_idempotent(spark, tmp_path):
@@ -132,7 +133,7 @@ def test_streaming_replay_of_committed_batch_is_idempotent(spark, tmp_path):
     run("ckpt2")  # fresh checkpoint -> batch 0 replays over its own output
     second = sorted(r.doc_id for r in spark.read.parquet(base + "/docs").collect())
     assert first == second == [1, 2]
-    idx = sorted(r.doc_id for r in spark.read.parquet(base + "/index").collect())
+    idx = sorted(r.doc_id for r in _read_index(spark, base + "/docs").collect())
     assert idx == [1, 2]
 
 

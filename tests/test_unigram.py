@@ -90,3 +90,22 @@ def test_encode_partitioning_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_demo_pieces_provenance_and_dyadic(spark):
+    # DEMO_UG_PIECES = unigram_train(documents @ sf0.001, vocab_size=120,
+    # seed_size=200, max_words=2000) with logps rounded to 2^-20 — the
+    # rounding makes every Viterbi path cost an exact double, which the
+    # DuckDB oracle's windowed-frontier DP relies on
+    from feasibility_etl_spark.operators.unigram import (
+        DEMO_UG_PIECES,
+        unigram_train,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").where(
+        F.trim("text") != ""
+    )
+    trained = unigram_train(docs, vocab_size=120, seed_size=200, max_words=2000)
+    Q = 1 << 20
+    assert [(p, round(lp * Q) / Q) for p, lp in trained] == DEMO_UG_PIECES
+    assert all(lp * Q == round(lp * Q) for _, lp in DEMO_UG_PIECES)
