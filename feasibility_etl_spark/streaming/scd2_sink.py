@@ -15,6 +15,11 @@ the open slice, and no write ever overwrites the only copy of history:
   version's start are ignored; rewriting closed intervals is a backfill,
   not an append), so files written by earlier batches are never touched
   again. Per-batch cost here is the CHANGE delta, not the history.
+  One partition per micro-batch accumulates unboundedly; run
+  :func:`compact_scd2_closed` from a maintenance job (any cadence — it
+  only touches partitions the reader's gate already made visible, and
+  every crash window leaves byte-identical duplicates the reader
+  heals) to fold the debris into one right-sized partition.
 - ``hist_dir/open/v=N`` — the full open slice (one row per live key)
   after batch N. Versioned: batch N reads the latest *complete* version
   other than its own (``_SUCCESS``-gated), writes ``v=N``, then retires
@@ -181,3 +186,102 @@ def scd2_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_scd2_closed(
+    spark: SparkSession,
+    hist_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int = 2,
+) -> dict:
+    """Bound the closed store's per-batch partition debris: merge every
+    VISIBLE ``closed/batch_id=N`` partition (N <= the latest complete
+    open version — the same gate :func:`read_scd2_history` applies) into
+    the smallest such partition, rewritten at ``target_file_bytes``
+    sizing. Run it from a maintenance job on whatever cadence keeps the
+    file count acceptable; the reader needs no coordination with it.
+
+    Crash-safety by duplicate-tolerance, not atomicity: a multi-
+    directory swap cannot be atomic on a generic filesystem, so every
+    step keeps the closed store a SUPERSET of the true rows with only
+    byte-identical duplicates — exactly what ``read_scd2_history``
+    already heals with its ``dropDuplicates`` (the at-least-once replay
+    path). Order: (1) write the deduplicated union of the gated
+    partitions to a ``__compact_tmp`` sibling; (2) move its data files
+    INTO the destination partition (new files alongside old — dup rows,
+    healed); (3) delete the destination's pre-compaction files, then
+    the other merged partitions (each deletion removes rows that
+    already exist in the compacted files); (4) drop the tmp dir.
+    Re-running after a crash at ANY step converges (the gated read
+    dedups whatever state it finds). Invisible partitions
+    (``batch_id > gate``: a half-committed batch's delta) are never
+    touched, so a concurrent replay of that batch is unaffected.
+
+    Returns ``{"partitions_before", "partitions_after", "files_before",
+    "files_after", "compacted"}``.
+    """
+    import math
+
+    from ..writer.compact import _data_files, _fs_path
+
+    root = hist_dir.rstrip("/")
+    closed_dir = f"{root}/closed"
+    versions = _complete_versions(spark, f"{root}/open")
+    fs, jclosed = _fs_path(spark, closed_dir)
+    if not versions or not fs.exists(jclosed):
+        return {"partitions_before": 0, "partitions_after": 0,
+                "files_before": 0, "files_after": 0, "compacted": False}
+    gate = max(versions)
+    parts = []
+    for st in fs.listStatus(jclosed):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            try:
+                n = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if n <= gate:
+                parts.append(n)
+    parts.sort()
+    files_before = {
+        n: _data_files(spark, f"{closed_dir}/batch_id={n}") for n in parts
+    }
+    n_files_before = sum(len(v) for v in files_before.values())
+    if len(parts) < min_partitions:
+        return {"partitions_before": len(parts), "partitions_after": len(parts),
+                "files_before": n_files_before, "files_after": n_files_before,
+                "compacted": False}
+
+    dest = parts[0]
+    dest_dir = f"{closed_dir}/batch_id={dest}"
+    tmp = f"{root}/closed__compact_tmp"
+    _, jtmp = _fs_path(spark, tmp)
+    if fs.exists(jtmp):
+        fs.delete(jtmp, True)
+
+    merged = (
+        spark.read.parquet(closed_dir)
+        .where(F.col("batch_id") <= F.lit(gate))
+        .drop("batch_id")
+        .dropDuplicates()
+    )
+    total = sum(sz for fl in files_before.values() for _, sz in fl)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    merged.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    dest_old = [p for p, _ in files_before[dest]]
+    for p, _ in _data_files(spark, tmp):
+        fs.rename(jpath(p), jpath(dest_dir + "/" + p.rsplit("/", 1)[1]))
+    for p in dest_old:
+        fs.delete(jpath(p), False)
+    for n in parts[1:]:
+        fs.delete(jpath(f"{closed_dir}/batch_id={n}"), True)
+    fs.delete(jtmp, True)
+    return {
+        "partitions_before": len(parts),
+        "partitions_after": 1,
+        "files_before": n_files_before,
+        "files_after": len(_data_files(spark, dest_dir)),
+        "compacted": True,
+    }

@@ -144,3 +144,61 @@ def test_steady_state_touches_only_open_slice(spark, tmp_path):
     )
     # exactly one open row per live key in the open slice
     assert hist.where(F.col("is_current")).count() == 3
+
+
+def test_compact_closed_store_preserves_history_and_bounds_files(spark, tmp_path):
+    from feasibility_etl_spark.streaming.scd2_sink import compact_scd2_closed
+
+    stage = _stage(spark, tmp_path, batches=(B0, B1, B2))
+    hist_dir = str(tmp_path / "hist")
+    _run(spark, stage, hist_dir, str(tmp_path / "ckpt"))
+
+    before = _rows(read_scd2_history(spark, hist_dir))
+    closed = str(tmp_path / "hist" / "closed")
+    parts_before = [d for d in os.listdir(closed) if d.startswith("batch_id=")]
+    assert len(parts_before) >= 2  # per-batch debris exists
+
+    stats = compact_scd2_closed(spark, hist_dir)
+    assert stats["compacted"] and stats["partitions_after"] == 1
+    assert stats["files_after"] < stats["files_before"]
+    parts_after = [d for d in os.listdir(closed) if d.startswith("batch_id=")]
+    assert len(parts_after) == 1
+
+    # history byte-identical through the same reader
+    after = _rows(read_scd2_history(spark, hist_dir))
+    assert after == before
+
+    # idempotent: a second run is a no-op and history still matches
+    stats2 = compact_scd2_closed(spark, hist_dir)
+    assert not stats2["compacted"]
+    assert _rows(read_scd2_history(spark, hist_dir)) == before
+
+
+def test_compact_closed_crash_window_heals_on_read(spark, tmp_path):
+    # simulate the worst crash window: compacted files moved into the
+    # destination partition but the merged partitions NOT yet deleted ->
+    # every closed row is duplicated. The reader must heal (dropDuplicates),
+    # and re-running compaction must converge.
+    import shutil
+
+    from feasibility_etl_spark.streaming.scd2_sink import compact_scd2_closed
+
+    stage = _stage(spark, tmp_path, batches=(B0, B1, B2))
+    hist_dir = str(tmp_path / "hist")
+    _run(spark, stage, hist_dir, str(tmp_path / "ckpt"))
+    before = _rows(read_scd2_history(spark, hist_dir))
+
+    closed = str(tmp_path / "hist" / "closed")
+    parts = sorted(d for d in os.listdir(closed) if d.startswith("batch_id="))
+    dest = os.path.join(closed, parts[0])
+    # duplicate every other partition's files into dest (what step 2 does)
+    for p in parts[1:]:
+        src_dir = os.path.join(closed, p)
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src_dir, f),
+                            os.path.join(dest, "crashcopy-" + p + "-" + f))
+    assert _rows(read_scd2_history(spark, hist_dir)) == before  # healed
+    stats = compact_scd2_closed(spark, hist_dir)
+    assert stats["compacted"]
+    assert _rows(read_scd2_history(spark, hist_dir)) == before
