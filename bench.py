@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "SIM-IVF",
     "MM-IMAGE",
     "PIPE-DOCS",
+    "PIPE-CORPUS",
     "PIPE-EVENTS",
     "TEXT-WINNOW",
     "SCD2-APPLY",

@@ -602,3 +602,321 @@ SELECT doc_id AS media_id,
        'png+fake-resize' AS format
 FROM documents WHERE doc_id % 3 = 0
 """
+
+
+def q_pipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """PIPE-CORPUS: the full training-data pipeline a real LM job
+    composes, end-to-end in ONE lazily-built DAG — the engine's whole
+    thesis (operators compose without materialization barriers) proved
+    on the corpus family the way PIPE-DOCS proves it for the §2 surface:
+
+      line-structured arrival docs (boilerplate banners/footers)
+      → line-level boilerplate removal (line_dedup, CCNet-style)
+      → quality gate (Gopher-flavored composite ≥ 0.45)
+        + language gate (stopword-argmax lang_id ≠ 'und')
+      → exact dedup (normalized-fingerprint min-id)
+      → near-dup prune (blocked token-Jaccard pairs → connected
+        components → keep the min-id representative)
+      → benchmark decontamination (word-8-gram vs the doc_id%97 eval
+        slice, Bloom-prefiltered scale path — oracle states the exact
+        semantics it is pinned bit-identical to)
+      → DSIR importance scoring vs the doc_id%101 target slice + KLL
+        threshold gate (top 25% by exact nano-BIGINT log-weight)
+      → greedy token-budget shard packing (2000 tok, 8 hash buckets)
+      → BPE tokenization (frozen DEMO_MERGES).
+
+    Every stage is the oracle-expressible member of its family, so the
+    COMPOSITION hash-checks against one chained-CTE DuckDB replay.
+
+    Scale shape: gates are row-local and run before the pair stage
+    (prune early); the only corpus-wide shuffles are the line/exact
+    fingerprint groupBys (16-byte hashes), the blocked pair join, and
+    the pack window over bucket-sized partitions; eval grams, the DSIR
+    weight table (4096 rows) and the KLL threshold attach by broadcast;
+    BPE is one Arrow-batched mapInPandas over the final survivors.
+    """
+    from ..operators.bpe import DEMO_MERGES, bpe_encode
+    from ..operators.corpus import dsir_weights, pack_shards
+    from ..operators.dedup import line_dedup, prune_components
+    from ..operators.sketches import bloom_decontaminate, threshold_filter
+    from ..operators.text import lang_id
+    from .views_dedup_corpus import _structured_docs
+
+    raw = load(spark, sf, "documents")
+    meta = raw.select("doc_id", "lang", "source")
+    d1 = (
+        line_dedup(_structured_docs(spark, sf))
+        .select("doc_id", "text")
+        .join(meta, "doc_id")
+    )
+    # Stage outputs that downstream stages reference MORE THAN ONCE are
+    # persisted: Spark does not share common subplans across references
+    # (the documented exchange-reuse lesson), so an uncached chain this
+    # deep re-executes the line-dedup + gate subtree per reference —
+    # measured 39 s -> 8 s at sf0.01. persist() keeps the DAG lazy
+    # (nothing materializes until the one output action); these are
+    # post-gate, survivor-sized frames, not the corpus.
+    d2 = d1.where(
+        (quality_score("text") >= 0.45) & (lang_id("text") != "und")
+    ).persist()
+    d3 = exact_dedup(d2).persist()
+    pairs = blocked_jaccard_pairs(d3, ["lang", "source"], threshold=0.2)
+    d4 = prune_components(d3, pairs)
+    d5 = bloom_decontaminate(d4, raw.where(F.col("doc_id") % 97 == 0)).persist()
+    w = dsir_weights(d5, raw.where(F.col("doc_id") % 101 == 0)).persist()
+    gate = threshold_filter(w, "logw_e9", keep_frac=0.25)
+    d6 = d5.join(gate.select("doc_id", "logw_e9"), "doc_id")
+    d7 = pack_shards(
+        d6.withColumn("n_tok", token_count("text")), "n_tok", 2000, num_buckets=8
+    )
+    enc = bpe_encode(d7, DEMO_MERGES)
+    return d7.join(
+        enc.select(
+            "doc_id",
+            F.array_join("bpe_tokens", " ").alias("bpe_text"),
+            F.col("n_bpe_tokens").alias("n_bpe_tok"),
+        ),
+        "doc_id",
+    ).select(
+        "doc_id", "lang", "source", "n_tok", "shard_id", "logw_e9",
+        "n_bpe_tok", "bpe_text",
+    )
+
+
+def _oracle_pipe_corpus() -> str:
+    from .media_history import _bpe_frame_sql, _bpe_replace_chain
+
+    bpe_expr = _bpe_replace_chain(_bpe_frame_sql("t[CAST(u.i AS INT)]"))
+    # the template is a RAW string (regex backslashes), so the BPE
+    # sentinel literals below are the 4-char sequence \x1f — swap them
+    # for the real control char after assembly (bpe_expr already
+    # carries real sentinels and is unaffected)
+    return _RAW_PIPE_CORPUS_TMPL(bpe_expr).replace("\\x1f", "\x1f")
+
+
+def _RAW_PIPE_CORPUS_TMPL(bpe_expr: str) -> str:
+    return rf"""
+WITH RECURSIVE structured AS (
+  SELECT doc_id,
+         'cookie notice variant ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+         regexp_replace(text, '((\S+\s+){{7}})', '\1' || chr(10), 'g') || chr(10) ||
+         '(c) example corp all rights reserved' AS text
+  FROM documents
+), lex AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS ln, ls[CAST(u.i AS INT)] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM structured),
+       unnest(range(1, len(ls) + 1)) AS u(i)
+), lfp AS (
+  SELECT doc_id, ln, line,
+         CASE WHEN lower(trim(line)) = '' THEN NULL
+              ELSE md5(lower(trim(line))) END AS f
+  FROM lex
+), lfreq AS (
+  SELECT f FROM lfp WHERE f IS NOT NULL
+  GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2
+), ld AS MATERIALIZED (
+  SELECT p.doc_id,
+         COALESCE(string_agg(p.line, chr(10) ORDER BY p.ln)
+                  FILTER (WHERE q.f IS NULL), '') AS text
+  FROM lfp p LEFT JOIN lfreq q ON p.f = q.f
+  GROUP BY p.doc_id
+), d1 AS MATERIALIZED (
+  SELECT ld.doc_id, d.lang, d.source, ld.text
+  FROM ld JOIN documents d USING (doc_id)
+), gsig AS (
+  SELECT doc_id,
+    CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(regexp_replace(text, '\s', '', 'g'),
+                                         '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+              / CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+    END AS punct_ratio,
+    CASE WHEN length(trim(lower(text))) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))
+                AS DOUBLE)
+              / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE)
+    END AS stop_ratio,
+    CASE WHEN length(trim(text)) = 0 THEN 0.0
+         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+    END AS n_tokd
+  FROM d1
+), glang AS (
+  SELECT doc_id,
+    CASE WHEN total_chars > 0
+          AND CAST(cjk_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) > 0.3 THEN 'zh'
+         WHEN CAST(substr(enc, 1, 10) AS BIGINT) > 0 THEN substr(enc, 11, 2)
+         ELSE 'und' END AS pred_lang
+  FROM (
+    SELECT doc_id,
+      GREATEST(lpad(CAST(len(list_filter(tl, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS VARCHAR), 10, '0') || 'en',
+               lpad(CAST(len(list_filter(tl, x -> list_contains(['el','la','de','que','y','en','un','una','los','del'], x))) AS VARCHAR), 10, '0') || 'es',
+               lpad(CAST(len(list_filter(tl, x -> list_contains(['der','die','das','und','nicht','ein','eine','ist','zu','mit'], x))) AS VARCHAR), 10, '0') || 'de',
+               lpad(CAST(len(list_filter(tl, x -> list_contains(['le','la','les','de','des','et','un','une','est','dans'], x))) AS VARCHAR), 10, '0') || 'fr') AS enc,
+      length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk_chars,
+      length(regexp_replace(text, '\s', '', 'g')) AS total_chars
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(lower(text))) = 0 THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
+      FROM d1
+    )
+  )
+), d2 AS MATERIALIZED (
+  SELECT d1.* FROM d1
+  JOIN gsig USING (doc_id) JOIN glang USING (doc_id)
+  WHERE LEAST(n_tokd / 200.0, 1.0) * 0.4
+          + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.3
+          + LEAST(stop_ratio * 4.0, 1.0) * 0.3 >= 0.45
+    AND pred_lang <> 'und'
+), d3 AS MATERIALIZED (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT d2.*,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                   '\s+', ' ', 'g'))) AS fp
+    FROM d2
+  ) QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+), ntoks AS MATERIALIZED (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM d3
+), npairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ntoks a JOIN ntoks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM npairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM npairs
+), reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, reach.r AS r
+  FROM edges e JOIN reach ON e.dst = reach.node
+), dropped AS (
+  SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node
+), d4 AS MATERIALIZED (
+  SELECT * FROM d3 WHERE doc_id NOT IN (SELECT node FROM dropped)
+), dsh AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+         END AS s
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+    FROM d4
+  )
+), eval_sh AS MATERIALIZED (
+  SELECT DISTINCT unnest(s) AS g FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+           END AS s
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+      FROM documents WHERE doc_id % 97 = 0
+    )
+  )
+), contam AS (
+  SELECT DISTINCT dsh.doc_id
+  FROM dsh, unnest(dsh.s) AS u(g)
+  WHERE u.g IN (SELECT g FROM eval_sh)
+), d5 AS MATERIALIZED (
+  SELECT * FROM d4
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam) AND doc_id % 97 <> 0
+), rfeats AS MATERIALIZED (
+  SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS bucket
+  FROM (
+    SELECT doc_id, unnest(ws) AS f FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+      FROM d5
+    )
+    UNION ALL
+    SELECT doc_id, ws[x+1] || ' ' || ws[x+2] AS f
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+      FROM d5
+    ), LATERAL (SELECT unnest(range(len(ws)-1)) AS x)
+    WHERE len(ws) >= 2
+  )
+), tfeats AS MATERIALIZED (
+  SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS bucket
+  FROM (
+    SELECT doc_id, unnest(ws) AS f FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+      FROM documents WHERE doc_id % 101 = 0
+    )
+    UNION ALL
+    SELECT doc_id, ws[x+1] || ' ' || ws[x+2] AS f
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+      FROM documents WHERE doc_id % 101 = 0
+    ), LATERAL (SELECT unnest(range(len(ws)-1)) AS x)
+    WHERE len(ws) >= 2
+  )
+), cr AS (SELECT bucket, COUNT(*) AS c_raw FROM rfeats GROUP BY bucket),
+ct AS (SELECT bucket, COUNT(*) AS c_tgt FROM tfeats GROUP BY bucket),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM rfeats) AS t_raw,
+         (SELECT COUNT(*) FROM tfeats) AS t_tgt
+), wtbl AS (
+  SELECT coalesce(cr.bucket, ct.bucket) AS bucket,
+    CAST(round(log10(
+      (CAST(coalesce(ct.c_tgt, 0) + 1 AS DOUBLE) / CAST(t_tgt + 4096 AS DOUBLE))
+      / (CAST(coalesce(cr.c_raw, 0) + 1 AS DOUBLE) / CAST(t_raw + 4096 AS DOUBLE))
+    ) * 1000000000) AS BIGINT) AS lw_e9
+  FROM cr FULL OUTER JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tots
+), scored AS MATERIALIZED (
+  SELECT f.doc_id, CAST(SUM(w.lw_e9) AS BIGINT) AS logw_e9
+  FROM rfeats f JOIN wtbl w USING (bucket)
+  GROUP BY f.doc_id
+), rk AS (
+  SELECT scored.*, cume_dist() OVER (ORDER BY logw_e9) AS cd FROM scored
+), thr AS (
+  SELECT MIN(CASE WHEN cd >= 0.75 THEN logw_e9 END) AS thr FROM rk
+), d6 AS (
+  SELECT d5.*, scored.logw_e9
+  FROM d5 JOIN scored USING (doc_id) CROSS JOIN thr
+  WHERE scored.logw_e9 > thr.thr
+), packed AS MATERIALIZED (
+  SELECT doc_id, lang, source, logw_e9, text, n_tok,
+         b * 1099511627776
+           + CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY b ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 2000.0) AS BIGINT) AS shard_id
+  FROM (
+    SELECT d6.*,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tok,
+           doc_id % 8 AS b
+    FROM d6
+  )
+), btoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM packed WHERE trim(text) <> ''
+), benc AS (
+  SELECT doc_id, u.i AS pos, {bpe_expr} AS e
+  FROM btoks, unnest(range(1, len(t) + 1)) AS u(i)
+), bpe AS (
+  SELECT doc_id,
+         string_agg(replace(trim(e, '\x1f'), '\x1f\x1f', ' '), ' ' ORDER BY pos)
+           AS bpe_text,
+         CAST(SUM(len(string_split(e, '\x1f\x1f'))) AS BIGINT) AS n_bpe_tok
+  FROM benc GROUP BY doc_id
+)
+SELECT p.doc_id, p.lang, p.source, p.n_tok, p.shard_id, p.logw_e9,
+       b.n_bpe_tok, b.bpe_text
+FROM packed p JOIN bpe b USING (doc_id)
+"""
+
+
+ORACLE_PIPE_CORPUS = _oracle_pipe_corpus()

@@ -91,3 +91,20 @@ def test_transform_serializes_json_at_sink(spark):
     rows = {r.key: r for r in out.collect()}
     assert rows["K-2"].worklog is None  # null stays null (etl.js:296 && guard)
     assert '"total":60' in rows["K-1"].worklog
+
+
+def test_pipe_corpus_composes_and_filters_monotonically(spark):
+    # the end-to-end corpus pipeline: survivors are a strict subset of
+    # the corpus, every output doc is packed and BPE-encoded, and the
+    # DSIR gate kept only docs above the threshold (non-trivial filter)
+    from conftest import SF0001
+    from feasibility_etl_spark.driver_queries.pipelines_joins import q_pipe_corpus
+    from feasibility_etl_spark.sources.catalog import load
+
+    out = q_pipe_corpus(spark, SF0001)
+    rows = out.collect()
+    n_corpus = load(spark, SF0001, "documents").count()
+    assert 0 < len(rows) < n_corpus
+    assert all(r.shard_id >= 0 and r.n_bpe_tok > 0 and r.bpe_text for r in rows)
+    assert all(r.doc_id % 97 != 0 for r in rows)       # eval slice scrubbed
+    assert len({r.doc_id for r in rows}) == len(rows)  # exactly-once

@@ -121,6 +121,14 @@ MAX_EXCHANGES = {
                             # threshold sketch and the kept stream (plus
                             # the KLL agg); threshold attaches as a 1-row
                             # broadcast
+    "PIPE-CORPUS": 26,    # the full corpus pipeline (line-dedup → gates →
+                          # exact/near dedup → decontam → DSIR+KLL → pack →
+                          # BPE): 25 DISTINCT exchange nodes measured —
+                          # counted by plan_id (see test_exchange_budget),
+                          # because the persisted stage outputs print their
+                          # cached subtree once per reference and a raw
+                          # text count would tally the same physical
+                          # exchange many times
 }
 
 #: operator-level zero-shuffle guarantees (no bench-input repartition)
@@ -145,10 +153,20 @@ def _plan(spark, name: str) -> str:
     return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
+#: entries whose plan REUSES persisted stages: the cached subtree prints
+#: once per reference, so exchanges are counted by DISTINCT plan_id
+#: (the same physical node keeps its id across printings) instead of by
+#: text occurrence.
+COUNT_BY_PLAN_ID = {"PIPE-CORPUS"}
+
+
 @pytest.mark.parametrize("name", sorted(MAX_EXCHANGES))
 def test_exchange_budget(spark, name):
     plan = _plan(spark, name)
-    n = len(re.findall(r"\bExchange\b", plan))
+    if name in COUNT_BY_PLAN_ID:
+        n = len(set(re.findall(r"\bExchange\b[^\n]*?plan_id=(\d+)", plan)))
+    else:
+        n = len(re.findall(r"\bExchange\b", plan))
     assert n <= MAX_EXCHANGES[name], f"{name}: {n} exchanges > {MAX_EXCHANGES[name]}"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
 

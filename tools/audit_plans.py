@@ -74,6 +74,11 @@ CARTESIAN_OK = {
     # TEXT-TFIDF: the 1-row corpus-count broadcast attach (scalar-attach
     # pattern); the tf/df/rank stages are hash aggs and windows.
     "TEXT-TFIDF",
+    # PIPE-CORPUS composes the allowlisted stages above: the decontam
+    # stage's 1-row Bloom-filter attach (CORPUS-DECONTAM-BLOOM) and the
+    # DSIR totals/KLL-threshold 1-row attaches (CORPUS-DSIR /
+    # QUALITY-KLLGATE). No new cartesian shape of its own.
+    "PIPE-CORPUS",
 }
 
 #: Queries that legitimately run Arrow-batched Python: multimodal decode,
@@ -84,7 +89,9 @@ CARTESIAN_OK = {
 PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL",
              "MM-MEDIA", "BPE-ENCODE", "WP-ENCODE", "UNIGRAM-ENCODE",
              "COMPRESS-RATIO",
-             "TEXT-ROWS"}
+             "TEXT-ROWS",
+             # PIPE-CORPUS ends in the BPE-ENCODE mapInPandas stage
+             "PIPE-CORPUS"}
 
 
 def audit(name: str, plan: str) -> tuple[list[str], list[str]]:
