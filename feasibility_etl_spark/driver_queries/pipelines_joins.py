@@ -920,3 +920,46 @@ FROM packed p JOIN bpe b USING (doc_id)
 
 
 ORACLE_PIPE_CORPUS = _oracle_pipe_corpus()
+
+
+def q_pipe_family(spark: SparkSession, sf: str) -> DataFrame:
+    """PIPE-DOCS (driver combined entry): the two end-to-end pipeline
+    compositions union-tagged — part='docs' is the §2-surface pipeline
+    (q_pipe_docs: exact dedup → quality filter → near-dup prune →
+    embedding-coverage join) and part='corpus' is the full training-data
+    pipeline (q_pipe_corpus: line dedup → gates → exact+near dedup →
+    decontam → DSIR+KLL → pack → BPE). Each stays a granular singleton
+    with its own bench entry; the union puts BOTH compositions behind
+    the driver's hash gate in one slot (the registry-compaction
+    pattern, COVERAGE.md)."""
+    docs = q_pipe_docs(spark, sf).select(
+        F.lit("docs").alias("part"),
+        "doc_id", "lang", "source", "n_tokens", "quality", "has_embedding",
+        F.lit(None).cast("long").alias("shard_id"),
+        F.lit(None).cast("long").alias("logw_e9"),
+        F.lit(None).cast("long").alias("n_bpe_tok"),
+        F.lit(None).cast("string").alias("bpe_text"),
+    )
+    corpus = q_pipe_corpus(spark, sf).select(
+        F.lit("corpus").alias("part"),
+        "doc_id", "lang", "source",
+        F.col("n_tok").alias("n_tokens"),
+        F.lit(None).cast("double").alias("quality"),
+        F.lit(None).cast("boolean").alias("has_embedding"),
+        "shard_id", "logw_e9", "n_bpe_tok", "bpe_text",
+    )
+    return docs.unionByName(corpus)
+
+
+ORACLE_PIPE_FAMILY = f"""
+SELECT 'docs' AS part, doc_id, lang, source, n_tokens, quality,
+       has_embedding, CAST(NULL AS BIGINT) AS shard_id,
+       CAST(NULL AS BIGINT) AS logw_e9, CAST(NULL AS BIGINT) AS n_bpe_tok,
+       CAST(NULL AS VARCHAR) AS bpe_text
+FROM ({ORACLE_PIPE_DOCS}) pd
+UNION ALL
+SELECT 'corpus' AS part, doc_id, lang, source, n_tok AS n_tokens,
+       CAST(NULL AS DOUBLE) AS quality, CAST(NULL AS BOOLEAN) AS has_embedding,
+       shard_id, logw_e9, n_bpe_tok, bpe_text
+FROM ({ORACLE_PIPE_CORPUS}) pc
+"""
