@@ -86,15 +86,37 @@ def q_s_csv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_s_orc(spark: SparkSession, sf: str) -> DataFrame:
+    """S-ORC (granular singleton): ORC sink + source round-trip audit
+    (sources/orc.py) — the columnar interchange format next to parquet.
+    Writes the filtered orders slice as zlib ORC, reads it back with the
+    EXPLICIT schema, and audits the same count + exact-cents sum as the
+    other sink entries; doubles round-trip bit-exactly (binary columnar
+    encoding, no text conversion at all)."""
+    import os
+    import tempfile
+
+    from ..sources.orc import read_orc, write_orc
+
+    path = os.path.join(tempfile.gettempdir(), "feasibility_etl_spark_orc_sink")
+    orders = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    write_orc(orders, path)
+    back = read_orc(spark, path, orders.schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"), _sum_cents("o_totalprice", "total_cents")
+    )
+
+
 def q_sink_suite(spark: SparkSession, sf: str) -> DataFrame:
     """S-JDBC-SINK (driver combined entry): ``part='jdbc'`` is the
     parquet-stand-in JDBC sink audit, ``part='jsonl'`` / ``part='csv'``
-    the text-format round-trip audits — one entry verifies all three
-    sink surfaces."""
+    the text-format round-trip audits, ``part='orc'`` the columnar ORC
+    round-trip — one entry verifies all four sink surfaces."""
     jdbc = q_s_jdbc_sink(spark, sf).select(F.lit("jdbc").alias("part"), "*")
     jsonl = q_s_jsonl(spark, sf).select(F.lit("jsonl").alias("part"), "*")
     csv = q_s_csv(spark, sf).select(F.lit("csv").alias("part"), "*")
-    return jdbc.unionByName(jsonl).unionByName(csv)
+    orc = q_s_orc(spark, sf).select(F.lit("orc").alias("part"), "*")
+    return jdbc.unionByName(jsonl).unionByName(csv).unionByName(orc)
 
 
 ORACLE_SINK_SUITE = f"""
@@ -103,6 +125,8 @@ UNION ALL
 SELECT 'jsonl' AS part, * FROM ({ORACLE_S_JDBC_SINK})
 UNION ALL
 SELECT 'csv' AS part, * FROM ({ORACLE_S_JDBC_SINK})
+UNION ALL
+SELECT 'orc' AS part, * FROM ({ORACLE_S_JDBC_SINK})
 """
 
 
