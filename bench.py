@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "DEDUP-NGRAM",
     "DEDUP-MINHASH",
     "DEDUP-PRUNE",
+    "DEDUP-SUBSTRING",
     "CORPUS-PACK",
     "CORPUS-DECONTAM",
     "CORPUS-DECONTAM-BLOOM",

@@ -25,7 +25,7 @@ Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, tokens
@@ -124,6 +124,110 @@ def line_dedup(
             "\n",
         ).alias("text"),
     ).select(id_col, "text", "n_lines", "n_kept")
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact SUBSTRING deduplication (Lee et al. 2022, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better"; the
+    RefinedWeb exact-substring pass): remove every duplicated token span
+    of length ≥ ``k`` from all but its canonical first occurrence, and
+    rebuild each document from the surviving tokens. Catches the case
+    the document/line passes miss — long verbatim quotes, licence
+    blocks, and template spans EMBEDDED inside otherwise-unique
+    documents (and verbatim self-repeats within one document). Returns
+    ``(id_col, text, n_tok, n_removed)`` for every non-empty input doc.
+
+    Semantics (deterministic, engine-portable — the reference work uses
+    a suffix array over the byte stream; this is the token-level
+    formulation those pipelines deploy at scale):
+
+    - Matching is on LOWERCASED tokens; rebuilding uses the ORIGINAL
+      tokens joined by single spaces (the line_dedup convention).
+    - A k-gram occurrence is ``(doc, pos)``; the canonical occurrence of
+      a gram is the minimum ``doc * 2^32 + pos`` (first doc, first
+      position). Every NON-canonical occurrence of a gram that occurs
+      more than once corpus-wide is a duplicate START.
+    - A token is removed iff ANY duplicate start covers it — i.e. some
+      duplicated k-gram beginning within the previous k-1 positions —
+      so overlapping duplicate grams merge into one removed span, and
+      maximal duplicated spans of length L ≥ k lose all L tokens in
+      non-canonical copies while the canonical copy keeps them.
+
+    Scale shape: token-scale rows flow through ONE gram aggregate
+    (map-side combined; shuffle carries (gram, count, min-key) partials)
+    reduced to the DUPLICATED grams only before joining back (the build
+    side is duplicated-gram-scale — typically a sliver of the corpus;
+    broadcast left to AQE since it is unbounded in principle), one
+    per-doc ordered window (coverage), and one per-doc rebuild agg —
+    linear in corpus tokens, the same budget as the decontamination
+    shingle pass. No suffix array, no global sort.
+    """
+    toks = tokens(F.col(text_col))
+    tl = tokens(F.lower(F.col(text_col)))
+    joined = tl
+    for i in range(2, k + 1):
+        joined = F.zip_with(
+            joined, F.slice(tl, i, F.size(tl)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # zip_with pads the short side with null, so positions whose k-gram
+    # would run off the end carry a null gram — exactly the tail we want
+    z = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.posexplode(
+            F.zip_with(
+                toks, joined,
+                lambda t, g: F.struct(t.alias("tok"), g.alias("g")),
+            )
+        ).alias("pos", "_s"),
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.col("_s.tok").alias("tok"),
+        F.col("_s.g").alias("g"),
+    ).withColumn(
+        "okv", F.col(id_col).cast("long") * F.lit(1 << 32) + F.col("pos")
+    )
+    offenders = (
+        z.where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min("okv").alias("_mokv"))
+        .where(F.col("_cnt") > 1)
+    )
+    marked = z.join(offenders, "g", "left").withColumn(
+        "_dup",
+        (F.col("_mokv").isNotNull() & (F.col("okv") != F.col("_mokv")))
+        .cast("int"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    covered = marked.withColumn("_cov", F.max("_dup").over(w))
+    return covered.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_cov") == 0,
+                            F.struct(F.col("pos"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.col("_cov").cast("long")).alias("n_removed"),
+    )
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

@@ -376,3 +376,59 @@ class TestIncrementalBackfillMode:
             ).collect()
         }
         assert fast == slow and len(fast) > 0
+
+
+class TestSubstringDedup:
+    SPAN = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+
+    def _run(self, spark, rows, k=8):
+        from feasibility_etl_spark.operators.dedup import substring_dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: (r.text, r.n_tok, r.n_removed)
+            for r in substring_dedup(df, k=k).collect()
+        }
+
+    def test_canonical_keeps_copies_lose(self, spark):
+        out = self._run(spark, [
+            (1, f"intro one two {self.SPAN} closing words here"),
+            (2, f"different opening {self.SPAN} and a different tail"),
+            (3, "entirely unique text with no repeated spans at all ok"),
+        ])
+        assert out[1] == (
+            f"intro one two {self.SPAN} closing words here", 14, 0)
+        assert out[2] == ("different opening and a different tail", 14, 8)
+        assert out[3][2] == 0
+
+    def test_intra_doc_repeat_removed(self, spark):
+        out = self._run(spark, [
+            (1, f"repeat test {self.SPAN} middle filler {self.SPAN} done"),
+        ])
+        # second in-doc occurrence removed, first (canonical) kept
+        assert out[1] == (
+            f"repeat test {self.SPAN} middle filler done", 21, 8)
+
+    def test_maximal_span_longer_than_k_fully_removed(self, spark):
+        long_span = self.SPAN + " india juliet"   # 10 tokens, k=8
+        out = self._run(spark, [
+            (1, f"first {long_span} end"),
+            (2, f"second copy {long_span} trailing"),
+        ])
+        assert out[2] == ("second copy trailing", 13, 10)
+
+    def test_case_insensitive_match_rebuilds_original_case(self, spark):
+        out = self._run(spark, [
+            (1, f"aa {self.SPAN} bb"),
+            (2, "cc " + self.SPAN.upper() + " dd"),
+        ])
+        assert out[1][2] == 0
+        assert out[2] == ("cc dd", 10, 8)
+
+    def test_sub_k_overlap_untouched(self, spark):
+        seven = "alpha bravo charlie delta echo foxtrot golf"  # 7 < k
+        out = self._run(spark, [
+            (1, f"one {seven} tail a"),
+            (2, f"two {seven} stop b x"),  # longest shared span = 7 tokens
+        ])
+        assert out[1][2] == 0 and out[2][2] == 0

@@ -53,6 +53,10 @@ MAX_EXCHANGES = {
     "DEDUP-NGRAM": 3,     # token explode agg + (block, token) self-join + sizes
     "DEDUP-MINHASH": 3,   # sig agg + banded self-join + verify
     "DEDUP-PRUNE": 2,     # final labels join + anti-join (loop rounds checkpointed)
+    "DEDUP-SUBSTRING": 3, # gram agg + doc-keyed window (the rebuild agg and
+                          # the coverage window share the doc_id exchange);
+                          # the duplicated-gram join back is AQE-broadcast
+                          # (measured 2; +1 slack for presentation changes)
     "DEDUP-INCR": 10,     # two per-half sig aggs + candidate distinct + ordered
                           # output; serve joins are broadcast (hinted)
     "DEDUP-FUZZY": 1,     # bucketed (token, band) equi-join, no cartesian
