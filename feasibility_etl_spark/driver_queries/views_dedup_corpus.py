@@ -258,12 +258,62 @@ def q_line_dedup_keepfirst(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_LINE_DEDUP_KEEPFIRST = _line_oracle("q.f IS NULL OR p.doc_id = q.keeper")
 
 
+def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-SUBSTRING (granular singleton): exact substring dedup (Lee
+    et al. 2022, arXiv:2107.06499 — the RefinedWeb exact-substring pass)
+    at k=8 tokens: duplicated spans are removed from every non-canonical
+    occurrence (first (doc, pos) keeps; intra-doc repeats count) and the
+    documents rebuild from surviving tokens. Full oracle: gram counts,
+    the min-occurrence keys (doc*2^32+pos BIGINTs), the k-1-preceding
+    coverage window, and the ordered rebuild are all ANSI-expressible."""
+    from ..operators.dedup import substring_dedup
+
+    return substring_dedup(load(spark, sf, "documents"), k=8)
+
+
+ORACLE_DEDUP_SUBSTRING = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tl
+  FROM documents WHERE trim(text) <> ''
+), z AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[CAST(u.i AS INT)] AS tok,
+         CASE WHEN u.i + 7 <= len(tl)
+              THEN array_to_string(tl[u.i:u.i+7], ' ') END AS g,
+         doc_id * 4294967296 + (u.i - 1) AS okv
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+), gs AS (
+  SELECT g, MIN(okv) AS mokv FROM z WHERE g IS NOT NULL
+  GROUP BY g HAVING COUNT(*) > 1
+), m AS (
+  SELECT z.doc_id, z.pos, z.tok,
+         CASE WHEN gs.g IS NOT NULL AND z.okv <> gs.mokv THEN 1 ELSE 0 END AS dup
+  FROM z LEFT JOIN gs USING (g)
+), c AS (
+  SELECT doc_id, pos, tok,
+         MAX(dup) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+  FROM m
+)
+SELECT doc_id,
+       COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cov = 0), '')
+         AS text,
+       COUNT(*) AS n_tok,
+       CAST(SUM(cov) AS BIGINT) AS n_removed
+FROM c GROUP BY doc_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """DEDUP-EXACT: the exact-dedup family union-tagged — part='doc' covers
     document-level hash-groupBy dedup (keeper + group size per normalized
     fingerprint); part='line' covers LINE-DEDUP (CCNet/RefinedWeb
     line-level boilerplate removal with rebuilt doc text, full oracle —
-    see q_line_dedup for the line-structuring construction)."""
+    see q_line_dedup for the line-structuring construction); part='substr'
+    covers DEDUP-SUBSTRING (Lee-et-al exact substring dedup: duplicated
+    k-token spans removed from non-canonical occurrences, doc rebuilt —
+    n_lines carries n_tok, n_kept carries n_tok - n_removed)."""
     doc = exact_dup_groups(load(spark, sf, "documents")).select(
         F.lit("doc").alias("part"),
         "fp",
@@ -284,7 +334,17 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
         "n_kept",
         "text",
     )
-    return doc.unionByName(line)
+    substr = q_dedup_substring(spark, sf).select(
+        F.lit("substr").alias("part"),
+        F.lit(None).cast("string").alias("fp"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.lit(None).cast("long").alias("group_size"),
+        "doc_id",
+        F.col("n_tok").alias("n_lines"),
+        (F.col("n_tok") - F.col("n_removed")).alias("n_kept"),
+        "text",
+    )
+    return doc.unionByName(line).unionByName(substr)
 
 
 ORACLE_DEDUP_EXACT = rf"""
@@ -297,6 +357,11 @@ SELECT 'line' AS part, CAST(NULL AS VARCHAR) AS fp,
        CAST(NULL AS BIGINT) AS keep_id, CAST(NULL AS BIGINT) AS group_size,
        doc_id, n_lines, n_kept, text
 FROM ({ORACLE_LINE_DEDUP})
+UNION ALL
+SELECT 'substr' AS part, CAST(NULL AS VARCHAR) AS fp,
+       CAST(NULL AS BIGINT) AS keep_id, CAST(NULL AS BIGINT) AS group_size,
+       doc_id, n_tok AS n_lines, n_tok - n_removed AS n_kept, text
+FROM ({ORACLE_DEDUP_SUBSTRING})
 """
 
 
@@ -773,51 +838,4 @@ SELECT g.doc_id,
          / CAST(COUNT(*) AS DOUBLE) AS contamination
 FROM g LEFT JOIN eval_sh e USING (g)
 GROUP BY g.doc_id ORDER BY g.doc_id
-"""
-
-
-def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
-    """DEDUP-SUBSTRING (granular singleton): exact substring dedup (Lee
-    et al. 2022, arXiv:2107.06499 — the RefinedWeb exact-substring pass)
-    at k=8 tokens: duplicated spans are removed from every non-canonical
-    occurrence (first (doc, pos) keeps; intra-doc repeats count) and the
-    documents rebuild from surviving tokens. Full oracle: gram counts,
-    the min-occurrence keys (doc*2^32+pos BIGINTs), the k-1-preceding
-    coverage window, and the ordered rebuild are all ANSI-expressible."""
-    from ..operators.dedup import substring_dedup
-
-    return substring_dedup(load(spark, sf, "documents"), k=8)
-
-
-ORACLE_DEDUP_SUBSTRING = r"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t,
-         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tl
-  FROM documents WHERE trim(text) <> ''
-), z AS (
-  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[CAST(u.i AS INT)] AS tok,
-         CASE WHEN u.i + 7 <= len(tl)
-              THEN array_to_string(tl[u.i:u.i+7], ' ') END AS g,
-         doc_id * 4294967296 + (u.i - 1) AS okv
-  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
-), gs AS (
-  SELECT g, MIN(okv) AS mokv FROM z WHERE g IS NOT NULL
-  GROUP BY g HAVING COUNT(*) > 1
-), m AS (
-  SELECT z.doc_id, z.pos, z.tok,
-         CASE WHEN gs.g IS NOT NULL AND z.okv <> gs.mokv THEN 1 ELSE 0 END AS dup
-  FROM z LEFT JOIN gs USING (g)
-), c AS (
-  SELECT doc_id, pos, tok,
-         MAX(dup) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
-  FROM m
-)
-SELECT doc_id,
-       COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cov = 0), '')
-         AS text,
-       COUNT(*) AS n_tok,
-       CAST(SUM(cov) AS BIGINT) AS n_removed
-FROM c GROUP BY doc_id
 """
