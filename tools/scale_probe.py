@@ -71,6 +71,7 @@ def main() -> None:
         "dedup_exact": lambda d: dedup.exact_dup_groups(d),
         "dedup_minhash": lambda d: dedup.near_dup_pairs(d, threshold=0.5),
         "dedup_simhash": lambda d: dedup.simhash_candidates(d),
+        "dedup_substring": lambda d: dedup.substring_dedup(d, k=8),
         "text_quality": lambda d: d.select(
             "doc_id", text.quality_score("text").alias("q")
         ),
