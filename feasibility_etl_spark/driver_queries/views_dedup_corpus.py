@@ -507,6 +507,57 @@ WHERE d.doc_id NOT IN (SELECT node FROM dropped)
 """
 
 
+def q_dedup_prune_best(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-PRUNE-BEST (granular singleton): component prune keeping the
+    HIGHEST-QUALITY member per near-dup cluster (score = n_chars, i.e.
+    the longest document; min id on ties) — the RefinedWeb/FineWeb
+    representative policy, vs DEDUP-PRUNE's metadata-free min-id. Full
+    oracle: the same recursive component search plus a per-component
+    argmax window."""
+    docs = load(spark, sf, "documents")
+    pairs = blocked_jaccard_pairs(docs, ["lang", "source"], threshold=0.2)
+    return prune_components(docs, pairs, score_col="n_chars").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+ORACLE_DEDUP_PRUNE_BEST = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) END >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, reach.r AS r
+  FROM edges e JOIN reach ON e.dst = reach.node
+), comps AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+), ranked AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+  FROM comps c JOIN documents d USING (doc_id)
+), dropped AS (
+  SELECT doc_id FROM ranked WHERE rn > 1
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 def q_text_clean(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-CLEAN: pre-tokenization normalization over a deterministically
     dirtied document body (wrapped in tags + entities + a control char, so

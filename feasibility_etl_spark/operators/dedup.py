@@ -651,22 +651,46 @@ def prune_components(
     id_col: str = "doc_id",
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Deduplicated corpus: drop every doc that is not its component's
-    representative (minimum id). Docs never seen in a pair are untouched —
-    the anti-join is against the *dropped* set (component members minus
+    representative. Docs never seen in a pair are untouched — the
+    anti-join is against the *dropped* set (component members minus
     representatives), which is near-dup-count sized, not corpus sized.
     Broadcast is left to AQE: at typical dup rates the dropped set fits the
     broadcast threshold, but it is unbounded in principle (cf. the writer's
     fact-key anti-join), so we don't force it. ``checkpoint_dir``: durable
     per-round checkpointing for the component loop (see
-    :func:`connected_components`)."""
+    :func:`connected_components`).
+
+    Representative choice: with ``score_col=None`` the minimum id keeps
+    (deterministic, metadata-free — the component label itself). With a
+    ``score_col``, the HIGHEST-scoring member keeps (min id on ties) —
+    the RefinedWeb/FineWeb-style policy of retaining the best-quality or
+    longest document per near-dup cluster instead of an arbitrary one.
+    Cost: one extra join of the component table (pair-graph-scale, not
+    corpus-scale) against the scores of ITS OWN members plus a
+    per-component argmax window — the corpus never re-shuffles."""
     comps = connected_components(
         pairs, max_iterations=max_iterations, checkpoint_dir=checkpoint_dir
     )
-    dropped = comps.where(F.col("doc_id") != F.col("component_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if score_col is None:
+        dropped = comps.where(F.col("doc_id") != F.col("component_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        scored = comps.join(
+            df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_sc")),
+            "doc_id",
+        )
+        w = Window.partitionBy("component_id").orderBy(
+            F.col("_sc").desc(), F.col("doc_id").asc()
+        )
+        dropped = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > 1)
+            .select(F.col("doc_id").alias(id_col))
+        )
     return df.join(dropped, id_col, "left_anti")
 
 

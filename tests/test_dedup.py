@@ -432,3 +432,28 @@ class TestSubstringDedup:
             (2, f"two {seven} stop b x"),  # longest shared span = 7 tokens
         ])
         assert out[1][2] == 0 and out[2][2] == 0
+
+
+def test_prune_components_keep_best_score(spark):
+    from feasibility_etl_spark.operators.dedup import (
+        blocked_jaccard_pairs,
+        prune_components,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s0", 10),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 99),
+        (3, "unrelated totally different words here now", "en", "s0", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = blocked_jaccard_pairs(df, ["lang", "source"], threshold=0.5)
+    # min-id policy keeps doc 1; score policy keeps the higher-n_chars doc 2
+    kept_min = sorted(r.doc_id for r in prune_components(df, pairs).collect())
+    kept_best = sorted(
+        r.doc_id
+        for r in prune_components(df, pairs, score_col="n_chars").collect()
+    )
+    assert kept_min == [1, 3]
+    assert kept_best == [2, 3]
