@@ -329,3 +329,51 @@ def test_repetition_matches_python_model(spark, texts, n):
         et, ed = _py_repetition(t, n)
         assert math.isclose(got[i][0], et, rel_tol=0, abs_tol=1e-12), (i, t)
         assert math.isclose(got[i][1], ed, rel_tol=0, abs_tol=1e-12), (i, t)
+
+
+def _py_substring_dedup(rows: list[tuple[int, str]], k: int):
+    """Pure-Python model of operators.dedup.substring_dedup: duplicated
+    k-token spans removed from every non-canonical occurrence (canonical
+    = min (doc, pos)), docs rebuilt from surviving original tokens."""
+    toks = {d: t.split() for d, t in rows if t.strip()}
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        tl = [w.lower() for w in toks[d]]
+        for i in range(len(tl) - k + 1):
+            occ.setdefault(tuple(tl[i:i + k]), []).append((d, i))
+    dup_starts: dict[int, set[int]] = {}
+    for g, occs in occ.items():
+        if len(occs) > 1:
+            first = min(occs)
+            for o in occs:
+                if o != first:
+                    dup_starts.setdefault(o[0], set()).add(o[1])
+    out = {}
+    for d, t in toks.items():
+        covered = set()
+        for i in dup_starts.get(d, ()):
+            covered.update(range(i, i + k))
+        kept = [w for j, w in enumerate(t) if j not in covered]
+        out[d] = (" ".join(kept), len(t), len(t) - len(kept))
+    return out
+
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta",
+                         "Eta", "THETA", "iota", "kappa"])
+_doc = st.lists(_word, min_size=0, max_size=14).map(" ".join)
+
+
+@SETTINGS
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_substring_dedup_matches_python_model(spark, texts):
+    from feasibility_etl_spark.operators.dedup import substring_dedup
+
+    k = 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tok, r.n_removed)
+        for r in substring_dedup(df, k=k).collect()
+    }
+    want = _py_substring_dedup(rows, k)
+    assert got == want
