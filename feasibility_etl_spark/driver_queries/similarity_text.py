@@ -413,3 +413,62 @@ SELECT qid AS query_id, cid AS vec_id, hamming,
          AS rank
 FROM d QUALIFY rank <= 10
 """
+
+
+def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-NORMALIZE (granular singleton): Unicode NFC normalization +
+    encoding-anomaly signals over deterministically dirtied text (every
+    row gains a decomposed e+COMBINING-ACUTE and i+COMBINING-DIAERESIS,
+    a U+FFFD replacement char, and a BEL control char, so the
+    normalization and both counters provably fire on every row). FULL
+    oracle: DuckDB's nfc_normalize is the same Unicode NFC (verified
+    char-identical to Python's unicodedata), and the counters are plain
+    length/replace arithmetic. The NFKC/NFD forms share the operator and
+    are pinned by semantic tests (no SQL twin for compatibility
+    folding)."""
+    from ..operators.text import (
+        control_char_count,
+        normalize_text,
+        replacement_char_count,
+    )
+
+    docs = load(spark, sf, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" cafe\u0301 nai\u0308ve \ufffd bel\u0007l"),
+        ).alias("text"),
+    )
+    out = normalize_text(dirty, form="NFC")
+    return out.select(
+        "doc_id",
+        F.col("text_norm"),
+        (F.col("text_norm") != F.col("text")).alias("changed"),
+        F.length("text").cast("long").alias("n_before"),
+        F.length("text_norm").cast("long").alias("n_after"),
+        replacement_char_count("text").alias("n_repl"),
+        control_char_count("text").alias("n_ctl"),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+         chr(65533) || ' bel' || chr(7) || 'l' AS text
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(text) AS text_norm,
+       nfc_normalize(text) <> text AS changed,
+       CAST(length(text) AS BIGINT) AS n_before,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS n_after,
+       CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT)
+         AS n_repl,
+       CAST(length(text)
+            - length(regexp_replace(text,
+                     '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS BIGINT)
+         AS n_ctl
+FROM dirty
+"""

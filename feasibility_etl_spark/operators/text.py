@@ -606,3 +606,70 @@ def tfidf_topterms(
             "rank",
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str = "text_norm",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Unicode normalization of ``text_col`` → all input columns plus
+    ``out_col`` (the FineWeb-style pre-dedup pass: decomposed accents,
+    compatibility ligatures/width variants, and visually-identical
+    byte-distinct strings collapse to one form so exact/fuzzy dedup keys
+    and tokenizers see canonical text).
+
+    ``form``: NFC (canonical compose — the web-corpus default; DuckDB's
+    ``nfc_normalize`` replays it exactly, so the driver checks this form
+    FULL-ORACLE), NFKC (compatibility compose — ligatures ﬁ→fi,
+    fullwidth Ａ→A, ①→1; no SQL twin, pinned by semantic tests), or
+    NFD/NFKD. Arrow-batched ``mapInPandas`` (the codec tier — Spark has
+    no ICU normalize Column function); ``unicodedata.normalize`` is
+    C-implemented, so per-row cost is string-copy-bound."""
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    # fresh StructType — StructType.add MUTATES the list it came from,
+    # corrupting the source DataFrame's cached schema
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+    src = df.repartition(parallelism) if parallelism else df
+
+    def run(batches):
+        for pdf in batches:
+            pdf[out_col] = [
+                unicodedata.normalize(form, s) if s is not None else None
+                for s in pdf[text_col]
+            ]
+            yield pdf
+
+    return src.mapInPandas(run, out_schema)
+
+
+def replacement_char_count(text: Column | str) -> Column:
+    """Count of U+FFFD replacement characters — the scar tissue of a bad
+    decode (mojibake signal; a high count means the upstream byte stream
+    was read with the wrong encoding). Pure Column expr."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.length(c) - F.length(F.regexp_replace(c, "�", ""))
+    ).cast("long")
+
+
+def control_char_count(text: Column | str) -> Column:
+    """Count of C0/C1 control characters excluding \\t \\n \\r — binary
+    junk embedded in 'text' (the other half of the encoding-anomaly
+    gate). Pure Column expr, RE2-portable."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.length(c)
+        - F.length(
+            F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+        )
+    ).cast("long")

@@ -364,3 +364,51 @@ def test_compression_signals_reference_parity_and_ordering(spark):
         for r in compression_signals(df.repartition(3), parallelism=2).collect()
     }
     assert again == {d: (r.n_compressed, r.compress_ratio) for d, r in got.items()}
+
+
+def test_normalize_text_forms_and_signals(spark):
+    from feasibility_etl_spark.operators.text import (
+        control_char_count,
+        normalize_text,
+        replacement_char_count,
+    )
+
+    rows = [
+        (1, "cafe\u0301"),                 # decomposed -> NFC composes
+        (2, "\ufb01le \uff21 \u2460"),    # ligature fi, fullwidth A, circled 1
+        (3, None),                          # null rides through
+        (4, "ok\u0007 bad\ufffd\ufffd"),  # BEL + two replacement chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    nfc = {r.doc_id: r.text_norm for r in normalize_text(df, form="NFC").collect()}
+    assert nfc[1] == "caf\u00e9"            # composed
+    assert nfc[2] == "\ufb01le \uff21 \u2460"  # NFC leaves compatibility chars
+    assert nfc[3] is None
+
+    nfkc = {r.doc_id: r.text_norm for r in normalize_text(df, form="NFKC").collect()}
+    assert nfkc[1] == "caf\u00e9"
+    assert nfkc[2] == "file A 1"            # compatibility folding
+    import unicodedata
+    assert nfkc[4] == unicodedata.normalize("NFKC", rows[3][1])
+
+    sig = {
+        r.doc_id: (r.nr, r.nc)
+        for r in df.where(df.text.isNotNull()).select(
+            "doc_id",
+            replacement_char_count("text").alias("nr"),
+            control_char_count("text").alias("nc"),
+        ).collect()
+    }
+    assert sig[4] == (2, 1)
+    assert sig[1] == (0, 0)
+
+
+def test_normalize_text_rejects_unknown_form(spark):
+    import pytest
+
+    from feasibility_etl_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown normalization form"):
+        normalize_text(df, form="NFX")
