@@ -91,7 +91,10 @@ PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL",
              "COMPRESS-RATIO",
              "TEXT-ROWS",
              # PIPE-CORPUS ends in the BPE-ENCODE mapInPandas stage
-             "PIPE-CORPUS"}
+             "PIPE-CORPUS",
+             # Unicode normalization: Spark has no ICU Column function;
+             # Arrow-batched unicodedata is the sanctioned codec tier
+             "TEXT-NORMALIZE"}
 
 
 def audit(name: str, plan: str) -> tuple[list[str], list[str]]:
