@@ -243,13 +243,19 @@ def exact_dedup_gate_sink(
     n_hashes: int = 5,
     trigger_available_now: bool = True,
     shuffle_partitions: int | None = None,
+    rejects_dir: str | None = None,
 ):
     """Start the exact-dedup gate as a ``foreachBatch`` streaming query
     (see module docstring for tiers, layout, cost discipline, and replay
     semantics). ``m_bits`` sizes the cumulative filter; FPR grows with
     total accepted volume — size it for the expected corpus (~10 bits
     per accepted doc for ~1% FPR; a saturated filter only degrades the
-    fast path, never correctness)."""
+    fast path, never correctness).
+
+    ``rejects_dir``: opt-in quarantine — each batch ALSO writes its
+    dropped rows (``reason='duplicate'``) to ``rejects_dir/batch_id=N``
+    (overwrite → replay-idempotent) so dedup decisions stay auditable.
+    Off by default (one extra action per batch)."""
     docs_dir = os.path.join(base_dir, "docs")
     bloom_dir = os.path.join(base_dir, "bloom")
     n_words = m_bits // 32
@@ -271,6 +277,16 @@ def exact_dedup_gate_sink(
                 fingerprinted=True,
             ).persist()
             try:
+                if rejects_dir is not None:
+                    # original batch minus survivors: batch-internal dups
+                    # (window-dropped) AND state matches, both 'duplicate'
+                    batch.join(
+                        F.broadcast(
+                            survivors.select(F.col(id_col))
+                        ), id_col, "left_anti"
+                    ).withColumn("reason", F.lit("duplicate")).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(rejects_dir, f"batch_id={batch_id}"))
                 new_fps = survivors.select(F.col("_fp").alias("fp"))
                 with ThreadPoolExecutor(max_workers=2) as pool:
                     write_f = pool.submit(

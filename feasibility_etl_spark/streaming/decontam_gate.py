@@ -97,13 +97,20 @@ def decontam_gate_sink(
     n_hashes: int = 5,
     trigger_available_now: bool = True,
     shuffle_partitions: int | None = None,
+    rejects_dir: str | None = None,
 ):
     """Start the decontamination gate as a ``foreachBatch`` streaming
     query (tiers, layout and posture in the module docstring).
     ``eval_docs`` is a STATIC frame (the benchmark corpus); its gram set
     and Bloom filter are built and persisted once here and reused by
     every micro-batch. ``m_bits`` sizes the filter for the EVAL gram
-    count (~10 bits per gram for ~1% FPR)."""
+    count (~10 bits per gram for ~1% FPR).
+
+    ``rejects_dir``: opt-in quarantine (the E-ISOLATE pattern at the
+    stream boundary) — each batch ALSO writes its rejected rows with a
+    ``reason`` column to ``rejects_dir/batch_id=N`` (overwrite →
+    replay-idempotent), so dropped data stays auditable instead of
+    vanishing. Off by default: it costs one extra action per batch."""
     docs_dir = os.path.join(base_dir, "docs")
     sh = F.array_distinct(shingles(F.col(text_col), n=ngram))
     eval_grams = (
@@ -117,13 +124,29 @@ def decontam_gate_sink(
         spark = batch.sparkSession
         with scoped_shuffle_partitions(spark, shuffle_partitions):
             width = shuffle_partitions or spark.sparkContext.defaultParallelism
+            rb = batch.repartition(width)
+            if rejects_dir is not None:
+                rb = rb.persist()
             survivors = decontam_gate_batch(
-                batch.repartition(width), eval_grams, bloom_row,
+                rb, eval_grams, bloom_row,
                 text_col, id_col, ngram, m_bits, n_hashes,
             )
-            survivors.write.mode("overwrite").parquet(
-                os.path.join(docs_dir, f"batch_id={batch_id}")
-            )
+            if rejects_dir is not None:
+                survivors = survivors.persist()
+            try:
+                survivors.write.mode("overwrite").parquet(
+                    os.path.join(docs_dir, f"batch_id={batch_id}")
+                )
+                if rejects_dir is not None:
+                    rb.join(
+                        F.broadcast(survivors.select(id_col)), id_col, "left_anti"
+                    ).withColumn("reason", F.lit("contaminated")).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(rejects_dir, f"batch_id={batch_id}"))
+            finally:
+                if rejects_dir is not None:
+                    survivors.unpersist()
+                    rb.unpersist()
 
     writer = (
         docs_stream.writeStream.foreachBatch(_process)

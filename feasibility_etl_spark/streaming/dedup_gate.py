@@ -157,8 +157,16 @@ def near_dup_gate_sink(
     shingle_n: int = 3,
     trigger_available_now: bool = True,
     shuffle_partitions: int | None = None,
+    rejects_dir: str | None = None,
 ):
     """Start the gate as a ``foreachBatch`` streaming query.
+
+    ``rejects_dir``: opt-in quarantine — each batch ALSO writes its
+    dropped rows (``reason='near_duplicate'``) to
+    ``rejects_dir/batch_id=N`` (overwrite → replay-idempotent) so drop
+    decisions stay auditable. Off by default: the single-action batch
+    commit (below) is the throughput discipline, and the quarantine
+    adds one action per batch when enabled.
 
     Layout under ``base_dir``: ``docs/batch_id=N`` — accepted documents
     WITH their MinHash index columns (``sig``, ``band_hashes``) in the
@@ -222,6 +230,9 @@ def near_dup_gate_sink(
                 rb, index, text_col, id_col, threshold, num_hashes, bands,
                 shingle_n, new_index=new_idx,
             )
+            if rejects_dir is not None:
+                # quarantine makes drops a two-consumer frame again
+                drops = drops.persist()
             try:
                 combined = (
                     rb.join(F.broadcast(new_idx), id_col)
@@ -230,7 +241,15 @@ def near_dup_gate_sink(
                 combined.write.mode("overwrite").parquet(
                     os.path.join(docs_dir, f"batch_id={batch_id}")
                 )
+                if rejects_dir is not None:
+                    rb.join(F.broadcast(drops), id_col, "left_semi").withColumn(
+                        "reason", F.lit("near_duplicate")
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(rejects_dir, f"batch_id={batch_id}")
+                    )
             finally:
+                if rejects_dir is not None:
+                    drops.unpersist()
                 new_idx.unpersist()
                 rb.unpersist()
 
