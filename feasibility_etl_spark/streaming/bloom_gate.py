@@ -59,7 +59,9 @@ state reads always exclude ``batch_id >= current`` so a replayed batch
 never gates against its prior attempt — for the cumulative bloom that
 means reading exactly ``batch_id = N-1`` (foreachBatch ids are
 contiguous under the checkpoint contract; batch N only exists after
-N-1 committed). State layout under ``base_dir``: ``docs/batch_id=N``
+N-1 committed). Filters older than N-1 are retired as the stream
+advances — nothing can ever read them — so bloom state is O(1) files,
+not one per batch. State layout under ``base_dir``: ``docs/batch_id=N``
 (accepted documents WITH their ``fp`` fingerprint column — the
 fingerprint index is a column-pruned read of the docs state, not a
 second write job per batch) and ``bloom/batch-N.bin`` (the cumulative
@@ -302,6 +304,15 @@ def exact_dedup_gate_sink(
                         merged[r["_w"]] |= r["_word"]
                     write_f.result()
                 _write_bloom_words(spark, bloom_dir, batch_id, merged)
+                # retire stale cumulative filters: batch N reads exactly
+                # N-1, a replay of N reads N-1 — nothing ever reads N-2,
+                # so the file set stays O(1) instead of one-per-batch
+                if batch_id >= 2:
+                    fs, jold = _hadoop_fs(
+                        spark, _bloom_path(bloom_dir, batch_id - 2)
+                    )
+                    if fs.exists(jold):
+                        fs.delete(jold, False)
             finally:
                 survivors.unpersist()
                 b.unpersist()

@@ -170,7 +170,10 @@ def near_dup_gate_sink(
 
     Layout under ``base_dir``: ``docs/batch_id=N`` — accepted documents
     WITH their MinHash index columns (``sig``, ``band_hashes``) in the
-    same files. One state write per batch instead of a docs write plus
+    same files. Per-batch partition debris is bounded by running
+    ``writer.compact.compact_partitions`` over ``docs/`` from a
+    maintenance job (idle stream; the per-partition crash-safe swap
+    keeps any reader consistent). One state write per batch instead of a docs write plus
     an index write; later batches read the index as a column-pruned
     scan of the same state (``_read_index``), and text+signature are
     each stored once, not split across two trees.

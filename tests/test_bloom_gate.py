@@ -109,11 +109,14 @@ def test_streaming_equals_batch_exact_dedup(spark, tmp_path):
     assert fps.count() == fps.distinct().count() == 4
     from feasibility_etl_spark.streaming.bloom_gate import _read_prev_bloom
 
-    first = _read_prev_bloom(spark, base + "/bloom", 1)   # through batch 0
+    prev = _read_prev_bloom(spark, base + "/bloom", 2)    # through batch 1
     last = _read_prev_bloom(spark, base + "/bloom", 3)    # through batch 2
-    assert first is not None and last is not None
-    assert any(w != 0 for w in first)
-    assert all((a & b) == a for a, b in zip(first, last))  # monotone OR
+    assert prev is not None and last is not None
+    assert any(w != 0 for w in prev)
+    assert all((a & b) == a for a, b in zip(prev, last))  # monotone OR
+    # stale filters retire as the stream advances (nothing reads < N-1):
+    # batch 2's commit deleted batch-0.bin
+    assert _read_prev_bloom(spark, base + "/bloom", 1) is None
 
 
 def test_replay_excludes_own_state_partition(spark, tmp_path):
