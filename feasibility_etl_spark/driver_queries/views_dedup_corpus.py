@@ -264,8 +264,9 @@ def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     at k=8 tokens: duplicated spans are removed from every non-canonical
     occurrence (first (doc, pos) keeps; intra-doc repeats count) and the
     documents rebuild from surviving tokens. Full oracle: gram counts,
-    the min-occurrence keys (doc*2^32+pos BIGINTs), the k-1-preceding
-    coverage window, and the ordered rebuild are all ANSI-expressible."""
+    the min-occurrence keys (MIN over (doc, pos) structs — both engines
+    order structs lexicographically), the k-1-preceding coverage window,
+    and the ordered rebuild are all ANSI-expressible."""
     from ..operators.dedup import substring_dedup
 
     return substring_dedup(load(spark, sf, "documents"), k=8)
@@ -281,7 +282,7 @@ WITH toks AS (
   SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[CAST(u.i AS INT)] AS tok,
          CASE WHEN u.i + 7 <= len(tl)
               THEN array_to_string(tl[u.i:u.i+7], ' ') END AS g,
-         doc_id * 4294967296 + (u.i - 1) AS okv
+         ROW(doc_id, CAST(u.i - 1 AS BIGINT)) AS okv
   FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
 ), gs AS (
   SELECT g, MIN(okv) AS mokv FROM z WHERE g IS NOT NULL

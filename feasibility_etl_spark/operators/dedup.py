@@ -149,9 +149,11 @@ def substring_dedup(
     - Matching is on LOWERCASED tokens; rebuilding uses the ORIGINAL
       tokens joined by single spaces (the line_dedup convention).
     - A k-gram occurrence is ``(doc, pos)``; the canonical occurrence of
-      a gram is the minimum ``doc * 2^32 + pos`` (first doc, first
-      position). Every NON-canonical occurrence of a gram that occurs
-      more than once corpus-wide is a duplicate START.
+      a gram is the minimum ``struct(doc, pos)`` under Spark's struct
+      ordering (first doc, first position — id ordering is whatever the
+      id type's natural order is, so string ids work and bigints never
+      overflow a packed key). Every NON-canonical occurrence of a gram
+      that occurs more than once corpus-wide is a duplicate START.
     - A token is removed iff ANY duplicate start covers it — i.e. some
       duplicated k-gram beginning within the previous k-1 positions —
       so overlapping duplicate grams merge into one removed span, and
@@ -191,7 +193,10 @@ def substring_dedup(
         F.col("_s.tok").alias("tok"),
         F.col("_s.g").alias("g"),
     ).withColumn(
-        "okv", F.col(id_col).cast("long") * F.lit(1 << 32) + F.col("pos")
+        # canonical-occurrence key: struct ordering, not arithmetic
+        # packing — a long*2^32+pos key NULLs out on non-numeric ids
+        # (silently disabling all removal) and collides past 2^31
+        "okv", F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
     )
     offenders = (
         z.where(F.col("g").isNotNull())

@@ -130,11 +130,19 @@ def _write_bloom_words(
 
 
 def _read_prev_bloom(
-    spark: SparkSession, bloom_dir: str, batch_id: int
+    spark: SparkSession, bloom_dir: str, batch_id: int, n_words: int
 ) -> list[int] | None:
     """The cumulative filter through batch ``batch_id - 1`` as a driver
     list of words (one small-file read — never a listing or merge of
-    all prior batches), or None when no predecessor exists."""
+    all prior batches), or None when no predecessor exists.
+
+    A file whose word count differs from ``n_words`` (a restart with a
+    different ``m_bits``) is treated as ABSENT: the gate degrades to the
+    exact tier for that batch (every fingerprint a suspect) and rewrites
+    the filter at the new size on commit. Probing a mis-sized word array
+    would be worse than slow — a too-small array makes out-of-range
+    ``element_at`` probes NULL, classifying true duplicates as
+    definitely-new — so size mismatch must never reach the probe."""
     if batch_id <= 0:
         return None
     path = _bloom_path(bloom_dir, batch_id - 1)
@@ -146,7 +154,8 @@ def _read_prev_bloom(
         blob = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(inp))
     finally:
         inp.close()
-    return list(struct.unpack(f"<{len(blob) // 8}q", blob))
+    words = list(struct.unpack(f"<{len(blob) // 8}q", blob))
+    return words if len(words) == n_words else None
 
 
 def _fingerprint_dedup(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -172,6 +181,7 @@ def exact_gate_batch(
     m_bits: int = 1 << 18,
     n_hashes: int = 5,
     fingerprinted: bool = False,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """One gating step: the subset of ``batch`` surviving exact dedup
     against the accepted state and smaller-id batch-mates. Returns the
@@ -183,7 +193,15 @@ def exact_gate_batch(
     A missing ``bloom_row`` with a PRESENT ``fps_index`` degrades
     safely: every distinct fingerprint becomes a suspect (exactness
     preserved, fast path lost) — lost bloom state can never admit a
-    duplicate."""
+    duplicate.
+
+    ``caches``: when the caller will run SEVERAL actions on the result
+    (the sink does: docs write, rejects write, sparse-bits aggregate),
+    pass a list — the persisted suspect frame is appended for the
+    CALLER to unpersist after its actions, so the cache actually serves
+    the downstream semi/anti joins. Without it the cache is released
+    here and only serves the isEmpty probe (each caller action then
+    re-runs the probe plan — fine for a single-action backfill)."""
     b = batch if fingerprinted else _fingerprint_dedup(batch, text_col, id_col)
     if fps_index is None:
         return b
@@ -197,9 +215,9 @@ def exact_gate_batch(
         )
     else:
         suspects = b.select("_fp")
-    # cache the tiny suspect set: it feeds both the isEmpty probe and the
-    # semi-join below — without it the probe plan runs twice per batch
     suspects = suspects.persist()
+    if caches is not None:
+        caches.append(suspects)
     try:
         if suspects.isEmpty():
             # definite-new batch: the fingerprint index is never scanned
@@ -211,7 +229,8 @@ def exact_gate_batch(
             F.broadcast(matched.withColumnRenamed("fp", "_fp")), "_fp", "left_anti"
         )
     finally:
-        suspects.unpersist()
+        if caches is None:
+            suspects.unpersist()
 
 
 def _sparse_bloom_words(fps: DataFrame, m_bits: int, n_hashes: int) -> list:
@@ -267,16 +286,17 @@ def exact_dedup_gate_sink(
         with scoped_shuffle_partitions(spark, shuffle_partitions):
             docs_state = _read_state(spark, docs_dir, before_batch=batch_id)
             fps_index = docs_state.select("fp") if docs_state is not None else None
-            prev = _read_prev_bloom(spark, bloom_dir, batch_id)
+            prev = _read_prev_bloom(spark, bloom_dir, batch_id, n_words)
             bloom_row = (
                 spark.createDataFrame([(prev,)], "bloom array<long>")
                 if prev is not None
                 else None
             )
             b = _fingerprint_dedup(batch, text_col, id_col).persist()
+            gate_caches: list[DataFrame] = []
             survivors = exact_gate_batch(
                 b, fps_index, bloom_row, text_col, id_col, m_bits, n_hashes,
-                fingerprinted=True,
+                fingerprinted=True, caches=gate_caches,
             ).persist()
             try:
                 if rejects_dir is not None:
@@ -290,6 +310,17 @@ def exact_dedup_gate_sink(
                         "overwrite"
                     ).parquet(os.path.join(rejects_dir, f"batch_id={batch_id}"))
                 new_fps = survivors.select(F.col("_fp").alias("fp"))
+                # the written filter must stay the OR of EVERY accepted
+                # fingerprint: with a predecessor, that's prev | new
+                # bits; with docs state but NO usable predecessor (lost
+                # file, or an m_bits change rejected by the size check),
+                # rebuild from the full index — writing new-batch bits
+                # alone would hand the NEXT batch a filter with false
+                # definitely-news, admitting duplicates one batch later
+                bloom_src = (
+                    new_fps if prev is not None or fps_index is None
+                    else fps_index.union(new_fps)
+                )
                 with ThreadPoolExecutor(max_workers=2) as pool:
                     write_f = pool.submit(
                         lambda: survivors.withColumnRenamed("_fp", "fp")
@@ -297,7 +328,7 @@ def exact_dedup_gate_sink(
                         .parquet(os.path.join(docs_dir, f"batch_id={batch_id}"))
                     )
                     sparse_f = pool.submit(
-                        _sparse_bloom_words, new_fps, m_bits, n_hashes
+                        _sparse_bloom_words, bloom_src, m_bits, n_hashes
                     )
                     merged = list(prev) if prev is not None else [0] * n_words
                     for r in sparse_f.result():
@@ -316,6 +347,8 @@ def exact_dedup_gate_sink(
             finally:
                 survivors.unpersist()
                 b.unpersist()
+                for c in gate_caches:
+                    c.unpersist()
 
     writer = (
         docs_stream.writeStream.foreachBatch(_process)

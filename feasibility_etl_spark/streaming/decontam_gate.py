@@ -21,8 +21,9 @@ and the steady-state cost is pure per-row work:
    Bloom probe inside whole-stage codegen; only flagged suspects reach
    the exact gram semi-join; contaminated ids anti-join the batch.
    False positives only ever send extra grams to the exact tier —
-   acceptance is EXACTLY the batch operator's (pinned in
-   tests/test_decontam_gate.py).
+   acceptance is EXACTLY the batch operator's
+   (``corpus.decontaminate``, including its drop of the eval docs'
+   own ids; pinned in tests/test_decontam_gate.py).
 
 Replay: each batch overwrites its OWN ``docs/batch_id=N`` directory —
 idempotent under at-least-once foreachBatch, and with no cross-batch
@@ -59,12 +60,22 @@ def decontam_gate_batch(
     ngram: int = 8,
     m_bits: int = 1 << 20,
     n_hashes: int = 5,
+    eval_ids: DataFrame | None = None,
 ) -> DataFrame:
     """One gating step: the subset of ``batch`` sharing no ``ngram``-gram
     with ``eval_grams`` (a frame of distinct gram strings, column
     ``_g``). ``bloom_row`` is the eval grams' filter (one row, column
     ``bloom``); None skips the fast path (every gram takes the exact
-    tier — correctness unchanged)."""
+    tier — correctness unchanged).
+
+    ``eval_ids`` (a one-column ``id_col`` frame of the eval docs' own
+    ids) makes acceptance UNCONDITIONALLY equal to
+    ``corpus.decontaminate``, which also drops the eval docs themselves
+    should they arrive in the stream. Without it, equality holds only
+    when stream ids are disjoint from eval ids (an eval doc's grams
+    always overlap the eval set, so the gram tier catches any eval doc
+    with ≥1 gram — the id anti-join only matters for degenerate
+    empty-text eval rows or id collisions)."""
     sh = F.array_distinct(shingles(F.col(text_col), n=ngram))
     gram_rows = batch.select(F.col(id_col), F.explode(sh).alias("_g"))
     if bloom_row is not None:
@@ -82,7 +93,10 @@ def decontam_gate_batch(
         .select(id_col)
         .distinct()
     )
-    return batch.join(F.broadcast(contaminated), id_col, "left_anti")
+    out = batch.join(F.broadcast(contaminated), id_col, "left_anti")
+    if eval_ids is not None:
+        out = out.join(F.broadcast(eval_ids), id_col, "left_anti")
+    return out
 
 
 def decontam_gate_sink(
@@ -119,6 +133,7 @@ def decontam_gate_sink(
     bloom_row = bloom_build(
         eval_grams, "_g", m_bits=m_bits, n_hashes=n_hashes
     ).persist()
+    eval_ids = eval_docs.select(id_col).distinct().persist()
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -130,6 +145,7 @@ def decontam_gate_sink(
             survivors = decontam_gate_batch(
                 rb, eval_grams, bloom_row,
                 text_col, id_col, ngram, m_bits, n_hashes,
+                eval_ids=eval_ids,
             )
             if rejects_dir is not None:
                 survivors = survivors.persist()

@@ -109,14 +109,67 @@ def test_streaming_equals_batch_exact_dedup(spark, tmp_path):
     assert fps.count() == fps.distinct().count() == 4
     from feasibility_etl_spark.streaming.bloom_gate import _read_prev_bloom
 
-    prev = _read_prev_bloom(spark, base + "/bloom", 2)    # through batch 1
-    last = _read_prev_bloom(spark, base + "/bloom", 3)    # through batch 2
+    n_words = (1 << 14) // 32
+    prev = _read_prev_bloom(spark, base + "/bloom", 2, n_words)  # thru batch 1
+    last = _read_prev_bloom(spark, base + "/bloom", 3, n_words)  # thru batch 2
     assert prev is not None and last is not None
     assert any(w != 0 for w in prev)
     assert all((a & b) == a for a, b in zip(prev, last))  # monotone OR
     # stale filters retire as the stream advances (nothing reads < N-1):
     # batch 2's commit deleted batch-0.bin
-    assert _read_prev_bloom(spark, base + "/bloom", 1) is None
+    assert _read_prev_bloom(spark, base + "/bloom", 1, n_words) is None
+    # a restart with a DIFFERENT m_bits must treat the state file as
+    # absent (mis-sized word arrays corrupt the probe: too-small makes
+    # out-of-range element_at NULL -> false definitely-new), not probe it
+    assert _read_prev_bloom(spark, base + "/bloom", 3, n_words * 2) is None
+    assert _read_prev_bloom(spark, base + "/bloom", 3, n_words // 2) is None
+
+
+def test_lost_bloom_state_rebuilds_cumulative_filter(spark, tmp_path):
+    """Losing the cumulative filter (file gone, or an m_bits change
+    rejected by the size check) degrades ONE batch to the exact tier and
+    the commit REBUILDS the filter from the full accepted index — the
+    next batch's filter must again cover every accepted fingerprint, or
+    old duplicates would ride a false definitely-new straight past the
+    exact tier."""
+    import os
+
+    from feasibility_etl_spark.streaming.bloom_gate import (
+        _read_prev_bloom,
+        _sparse_bloom_words,
+    )
+
+    stage = str(tmp_path / "stage")
+    _df(spark, [(1, A), (2, B)]).coalesce(1).write.parquet(stage + "/f0")
+    base = str(tmp_path / "gated")
+    ckpt = str(tmp_path / "ckpt")
+    m_bits = 1 << 14
+
+    def run():
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(stage + "/f*")
+        )
+        exact_dedup_gate_sink(src, base, ckpt, m_bits=m_bits).awaitTermination()
+
+    run()  # batch 0: accepts 1, 2
+    os.remove(base + "/bloom/batch-0.bin")  # lose the cumulative state
+    _df(spark, [(3, C), (4, A)]).coalesce(1).write.parquet(stage + "/f1")
+    run()  # batch 1: no usable predecessor -> exact-tier degrade + rebuild
+    _df(spark, [(5, "  " + A), (6, "one more new doc")]).coalesce(1).write.parquet(
+        stage + "/f2"
+    )
+    run()  # batch 2 trusts batch-1.bin — it must cover A's fingerprint
+    accepted = sorted(r.doc_id for r in spark.read.parquet(base + "/docs").collect())
+    assert accepted == [1, 2, 3, 6]  # 4 and 5 are dups of 1 — never admitted
+    # the rebuilt filter is a superset of the OR of ALL accepted bits
+    words = _read_prev_bloom(spark, base + "/bloom", 3, m_bits // 32)
+    assert words is not None
+    all_fps = spark.read.parquet(base + "/docs").select("fp")
+    for r in _sparse_bloom_words(all_fps, m_bits, 5):
+        assert words[r["_w"]] & r["_word"] == r["_word"]
 
 
 def test_replay_excludes_own_state_partition(spark, tmp_path):

@@ -1,6 +1,8 @@
 """Streaming decontamination gate: streamed acceptance == batch
-decontaminate (disjoint ids), bloom fast path changes nothing under
-heavy false positives, replay idempotency."""
+decontaminate (UNCONDITIONALLY — the sink anti-joins eval ids too, so
+an eval doc arriving in the stream is dropped even when its grams
+would not catch it), bloom fast path changes nothing under heavy false
+positives, replay idempotency."""
 
 from __future__ import annotations
 
@@ -59,6 +61,34 @@ def test_gate_exact_under_heavy_false_positives(spark):
         ).collect()
     )
     assert kept == [1]
+
+
+def test_gate_batch_eval_ids_make_equivalence_unconditional(spark):
+    """An EMPTY-TEXT eval row contributes no grams, so only the id
+    anti-join can drop a stream row reusing its id — the case where the
+    gram tier alone diverges from corpus.decontaminate."""
+    ev = _df(spark, EVAL + [(9003, "")])
+    sh = F.array_distinct(shingles(F.col("text"), n=8))
+    grams = ev.where(F.trim("text") != "").select(
+        F.explode(sh).alias("_g")
+    ).distinct()
+    bloom = bloom_build(grams, "_g", m_bits=1 << 14)
+    batch = _df(spark, [(1, CLEAN), (9003, "novel words sharing no grams at all")])
+    eval_ids = ev.select("doc_id").distinct()
+    kept = sorted(
+        r.doc_id
+        for r in decontam_gate_batch(
+            batch, grams, bloom, m_bits=1 << 14, eval_ids=eval_ids
+        ).collect()
+    )
+    batch_ref = sorted(r.doc_id for r in decontaminate(batch, ev).collect())
+    assert kept == batch_ref == [1]
+    # without eval_ids the gram tier alone admits the id-colliding row
+    kept_gram_only = sorted(
+        r.doc_id
+        for r in decontam_gate_batch(batch, grams, bloom, m_bits=1 << 14).collect()
+    )
+    assert kept_gram_only == [1, 9003]
 
 
 def test_streaming_equals_batch_and_replays_idempotently(spark, tmp_path):

@@ -417,6 +417,27 @@ class TestSubstringDedup:
         ])
         assert out[2] == ("second copy trailing", 13, 10)
 
+    def test_string_and_huge_bigint_ids(self, spark):
+        """The canonical-occurrence key is struct ordering, not long
+        packing: string ids must dedup (a cast-to-long key NULLs out and
+        silently removes nothing), and bigints ≥ 2^31 must not collide."""
+        from feasibility_etl_spark.operators.dedup import substring_dedup
+
+        sdf = spark.createDataFrame(
+            [("doc-a", f"intro {self.SPAN} ending one"),
+             ("doc-b", f"other {self.SPAN} finale two")],
+            "doc_id string, text string",
+        )
+        out = {r.doc_id: r.n_removed for r in substring_dedup(sdf, k=8).collect()}
+        assert out == {"doc-a": 0, "doc-b": 8}  # 'doc-a' < 'doc-b' canonical
+        big = spark.createDataFrame(
+            [(1 << 40, f"intro {self.SPAN} ending one"),
+             ((1 << 40) + 1, f"other {self.SPAN} finale two")],
+            "doc_id long, text string",
+        )
+        outb = {r.doc_id: r.n_removed for r in substring_dedup(big, k=8).collect()}
+        assert outb == {1 << 40: 0, (1 << 40) + 1: 8}
+
     def test_case_insensitive_match_rebuilds_original_case(self, spark):
         out = self._run(spark, [
             (1, f"aa {self.SPAN} bb"),
