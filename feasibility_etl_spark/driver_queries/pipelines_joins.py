@@ -640,6 +640,7 @@ def q_pipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import line_dedup, prune_components
     from ..operators.sketches import bloom_decontaminate, threshold_filter
     from ..operators.text import lang_id
+    from ..plans.compose import StageCache, release_when_unreachable
     from .views_dedup_corpus import _structured_docs
 
     raw = load(spark, sf, "documents")
@@ -649,28 +650,31 @@ def q_pipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "text")
         .join(meta, "doc_id")
     )
-    # Stage outputs that downstream stages reference MORE THAN ONCE are
-    # persisted: Spark does not share common subplans across references
-    # (the documented exchange-reuse lesson), so an uncached chain this
-    # deep re-executes the line-dedup + gate subtree per reference —
-    # measured 39 s -> 8 s at sf0.01. persist() keeps the DAG lazy
-    # (nothing materializes until the one output action); these are
-    # post-gate, survivor-sized frames, not the corpus.
-    d2 = d1.where(
-        (quality_score("text") >= 0.45) & (lang_id("text") != "und")
-    ).persist()
-    d3 = exact_dedup(d2).persist()
+    # Stage outputs that downstream stages reference MORE THAN ONCE go
+    # through the StageCache: Spark does not share common subplans
+    # across references (the documented exchange-reuse lesson), so an
+    # uncached chain this deep re-executes the line-dedup + gate
+    # subtree per reference — measured 39 s -> 8 s at sf0.01. The DAG
+    # stays lazy; these are post-gate, survivor-sized frames, not the
+    # corpus. Lifecycle: released when the returned frame becomes
+    # unreachable (driver-contract mode — the caller owns the actions),
+    # so nothing stays cached once the result is dropped.
+    shared = StageCache()
+    d2 = shared(
+        d1.where((quality_score("text") >= 0.45) & (lang_id("text") != "und"))
+    )
+    d3 = shared(exact_dedup(d2))
     pairs = blocked_jaccard_pairs(d3, ["lang", "source"], threshold=0.2)
     d4 = prune_components(d3, pairs)
-    d5 = bloom_decontaminate(d4, raw.where(F.col("doc_id") % 97 == 0)).persist()
-    w = dsir_weights(d5, raw.where(F.col("doc_id") % 101 == 0)).persist()
+    d5 = shared(bloom_decontaminate(d4, raw.where(F.col("doc_id") % 97 == 0)))
+    w = shared(dsir_weights(d5, raw.where(F.col("doc_id") % 101 == 0)))
     gate = threshold_filter(w, "logw_e9", keep_frac=0.25)
     d6 = d5.join(gate.select("doc_id", "logw_e9"), "doc_id")
     d7 = pack_shards(
         d6.withColumn("n_tok", token_count("text")), "n_tok", 2000, num_buckets=8
     )
     enc = bpe_encode(d7, DEMO_MERGES)
-    return d7.join(
+    out = d7.join(
         enc.select(
             "doc_id",
             F.array_join("bpe_tokens", " ").alias("bpe_text"),
@@ -681,6 +685,7 @@ def q_pipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "lang", "source", "n_tok", "shard_id", "logw_e9",
         "n_bpe_tok", "bpe_text",
     )
+    return release_when_unreachable(out, shared)
 
 
 def _oracle_pipe_corpus() -> str:
