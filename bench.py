@@ -293,10 +293,12 @@ def run_exact_gate_bench(spark, sf_dir: str) -> tuple[float, int]:
         .parquet(staging)
     )
     # m_bits sized per the sink's own guidance (~10 bits per expected
-    # accepted doc): an undersized filter saturates and every row takes
-    # the exact tier, measuring index scans instead of the gate
+    # accepted doc, next power of two): an undersized filter saturates
+    # (every row takes the exact tier, measuring index scans instead of
+    # the gate); an oversized one ships dead literal bytes every batch
+    m_bits = max(1 << 16, 1 << (n_rows * 10 - 1).bit_length())
     q = exact_dedup_gate_sink(
-        stream, out, ckpt, m_bits=1 << 20, shuffle_partitions=8
+        stream, out, ckpt, m_bits=m_bits, shuffle_partitions=1
     )
     q.awaitTermination()
     return time.time() - t0, n_rows
@@ -345,8 +347,9 @@ def run_exact_gate_10x_bench(spark, sf_dir: str) -> tuple[float, int]:
         .option("maxFilesPerTrigger", "2")
         .parquet(staging)
     )
+    m_bits = max(1 << 16, 1 << (n_rows * 10 - 1).bit_length())
     q = exact_dedup_gate_sink(
-        stream, out, ckpt, m_bits=1 << 20, shuffle_partitions=8
+        stream, out, ckpt, m_bits=m_bits, shuffle_partitions=8
     )
     q.awaitTermination()
     return time.time() - t0, n_rows

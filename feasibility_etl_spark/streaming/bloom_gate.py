@@ -11,27 +11,46 @@ membership admits a two-tier check:
    of every accepted fingerprint so far — probed per row. Batch rows
    whose fingerprint misses the filter are DEFINITELY new (no false
    negatives) and skip membership entirely.
-2. **Exact tier (only when the Bloom says maybe)**: suspects' distinct
-   fingerprints broadcast against the persisted fingerprint index in a
-   scan-side semi-join — the index is column-pruned to ``fp``, never
-   shuffled, never broadcast. When a batch has ZERO suspects (novel
-   content bursts — the common ingest case), the index is not even
-   scanned: the gate's steady-state cost is one Bloom probe per row.
+2. **Exact tier (only when the Bloom says maybe)**: the suspect
+   fingerprints are checked against the persisted fingerprint index —
+   the index is column-pruned to ``fp``, never shuffled. When a batch
+   has ZERO suspects (novel content bursts — the common ingest case),
+   the index is not even scanned: the gate's steady-state cost is one
+   Bloom probe per row.
 
 False positives only ever send extra rows to the exact tier, so the
 accepted corpus is EXACTLY ``exact_dedup`` of the arrival stream (with
 first-arrival-wins ordering) — pinned against the batch operator in
 tests/test_bloom_gate.py.
 
-Per-batch cost discipline (the round-4 profile showed per-batch FIXED
-costs dominating: a ~1.2 s distributed bloom build, re-reading and
-re-merging every prior batch's filter, and ~3 recomputations of the
-fingerprinted batch across the gate's actions):
+Per-batch cost discipline (round-4 profiling showed per-batch FIXED
+costs dominating; round 6 rebuilt the sink so a steady-state batch
+pays TWO Spark jobs and nothing else):
 
-- The fingerprinted, batch-internally-deduped frame is built ONCE and
-  ``persist()``-ed; every downstream action (suspect probe, doc write,
-  fp write, bloom update) reads the cache instead of re-running the
-  md5+window subtree.
+- **The Bloom probe is join-free**: the filter rides into the probe
+  expression as ONE binary literal (bit ``p`` = byte ``p>>3``, bit
+  ``p&7``) tested with codegen'd substring/bit ops — no broadcast
+  exchange, no BroadcastNestedLoopJoin; a probe job is a bare
+  scan→md5→filter. Measured 0.55 s → 0.2 s per job vs the one-row
+  crossJoin at m_bits=2^20 (the literal is m_bits/8 bytes ≤ ~2 MB for
+  any sane cumulative filter; ``exact_gate_batch`` keeps the
+  broadcast-row form for composability in batch plans).
+- **Suspect and matched sets live on the driver**: suspects (bloom
+  maybe-hits — true dups + FPR×batch, tiny in steady state) collect
+  from the probe job; matched fps come from an ``isin``-pushdown scan
+  of the fp index (only when suspects exist). Both fall back to
+  broadcast joins past ``inline_max`` entries, so dup-heavy backfills
+  degrade to the round-5 distributed plan instead of blowing up the
+  plan tree.
+- **Accepted fps AND suspect rows both come out of the WRITE job** via
+  two ``Observation`` nodes (``collect_list(_fp)`` post-window;
+  ``collect_list(when(hit, struct(*)))`` pre-filter) — a steady-state
+  batch is ONE Spark job. Suspects resolve against a bounded
+  driver-side fp dict; surviving suspects append through a driver-side
+  pyarrow write; the cumulative filter's bits are set in plain Python
+  (an exact replay of the probe expression, pinned by test against the
+  distributed ``_sparse_bloom_words``). ``mode='bulk'`` restores the
+  fully distributed plan for backfill-scale batches.
 - Bloom state is CUMULATIVE: ``bloom/batch-N.bin`` holds the merged
   filter through batch N, so a batch reads exactly ONE small file
   (its predecessor) instead of re-listing and re-OR-ing N per-batch
@@ -40,20 +59,12 @@ fingerprinted batch across the gate's actions):
   (works on s3a://, hdfs://, file://) with a write-tmp-then-rename
   commit: a Spark job exists to write DATASETS; scheduling one per
   micro-batch to move a 64 KB sketch measured ~0.5 s of pure overhead.
-- The batch's new bits are aggregated SPARSE in Spark (probe explode →
-  one map-side-combined ``bit_or`` shuffle, at most ``m_bits/32`` rows
-  regardless of batch size) and OR-ed into the predecessor filter
-  driver-side. A Bloom filter is driver-sized BY CONSTRUCTION
-  (``m_bits/8`` bytes — 64 KB at the 2^18 default); this is the same
-  bounded-driver-solve policy as the tokenizer word tables, not a
-  corpus-scale collect.
-- The docs write and the sparse-bits aggregation are independent jobs
-  over the SAME cached survivors; the sink submits them concurrently
-  (two driver threads), so the batch pays max(write, aggregate) instead
-  of their sum.
+- The fp-state read passes an explicit schema (batch schema + ``fp`` +
+  ``batch_id``), so no per-batch footer-inference job runs.
 
-Durability (the dedup_gate rules): corpus data never collects to the
-driver; every batch overwrites its OWN ``batch_id=N`` directories
+Durability (the dedup_gate rules): corpus DATA never collects to the
+driver (fingerprints are 16-byte hashes, bounded by the micro-batch,
+not documents); every batch overwrites its OWN ``batch_id=N`` directories
 (replay of an at-least-once micro-batch replaces, never duplicates);
 state reads always exclude ``batch_id >= current`` so a replayed batch
 never gates against its prior attempt — for the cumulative bloom that
@@ -70,31 +81,148 @@ filter through batch N).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import struct
-from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..operators.sketches import _bloom_probes, bloom_maybe_contains
+from ..operators.sketches import (
+    _bloom_h1h2,
+    _bloom_probes,
+    _bloom_probes_h1h2,
+    bloom_maybe_contains,
+)
 from ..operators.text import fingerprint
 from .conf import scoped_shuffle_partitions
 
 
+_DBG = os.environ.get("SPARK_GRAFT_GATE_DEBUG") == "1"
+
+
+def _dbg_now() -> float:
+    import time
+
+    return time.time() if _DBG else 0.0
+
+
+def _dbg(label: str, t0: float) -> None:
+    if _DBG:
+        import sys
+        import time
+
+        print(f"[gate-debug] {label}: {time.time() - t0:.3f}s", file=sys.stderr)
+
+
 def _read_state(
-    spark: SparkSession, path: str, before_batch: int
+    spark: SparkSession,
+    path: str,
+    before_batch: int,
+    schema: StructType | None = None,
 ) -> DataFrame | None:
     """Partition-discovered union of ``batch_id=N`` dirs with
     ``batch_id < before_batch``; None when absent/empty. Probed by
     attempting the read (AnalysisException), not os.path — remote
-    filesystems (s3://, hdfs://) have no driver-local path."""
+    filesystems (s3://, hdfs://) have no driver-local path. Passing
+    the known ``schema`` (MUST include the ``batch_id`` partition
+    column) skips the per-batch footer-inference job."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
     try:
-        df = spark.read.parquet(path)
+        df = reader.parquet(path)
     except AnalysisException:
         return None
     return df.where(F.col("batch_id") < F.lit(before_batch)).drop("batch_id")
+
+
+def _pack_bytes(words: list[int]) -> bytes:
+    """The filter's bit array as packed little-endian bytes: bit ``p``
+    of the filter is byte ``p >> 3``, bit ``p & 7`` — the layout
+    ``_bloom_hit_packed`` probes. Each int64 word carries 32 used bits
+    (positions are ``& 31`` within a word), so a word packs to 4
+    bytes."""
+    return struct.pack(f"<{len(words)}I", *(w & 0xFFFFFFFF for w in words))
+
+
+def _bloom_hit_packed(fp_col: str, blob: bytes, m_bits: int, n_hashes: int):
+    """Join-free membership probe: the filter as a BinaryType literal,
+    bit ``p`` tested via codegen'd substring → hex → conv → bit-and.
+    Byte-level layout agrees with ``_pack_bytes``; position arithmetic
+    is exactly ``_bloom_probes`` (pinned against the array probe in
+    tests). No broadcast exchange, no join node — the probe job is a
+    bare scan+filter, measured 0.55 s → 0.2 s per job at 2^20 bits.
+
+    Built as ONE ``F.expr`` string: the Column-API tree costs ~100 Py4J
+    round trips (~0.15-0.7 s of per-batch driver latency); the SQL
+    parses JVM-side in ~0.02 s. The textually repeated md5/conv
+    subtrees collapse in whole-stage codegen's common-subexpression
+    elimination — evaluate this only in PROJECTED (codegen) context,
+    never interpreted (CollectMetrics metrics read the projected
+    ``_hit`` attribute instead)."""
+    hx = blob.hex().upper()
+    fp = f"CAST(`{fp_col}` AS STRING)"
+    h1 = f"CAST(conv(substring(md5({fp}), 1, 8), 16, 10) AS BIGINT)"
+    h2 = f"(CAST(conv(substring(md5({fp}), 9, 8), 16, 10) AS BIGINT) * 2 + 1)"
+    tests = []
+    for i in range(n_hashes):
+        p = f"(({h1} + {i} * {h2}) & {m_bits - 1})"
+        byte = (
+            f"CAST(conv(hex(substring(X'{hx}', "
+            f"CAST(shiftright({p}, 3) + 1 AS INT), 1)), 16, 10) AS INT)"
+        )
+        tests.append(f"(({byte} & shiftleft(1, CAST({p} & 7 AS INT))) != 0)")
+    return F.expr("(" + " AND ".join(tests) + ")")
+
+
+def _py_bloom_positions(fp: str, m_bits: int, n_hashes: int) -> list[int]:
+    """Driver-side replay of ``_bloom_probes`` for one fingerprint —
+    must stay bit-identical to the Spark expression (md5 of the fp
+    STRING; h1/h2 = the two 32-bit hex halves; pos_i = (h1 + i*(2*h2'
+    +1)) & (m_bits-1)). Pinned against ``_sparse_bloom_words`` in
+    tests/test_bloom_gate.py."""
+    h = hashlib.md5(fp.encode("utf-8")).hexdigest()
+    h1 = int(h[:8], 16)
+    h2 = int(h[8:16], 16) * 2 + 1
+    return [(h1 + i * h2) & (m_bits - 1) for i in range(n_hashes)]
+
+
+def _py_set_bits(words: list[int], fps, m_bits: int, n_hashes: int) -> None:
+    """OR the probe bits of every fingerprint into ``words`` in place."""
+    for fp in fps:
+        for p in _py_bloom_positions(fp, m_bits, n_hashes):
+            words[p >> 5] |= 1 << (p & 31)
+
+
+def _append_rows_pyarrow(
+    batch_dir: str, rows, out_schema, batch_columns: list[str]
+) -> None:
+    """Append DRIVER-SIZED rows (surviving suspects — true-dup-checked
+    bloom hits, a sliver of the batch) to an already-committed batch
+    directory as one extra parquet file. A Spark job exists to write
+    DATASETS; scheduling one to write a handful of rows measured ~0.5 s
+    of pure overhead (PERF-NOTES.md), the same reasoning as the ``.bin``
+    sketch files. The arrow schema derives from the Spark write schema,
+    so the file unions cleanly with the job-written parts. Replays are
+    safe: the A-part overwrite clears the directory before this append
+    re-runs."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    import pyarrow as pa
+
+    arrow_schema = to_arrow_schema(out_schema)
+    cols = {
+        name: [
+            r[name if name in batch_columns else "_fp"] for r in rows
+        ]
+        for name in arrow_schema.names
+    }
+    table = pa.Table.from_pydict(cols, schema=arrow_schema)
+    pq.write_table(table, os.path.join(batch_dir, "suspects-accepted.parquet"))
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -158,20 +286,6 @@ def _read_prev_bloom(
     return words if len(words) == n_words else None
 
 
-def _fingerprint_dedup(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """``batch`` + ``_fp``, keeping the min-id row per fingerprint
-    (first-arrival-wins). One window shuffle, NO broadcast: the
-    groupBy-min + broadcast-semi-join alternative force-broadcasts the
-    distinct-fp set, which is not broadcast-sized for batch backfills."""
-    b = batch.withColumn("_fp", fingerprint(text_col))
-    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
-    return (
-        b.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-
-
 def exact_gate_batch(
     batch: DataFrame,
     fps_index: DataFrame | None,
@@ -187,8 +301,8 @@ def exact_gate_batch(
     against the accepted state and smaller-id batch-mates. Returns the
     batch columns plus ``_fp``. Usable directly for batch backfills;
     the sink wraps it per micro-batch (passing ``fingerprinted=True``
-    with a persisted pre-fingerprinted frame so the md5+window subtree
-    runs once across the gate's several actions).
+    with a frame that already carries ``_fp`` — NOT pre-windowed; the
+    first-arrival window is applied here, after the state anti-join).
 
     A missing ``bloom_row`` with a PRESENT ``fps_index`` degrades
     safely: every distinct fingerprint becomes a suspect (exactness
@@ -201,12 +315,26 @@ def exact_gate_batch(
     CALLER to unpersist after its actions, so the cache actually serves
     the downstream semi/anti joins. Without it the cache is released
     here and only serves the isEmpty probe (each caller action then
-    re-runs the probe plan — fine for a single-action backfill)."""
-    b = batch if fingerprinted else _fingerprint_dedup(batch, text_col, id_col)
+    re-runs the probe plan — fine for a single-action backfill).
+
+    Per-batch cost shape (the round-6 1×-batch fixed-cost work): the
+    suspect probe runs over RAW fingerprints — the first-arrival window
+    does not change the fingerprint SET, so the probe job is a pure
+    scan→md5→bloom filter with NO shuffle and no cache materialization;
+    the window dedup runs once, AFTER the state anti-join, inside the
+    survivors plan the caller materializes."""
+    b = batch if fingerprinted else batch.withColumn("_fp", fingerprint(text_col))
+
+    def first_arrival(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     if fps_index is None:
-        return b
-    # no .distinct(): b is already one row per fingerprint (the window
-    # dedup), so the extra shuffle bought nothing per batch
+        return first_arrival(b)
     if bloom_row is not None:
         suspects = (
             b.crossJoin(F.broadcast(bloom_row))
@@ -221,12 +349,16 @@ def exact_gate_batch(
     try:
         if suspects.isEmpty():
             # definite-new batch: the fingerprint index is never scanned
-            return b
+            return first_arrival(b)
         matched = fps_index.select("fp").join(
             F.broadcast(suspects.withColumnRenamed("_fp", "fp")), "fp", "left_semi"
         )
-        return b.join(
-            F.broadcast(matched.withColumnRenamed("fp", "_fp")), "_fp", "left_anti"
+        return first_arrival(
+            b.join(
+                F.broadcast(matched.withColumnRenamed("fp", "_fp")),
+                "_fp",
+                "left_anti",
+            )
         )
     finally:
         if caches is None:
@@ -265,6 +397,9 @@ def exact_dedup_gate_sink(
     trigger_available_now: bool = True,
     shuffle_partitions: int | None = None,
     rejects_dir: str | None = None,
+    inline_max: int = 10_000,
+    mode: str = "micro",
+    driver_index_max: int = 1_000_000,
 ):
     """Start the exact-dedup gate as a ``foreachBatch`` streaming query
     (see module docstring for tiers, layout, cost discipline, and replay
@@ -276,15 +411,256 @@ def exact_dedup_gate_sink(
     ``rejects_dir``: opt-in quarantine — each batch ALSO writes its
     dropped rows (``reason='duplicate'``) to ``rejects_dir/batch_id=N``
     (overwrite → replay-idempotent) so dedup decisions stay auditable.
-    Off by default (one extra action per batch)."""
+    Off by default (one extra action per batch).
+
+    ``inline_max``: suspect/matched sets up to this size ride as
+    ``isin`` literals (pushed to the parquet scan); larger sets fall
+    back to broadcast joins (dup-heavy backfill batches).
+
+    ``mode='micro'`` (default) is the ONE-JOB-per-batch path: the bloom
+    probe gates in-plan, suspect ROWS and accepted fps both ride out of
+    the single write job as ``Observation`` metrics, exact membership
+    for suspects resolves against a bounded driver-side fp dict
+    (``driver_index_max`` entries; rebuilt from state on restart;
+    replay-aware batch tags), surviving suspects append to the batch
+    dir through a driver-side pyarrow write (suspect-sized — a Spark
+    job scheduled to write a handful of rows measured ~0.5 s), and the
+    cumulative filter's bits are set in plain Python. Steady-state
+    per-batch driver transfer: accepted fps (16 B × survivors) plus
+    suspect rows (true dups + FPR×batch) — micro-batch sized by the
+    trigger contract. Past ``driver_index_max`` the dict goes
+    INCOMPLETE: presence still proves duplicate, absence falls back to
+    an ``isin``-pushdown index scan for the unknown suspects — the
+    billion-doc posture, where the only per-batch state touch is a
+    pruned scan for the suspect sliver.
+
+    ``mode='bulk'`` is the distributed path (broadcast-join exact tier,
+    sparse ``bit_or`` bloom aggregation): for backfill-scale batches
+    where even fp LISTS shouldn't transit the driver. A micro-mode
+    batch that finds docs state but no usable filter (lost ``.bin``,
+    m_bits change) degrades to a bulk batch automatically — the rebuild
+    needs a full index pass anyway."""
     docs_dir = os.path.join(base_dir, "docs")
     bloom_dir = os.path.join(base_dir, "bloom")
     n_words = m_bits // 32
+    # driver-side fp index (micro mode): fp -> batch_id that accepted it.
+    # Entries tagged >= the current batch are invisible (replay safety).
+    fp_seen: dict[str, int] = {}
+    mstate = {"bootstrapped": False, "complete": False, "has_state": False}
+    # in-closure cumulative filter (micro mode): the words written for
+    # batch N-1 are exactly what batch N would re-read from disk — keep
+    # them; the .bin file stays the restart/durability source of truth
+    bloom_cache: dict[str, object] = {"batch_id": None, "words": None, "packed": None}
+
+    def _first_arrival(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _state_schema(batch: DataFrame) -> StructType:
+        return StructType(
+            list(batch.schema.fields)
+            + [
+                StructField("fp", StringType()),
+                StructField("batch_id", LongType()),
+            ]
+        )
+
+    def _bootstrap(spark: SparkSession, batch: DataFrame, batch_id: int) -> None:
+        """Restart rebuild of the driver fp dict: one capped collect of
+        the persisted index (fp + accepting batch tag). Over the cap the
+        dict stays a partial positive-only cache (complete=False)."""
+        mstate["bootstrapped"] = True
+        try:
+            df = spark.read.schema(_state_schema(batch)).parquet(docs_dir)
+        except AnalysisException:
+            mstate["complete"] = True
+            mstate["has_state"] = False
+            return
+        rows = (
+            df.where(F.col("batch_id") < F.lit(batch_id))
+            .select("fp", "batch_id")
+            .limit(driver_index_max + 1)
+            .collect()
+        )
+        mstate["has_state"] = bool(rows)
+        mstate["complete"] = len(rows) <= driver_index_max
+        for r in rows[:driver_index_max]:
+            if r["fp"] is not None:
+                fp_seen[r["fp"]] = r["batch_id"]
+
+    def _remember(fps, batch_id: int) -> None:
+        for fp in fps:
+            if fp is None:
+                continue
+            if len(fp_seen) >= driver_index_max and fp not in fp_seen:
+                mstate["complete"] = False
+                continue
+            fp_seen[fp] = batch_id
+
+    def _process_micro(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        _tb = _dbg_now()
+        with scoped_shuffle_partitions(spark, shuffle_partitions):
+            if not mstate["bootstrapped"]:
+                _bootstrap(spark, batch, batch_id)
+            if bloom_cache["batch_id"] == batch_id - 1:
+                prev = bloom_cache["words"]
+                packed = bloom_cache["packed"]
+            else:
+                prev = _read_prev_bloom(spark, bloom_dir, batch_id, n_words)
+                packed = _pack_bytes(prev) if prev is not None else None
+            if prev is None and mstate["has_state"]:
+                # docs state without a usable filter: every fp is a
+                # suspect and the filter needs a full-index rebuild —
+                # that's a bulk batch; re-bootstrap the dict after it
+                _process_bulk_inner(batch, batch_id, spark)
+                mstate["bootstrapped"] = False
+                fp_seen.clear()
+                bloom_cache["batch_id"] = None
+                return
+            b = batch.withColumn("_fp", fingerprint(text_col))
+            hit = (
+                _bloom_hit_packed("_fp", packed, m_bits, n_hashes)
+                if prev is not None
+                else F.lit(False)
+            )
+            obs_sus = Observation()
+            obs_acc = Observation()
+            struct_cols = [F.col(c) for c in batch.columns] + [F.col("_fp")]
+            # WINDOW-FIRST, probe second: the window shuffle materializes
+            # _fp, and the gate filter is ONE CaseWhen referencing _rn —
+            # PushDownPredicates can neither split it nor push it below
+            # the window, so the expensive fingerprint subtree is never
+            # inlined into the probe references (a post-project filter
+            # measured 42 regexp_replace copies per row — the md5+regex
+            # chain re-evaluated per probe half). The probe itself is
+            # projected ONCE as ``_hit`` inside whole-stage codegen; the
+            # CollectMetrics suspect metric (which evaluates its
+            # expressions INTERPRETED, per row) then reads the boolean
+            # attribute instead of re-running substring/conv chains.
+            w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+            win = b.select(
+                "*",
+                F.row_number().over(w).alias("_rn"),
+                F.coalesce(hit, F.lit(False)).alias("_hit"),
+            ).observe(
+                obs_sus,
+                F.collect_list(
+                    F.when(
+                        F.col("_hit") & (F.col("_rn") == 1),
+                        F.struct(*struct_cols),
+                    )
+                ).alias("sus"),
+            )
+            keep = F.when(F.col("_rn") != 1, F.lit(False)).otherwise(
+                ~F.col("_hit")
+            )
+            survivors = (
+                win.where(keep)
+                .select(*batch.columns, F.col("_fp").alias("fp"))
+                .observe(obs_acc, F.collect_list("fp").alias("fps"))
+            )
+            batch_dir = os.path.join(docs_dir, f"batch_id={batch_id}")
+            _t0 = _dbg_now()
+            survivors.write.mode("overwrite").parquet(batch_dir)
+            _dbg(f"gate b{batch_id} write", _t0)
+            suspect_rows = obs_sus.get["sus"]
+            accepted = [fp for fp in obs_acc.get["fps"] if fp is not None]
+
+            # resolve suspects driver-side: first arrival per fp, then
+            # membership via the dict (entries tagged < batch_id only —
+            # a replay must not gate against its own prior attempt)
+            first: dict[str, object] = {}
+            for r in sorted(suspect_rows, key=lambda r: (r["_fp"], r[id_col])):
+                first.setdefault(r["_fp"], r)
+            unknown = [
+                fp
+                for fp in first
+                if not (fp in fp_seen and fp_seen[fp] < batch_id)
+            ]
+            if unknown and not mstate["complete"]:
+                # absence is not provable from a partial dict: pruned
+                # index scan for the unknown sliver
+                idx = spark.read.schema(_state_schema(batch)).parquet(docs_dir)
+                idx = idx.where(F.col("batch_id") < F.lit(batch_id)).select("fp")
+                if len(unknown) <= inline_max:
+                    known_dup = {
+                        r[0] for r in idx.where(F.col("fp").isin(unknown)).collect()
+                    }
+                else:
+                    udf_ = spark.createDataFrame(
+                        [(u,) for u in unknown], "fp string"
+                    )
+                    known_dup = {
+                        r[0]
+                        for r in idx.join(
+                            F.broadcast(udf_), "fp", "left_semi"
+                        ).collect()
+                    }
+            else:
+                known_dup = set()
+            new_suspects = [
+                first[fp]
+                for fp in first
+                if fp not in known_dup and not (fp in fp_seen and fp_seen[fp] < batch_id)
+            ]
+            if new_suspects:
+                _append_rows_pyarrow(
+                    batch_dir, new_suspects, survivors.schema, batch.columns
+                )
+            mstate["has_state"] = True
+            _remember(accepted, batch_id)
+            _remember((r["_fp"] for r in new_suspects), batch_id)
+
+            merged = list(prev) if prev is not None else [0] * n_words
+            _py_set_bits(merged, accepted, m_bits, n_hashes)
+            _py_set_bits(
+                merged, (r["_fp"] for r in new_suspects), m_bits, n_hashes
+            )
+            _write_bloom_words(spark, bloom_dir, batch_id, merged)
+            bloom_cache["batch_id"] = batch_id
+            bloom_cache["words"] = merged
+            bloom_cache["packed"] = _pack_bytes(merged)
+            _retire_bloom(spark, batch_id)
+            _dbg(f"gate b{batch_id} batch-total", _tb)
+            if rejects_dir is not None:
+                # read-back anti-join: rejected = batch rows minus the
+                # just-committed batch dir (opt-in, one extra action)
+                kept = spark.read.parquet(batch_dir).select(id_col)
+                batch.join(F.broadcast(kept), id_col, "left_anti").withColumn(
+                    "reason", F.lit("duplicate")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(rejects_dir, f"batch_id={batch_id}")
+                )
+
+    def _retire_bloom(spark: SparkSession, batch_id: int) -> None:
+        # retire stale cumulative filters: batch N reads exactly N-1,
+        # a replay of N reads N-1 — nothing ever reads N-2, so the
+        # file set stays O(1) instead of one-per-batch
+        if batch_id >= 2:
+            fs, jold = _hadoop_fs(spark, _bloom_path(bloom_dir, batch_id - 2))
+            if fs.exists(jold):
+                fs.delete(jold, False)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
+        if mode == "micro":
+            _process_micro(batch, batch_id)
+        else:
+            _process_bulk_inner(batch, batch_id, batch.sparkSession)
+
+    def _process_bulk_inner(batch: DataFrame, batch_id: int, spark) -> None:
+        """Distributed gating step (module docstring ``mode='bulk'``):
+        exact tier via ``exact_gate_batch`` broadcast joins, bloom bits
+        via the sparse ``bit_or`` aggregation — no fp list ever
+        transits the driver."""
         with scoped_shuffle_partitions(spark, shuffle_partitions):
-            docs_state = _read_state(spark, docs_dir, before_batch=batch_id)
+            docs_state = _read_state(
+                spark, docs_dir, before_batch=batch_id, schema=_state_schema(batch)
+            )
             fps_index = docs_state.select("fp") if docs_state is not None else None
             prev = _read_prev_bloom(spark, bloom_dir, batch_id, n_words)
             bloom_row = (
@@ -292,24 +668,26 @@ def exact_dedup_gate_sink(
                 if prev is not None
                 else None
             )
-            b = _fingerprint_dedup(batch, text_col, id_col).persist()
+            b = batch.withColumn("_fp", fingerprint(text_col))
             gate_caches: list[DataFrame] = []
             survivors = exact_gate_batch(
                 b, fps_index, bloom_row, text_col, id_col, m_bits, n_hashes,
                 fingerprinted=True, caches=gate_caches,
             ).persist()
             try:
+                survivors.withColumnRenamed("_fp", "fp").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(docs_dir, f"batch_id={batch_id}"))
                 if rejects_dir is not None:
                     # original batch minus survivors: batch-internal dups
                     # (window-dropped) AND state matches, both 'duplicate'
                     batch.join(
-                        F.broadcast(
-                            survivors.select(F.col(id_col))
-                        ), id_col, "left_anti"
+                        F.broadcast(survivors.select(F.col(id_col))),
+                        id_col,
+                        "left_anti",
                     ).withColumn("reason", F.lit("duplicate")).write.mode(
                         "overwrite"
                     ).parquet(os.path.join(rejects_dir, f"batch_id={batch_id}"))
-                new_fps = survivors.select(F.col("_fp").alias("fp"))
                 # the written filter must stay the OR of EVERY accepted
                 # fingerprint: with a predecessor, that's prev | new
                 # bits; with docs state but NO usable predecessor (lost
@@ -317,36 +695,21 @@ def exact_dedup_gate_sink(
                 # rebuild from the full index — writing new-batch bits
                 # alone would hand the NEXT batch a filter with false
                 # definitely-news, admitting duplicates one batch later
-                bloom_src = (
-                    new_fps if prev is not None or fps_index is None
-                    else fps_index.union(new_fps)
+                new_fps = survivors.select(F.col("_fp").alias("fp")).where(
+                    F.col("_fp").isNotNull()
                 )
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    write_f = pool.submit(
-                        lambda: survivors.withColumnRenamed("_fp", "fp")
-                        .write.mode("overwrite")
-                        .parquet(os.path.join(docs_dir, f"batch_id={batch_id}"))
-                    )
-                    sparse_f = pool.submit(
-                        _sparse_bloom_words, bloom_src, m_bits, n_hashes
-                    )
-                    merged = list(prev) if prev is not None else [0] * n_words
-                    for r in sparse_f.result():
-                        merged[r["_w"]] |= r["_word"]
-                    write_f.result()
+                bloom_src = (
+                    new_fps
+                    if prev is not None or fps_index is None
+                    else fps_index.where(F.col("fp").isNotNull()).union(new_fps)
+                )
+                merged = list(prev) if prev is not None else [0] * n_words
+                for r in _sparse_bloom_words(bloom_src, m_bits, n_hashes):
+                    merged[r["_w"]] |= r["_word"]
                 _write_bloom_words(spark, bloom_dir, batch_id, merged)
-                # retire stale cumulative filters: batch N reads exactly
-                # N-1, a replay of N reads N-1 — nothing ever reads N-2,
-                # so the file set stays O(1) instead of one-per-batch
-                if batch_id >= 2:
-                    fs, jold = _hadoop_fs(
-                        spark, _bloom_path(bloom_dir, batch_id - 2)
-                    )
-                    if fs.exists(jold):
-                        fs.delete(jold, False)
+                _retire_bloom(spark, batch_id)
             finally:
                 survivors.unpersist()
-                b.unpersist()
                 for c in gate_caches:
                     c.unpersist()
 

@@ -172,6 +172,88 @@ def test_lost_bloom_state_rebuilds_cumulative_filter(spark, tmp_path):
         assert words[r["_w"]] & r["_word"] == r["_word"]
 
 
+def test_packed_probe_and_python_bits_match_distributed(spark):
+    """The round-6 fast path replays bloom arithmetic in two new forms —
+    a binary-literal Spark probe and pure-Python bit setting — both of
+    which must stay bit-identical to the canonical array expressions,
+    or the gate's no-false-negative invariant silently breaks."""
+    import random
+    import string
+
+    from feasibility_etl_spark.operators.sketches import bloom_maybe_contains
+    from feasibility_etl_spark.streaming.bloom_gate import (
+        _bloom_hit_packed,
+        _pack_bytes,
+        _py_set_bits,
+        _sparse_bloom_words,
+    )
+
+    rng = random.Random(6)
+    fps = [
+        "".join(rng.choices(string.hexdigits.lower(), k=32)) for _ in range(300)
+    ]
+    m_bits, n_hashes = 1 << 12, 5  # small filter -> real false positives
+    fdf = spark.createDataFrame([(f,) for f in fps[:150]], "fp string")
+    # python bits == distributed sparse bit_or bits
+    words_py = [0] * (m_bits // 32)
+    _py_set_bits(words_py, fps[:150], m_bits, n_hashes)
+    words_sp = [0] * (m_bits // 32)
+    for r in _sparse_bloom_words(fdf, m_bits, n_hashes):
+        words_sp[r["_w"]] |= r["_word"]
+    assert words_py == words_sp
+    # packed binary probe == array probe, row for row (incl. FP rows)
+    probe_df = spark.createDataFrame([(f,) for f in fps], "fp string")
+    got_packed = sorted(
+        r.fp
+        for r in probe_df.where(
+            _bloom_hit_packed("fp", _pack_bytes(words_py), m_bits, n_hashes)
+        ).collect()
+    )
+    bloom_row = spark.createDataFrame([(words_py,)], "bloom array<long>")
+    got_array = sorted(
+        r.fp
+        for r in probe_df.crossJoin(F.broadcast(bloom_row))
+        .where(bloom_maybe_contains(F.col("fp"), F.col("bloom"), m_bits, n_hashes))
+        .collect()
+    )
+    assert got_packed == got_array
+    assert set(fps[:150]) <= set(got_packed)  # no false negatives
+
+
+def test_micro_gate_exact_with_capped_driver_dict(spark, tmp_path):
+    """driver_index_max=0 forces the driver fp dict permanently
+    INCOMPLETE, so every suspect resolves through the isin-pushdown
+    index-scan tier (the billion-doc posture) — acceptance must still
+    equal exact_dedup, including across a restart (bootstrap collects
+    nothing at cap 0)."""
+    stage = str(tmp_path / "stage")
+    _df(spark, [(1, A), (2, B)]).coalesce(1).write.parquet(stage + "/f0")
+    _df(spark, [(3, A), (4, C)]).coalesce(1).write.parquet(stage + "/f1")
+    base = str(tmp_path / "gated")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(stage + "/f*")
+        )
+        exact_dedup_gate_sink(
+            src, base, ckpt, m_bits=1 << 14, driver_index_max=0
+        ).awaitTermination()
+
+    run()
+    # restart with fresh sink (empty dict, bootstrap at cap 0) + a batch
+    # duplicating batch-0 content: must be caught via the scan tier
+    _df(spark, [(5, "  " + A + " "), (6, "novel closing doc")]).coalesce(
+        1
+    ).write.parquet(stage + "/f2")
+    run()
+    accepted = sorted(r.doc_id for r in spark.read.parquet(base + "/docs").collect())
+    assert accepted == [1, 2, 4, 6]
+
+
 def test_replay_excludes_own_state_partition(spark, tmp_path):
     fps_dir = str(tmp_path / "fps")
     batch = _df(spark, [(1, A), (2, B)])
