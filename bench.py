@@ -394,6 +394,74 @@ def run_decontam_gate_bench(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_rows
 
 
+#: Per-tier recall@10 floors on the bench corpus (sf0.1 embeddings, the
+#: SIM-* query set). Set from measured values minus margin; a tier
+#: sliding under its floor is a RECALL REGRESSION and fails the ann
+#: entry (reported as -1) so it surfaces exactly like a perf one.
+#: Measured at sf0.1 in round 6 (deterministic — fixed seeds, fixed
+#: corpus): lsh 0.24, ivf 0.50, pq 0.38, ivfpq 0.18, bq 0.20,
+#: ivfbq 0.267. The corpus is mostly unclustered random vectors — the
+#: HARD case for every tier (the clustered-fixture tests pin the >0.9
+#: regime); floors sit a margin under measured.
+ANN_RECALL_FLOORS = {
+    "lsh": 0.15,
+    "ivf": 0.40,
+    "pq": 0.28,
+    "ivfpq": 0.10,
+    "bq": 0.10,
+    "ivfbq": 0.15,
+}
+
+
+def run_ann_recall(spark, sf_dir: str) -> dict[str, float]:
+    """recall@10 of every ANN tier against the brute-force SIM-TOPK
+    ground truth on the bench embeddings — tracked per round so recall
+    regressions surface like perf ones (tests pin recall on CLUSTERED
+    fixtures; this pins it on the actual bench corpus). The cosine
+    tiers answer the 5-query SIM set; the Hamming tiers (bq/ivfbq)
+    answer the 3-query SIM-BQ set against the same cosine truth."""
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.driver_queries import ALL_QUERIES
+    from feasibility_etl_spark.operators.similarity import ivfbq_topk
+    from feasibility_etl_spark.sources.catalog import load as cat_load
+
+    def result_sets(df) -> dict[int, set[int]]:
+        out: dict[int, set[int]] = {}
+        for r in df.select("query_id", "vec_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    truth = result_sets(ALL_QUERIES["SIM-TOPK"](spark, sf_dir))
+
+    def recall_on(qids, sets) -> float:
+        per_q = [
+            len(sets.get(q, set()) & truth[q]) / len(truth[q])
+            for q in qids
+            if q in truth
+        ]
+        return round(sum(per_q) / len(per_q), 3) if per_q else 0.0
+
+    out: dict[str, float] = {}
+    for tier, qid in (
+        ("lsh", "SIM-LSH"),
+        ("ivf", "SIM-IVF"),
+        ("pq", "SIM-PQ"),
+        ("ivfpq", "SIM-IVFPQ"),
+    ):
+        out[tier] = recall_on(truth.keys(), result_sets(ALL_QUERIES[qid](spark, sf_dir)))
+    out["bq"] = recall_on([0, 1, 2], result_sets(ALL_QUERIES["SIM-BQ"](spark, sf_dir)))
+    emb = cat_load(spark, sf_dir, "embeddings")
+    q3 = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivfbq = ivfbq_topk(
+        emb, q3, k=10, n_cells=16, nprobe=4, train_fraction=0.5, max_iter=8
+    )
+    out["ivfbq"] = recall_on([0, 1, 2], result_sets(ivfbq))
+    return out
+
+
 def run_scd2_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
     """Streaming SCD2 fold at bench SF: per-user event_type observations
     replayed as a 4-micro-batch CDC stream through scd2_sink — every
@@ -647,6 +715,22 @@ def main() -> None:
         timings[entry_name] = sec
         rates[rate_key] = round(n / sec) if sec > 0 else None
 
+    # ANN recall@10 vs brute-force truth — deterministic (fixed seeds +
+    # corpus), so one rep; floors pin each tier (ANN_RECALL_FLOORS)
+    recall_metrics: dict[str, object] = {}
+    try:
+        recalls = run_ann_recall(spark, sf_dir)
+        for tier, r in recalls.items():
+            recall_metrics[f"ann_recall_{tier}"] = r
+        below = [
+            t for t, r in recalls.items() if r < ANN_RECALL_FLOORS.get(t, 0.0)
+        ]
+        if below:
+            recall_metrics["ann_recall_below_floor"] = below
+            print(f"bench ANN recall below floor: {below}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error ann-recall: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -657,6 +741,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 **rates,
+                **recall_metrics,
             }
         )
     )
