@@ -58,6 +58,7 @@ def run(df_build, label: str, results: list) -> None:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = set(sys.argv[3:])  # optional op-name filter (re-probe a subset)
 
     spark = build_session("scale-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -84,9 +85,22 @@ def main() -> None:
         # eval side stays base-sized (a benchmark doesn't grow with the
         # corpus) — only the corpus-side shingle stream scales
         "corpus_novelty": lambda d: corpus.novelty_signals(d),
+        # FIXED 1x eval set (like corpus_decontam below): real decontam
+        # scales the CORPUS, not the benchmark suite — the round-6 x100
+        # probe with a scaled eval slice measured filter SATURATION
+        # (default m_bits vs 100x eval grams -> FPR -> 1.35 per-row
+        # ratio), i.e. a mis-sized-filter artifact, not engine scaling
         "bloom_decontam": lambda d: __import__(
             "feasibility_etl_spark.operators.sketches", fromlist=["bloom_decontaminate"]
-        ).bloom_decontaminate(d, d.where(F.col("doc_id") % 97 == 0)),
+        ).bloom_decontaminate(d, docs1.where(F.col("doc_id") % 97 == 0)),
+        # scaled eval set WITH the operator's documented sizing (~10
+        # bits/gram): proves the filter path holds when the blocklist
+        # grows with the corpus, provided it is sized per contract
+        "bloom_decontam_bigeval": lambda d: __import__(
+            "feasibility_etl_spark.operators.sketches", fromlist=["bloom_decontaminate"]
+        ).bloom_decontaminate(
+            d, d.where(F.col("doc_id") % 97 == 0), m_bits=1 << 26
+        ),
         "corpus_decontam": lambda d: corpus.decontaminate(
             d, docs1.where(F.col("doc_id") % 97 == 0)
         ),
@@ -162,6 +176,8 @@ def main() -> None:
     }
 
     for name, fn in ops.items():
+        if only and name not in only:
+            continue
         pair = []
         run(lambda: fn(docs1), "base", pair)
         run(lambda: fn(docsN), "scaled", pair)
@@ -172,6 +188,8 @@ def main() -> None:
             "per_row_ratio": round(tn / t1 / factor, 3),
         }))
     for name, fn in fact_ops.items():
+        if only and name not in only:
+            continue
         pair = []
         run(lambda: fn(li1), "base", pair)
         run(lambda: fn(liN), "scaled", pair)
@@ -182,6 +200,8 @@ def main() -> None:
             "per_row_ratio": round(tn / t1 / factor, 3),
         }))
     for name, fn in emb_ops.items():
+        if only and name not in only:
+            continue
         pair = []
         run(lambda: fn(emb1), "base", pair)
         run(lambda: fn(embN), "scaled", pair)
@@ -192,6 +212,8 @@ def main() -> None:
             "per_row_ratio": round(tn / t1 / factor, 3),
         }))
     for name, fn in event_ops.items():
+        if only and name not in only:
+            continue
         pair = []
         run(lambda: fn(events1), "base", pair)
         run(lambda: fn(eventsN), "scaled", pair)
