@@ -102,6 +102,29 @@ def q_sim_pq(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_sim_ivfbq(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-IVFBQ (granular singleton): fused IVF + binary quantization —
+    k-means cells prune WHICH rows are read, 1-bit Hamming prunes which
+    of those pay a float dot product, exact cosine re-ranks the
+    shortlist (the memory-light serving recipe; see similarity.py
+    ivfbq_topk for the scale shape). Rows-only like the other trained
+    ANN tiers (seeded k-means); recall is pinned on clustered fixtures
+    in tests/test_similarity.py and tracked per round on the bench
+    corpus via bench.run_ann_recall (ann_recall_ivfbq)."""
+    from ..operators.similarity import ivfbq_topk
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfbq_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, train_fraction=0.5, max_iter=8
+    )
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-TOKENS: token + char counting over documents."""
     docs = load(spark, sf, "documents")

@@ -99,6 +99,12 @@ def release_when_unreachable(result: DataFrame, cache: StageCache) -> DataFrame:
 
     The finalizer closes over the CACHE, never the result — holding
     the result would keep it reachable forever and turn the tie into
-    exactly the leak it exists to prevent."""
+    exactly the leak it exists to prevent.
+
+    Callers must keep the result referenced for as long as they plan or
+    act on it: ``builder(...)._jdf.queryExecution()...`` drops the frame
+    mid-expression, the finalizer releases the caches, and any LAZY
+    derivation (``executedPlan`` is computed at first access) then plans
+    without the InMemoryRelations. Bind to a local first."""
     weakref.finalize(result, cache.release)
     return result

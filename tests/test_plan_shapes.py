@@ -154,7 +154,14 @@ def test_every_bench_entry_is_pinned():
 
 def _plan(spark, name: str) -> str:
     fn = flagship if name == "FLAGSHIP" else ALL_QUERIES[name]
-    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # hold the frame until AFTER the plan string is taken: compositions
+    # tie their shared-stage caches to the result's lifetime
+    # (plans/compose.release_when_unreachable), and executedPlan() is
+    # computed lazily — `fn(...)._jdf...toString()` drops the frame
+    # mid-expression, the GC finalizer unpersists, and the plan prints
+    # WITHOUT its InMemoryRelations (399 exchanges instead of 25)
+    df = fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
 #: entries whose plan REUSES persisted stages: the cached subtree prints

@@ -17,6 +17,7 @@ contract.
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -57,11 +58,21 @@ def main() -> int:
 
     spark = build_session("correctness-check")
     con = duckdb.connect()
+    # big-SF sweeps: one memory-hungry oracle must spill, not take down
+    # the machine (the first sf1 sweep died to a global OOM at 126 GB
+    # anon RSS inside DuckDB). Limit + temp dir make blowups diskbound.
+    mem_limit = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "32GB")
+    con.execute(f"SET memory_limit='{mem_limit}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
+        # driver testdata is one file per table; Spark-written scale
+        # dirs (tools/make_scale_dir.py) are DIRECTORIES of part files
+        path = f"{sf_dir}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
         )
 
     if use_all:
@@ -75,6 +86,7 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        print(f"[run] {name}", flush=True)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
