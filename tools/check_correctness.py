@@ -64,6 +64,14 @@ def main() -> int:
     mem_limit = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "32GB")
     con.execute(f"SET memory_limit='{mem_limit}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # memory_limit does NOT govern transient regex/list allocations, which
+    # scale per-thread — 32 threads of regexp_extract_all over 500k docs
+    # blew past 100 GB RSS and drew the kernel OOM killer. Bound the
+    # thread count instead; small-SF sweeps don't notice, big-SF sweeps
+    # trade wall time for survival.
+    n_threads = int(os.environ.get("SPARK_GRAFT_DUCKDB_THREADS", "8"))
+    con.execute(f"SET threads={n_threads}")
+    con.execute("SET preserve_insertion_order=false")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
