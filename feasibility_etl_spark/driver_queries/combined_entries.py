@@ -939,14 +939,14 @@ FROM (SELECT doc_id, CAST(len({ws}) AS BIGINT) AS dl, {tf_cols} FROM documents) 
 ORACLE_TEXT_BM25 = _bm25_oracle()
 
 ORACLE_TEXT_PROFILE = f"""
-WITH t_tok AS ({ORACLE_TEXT_TOKENS}),
-t_q AS ({ORACLE_TEXT_QUALITY}),
-t_l AS ({ORACLE_TEXT_LANGID}),
-t_f AS ({ORACLE_TEXT_FINGERPRINT}),
-t_c AS ({ORACLE_TEXT_CLEAN}),
-t_p AS ({ORACLE_TEXT_PII}),
-t_r AS ({ORACLE_TEXT_REPETITION}),
-t_b AS ({ORACLE_TEXT_BM25})
+WITH t_tok AS MATERIALIZED ({ORACLE_TEXT_TOKENS}),
+t_q AS MATERIALIZED ({ORACLE_TEXT_QUALITY}),
+t_l AS MATERIALIZED ({ORACLE_TEXT_LANGID}),
+t_f AS MATERIALIZED ({ORACLE_TEXT_FINGERPRINT}),
+t_c AS MATERIALIZED ({ORACLE_TEXT_CLEAN}),
+t_p AS MATERIALIZED ({ORACLE_TEXT_PII}),
+t_r AS MATERIALIZED ({ORACLE_TEXT_REPETITION}),
+t_b AS MATERIALIZED ({ORACLE_TEXT_BM25})
 SELECT t_tok.doc_id, t_l.lang, t_tok.n_tokens, t_tok.n_bpe_tokens,
        t_tok.n_chars_calc, t_q.punct_ratio, t_q.stop_ratio, t_q.mean_word_len,
        t_q.quality, t_l.pred_lang, t_f.fp, t_c.clean, t_c.n_dirty, t_c.n_clean,
