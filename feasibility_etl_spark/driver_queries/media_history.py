@@ -695,6 +695,96 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_cls_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CLS-SCORE granular: hashed-n-gram linear quality/domain classifier
+    (operators/classifier.py — fastText-shaped features, NBSVM
+    log-count-ratio training) — train ``lang='en'`` vs rest on the
+    even-doc_id half, score EVERY document, so the odd half genuinely
+    exercises unseen-bucket (default-weight) scoring. Full oracle: the
+    md5-prefix feature hash, the Laplace log-ratio weights (nano-BIGINT
+    at the ln surface), and the exact integer logit fold are all replayed
+    in DuckDB. ``pred`` is the 0-threshold decision; real gating composes
+    the logit with the KLL quantile gate (QUALITY-KLLGATE) instead of a
+    fixed cut."""
+    from ..operators.classifier import classifier_score, train_log_odds
+
+    docs = load(spark, sf, "documents").select("doc_id", "text", "lang")
+    model = train_log_odds(
+        docs.where(F.col("doc_id") % 2 == 0).withColumn(
+            "lab", (F.col("lang") == "en").cast("int")
+        ),
+        "lab",
+    )
+    return classifier_score(docs, model).select(
+        "doc_id", "n_feat", "logit_e9", "pred"
+    )
+
+
+ORACLE_CLS_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS lab,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+fb AS (
+  SELECT doc_id, lab,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS bucket
+  FROM (
+    SELECT doc_id, lab, unnest(ws) AS f FROM toks
+    UNION ALL
+    SELECT doc_id, lab, ws[x+1] || ' ' || ws[x+2] AS f
+    FROM toks, LATERAL (SELECT unnest(range(len(ws)-1)) AS x)
+  )
+),
+counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS pos_c,
+         SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS neg_c
+  FROM fb WHERE doc_id % 2 = 0 GROUP BY bucket
+),
+tot AS (
+  SELECT coalesce(SUM(pos_c), 0) AS pos_tot,
+         coalesce(SUM(neg_c), 0) AS neg_tot
+  FROM counts
+),
+dtot AS (
+  SELECT SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS n_neg
+  FROM toks WHERE doc_id % 2 = 0
+),
+wts AS (
+  SELECT bucket,
+         CAST(round((ln((pos_c + 1.0) / (pos_tot + 4096.0))
+                   - ln((neg_c + 1.0) / (neg_tot + 4096.0)))
+                    * 1000000000) AS BIGINT) AS w_e9
+  FROM counts, tot
+),
+consts AS (
+  SELECT CAST(round(ln((n_pos + 1.0) / (n_neg + 1.0))
+                    * 1000000000) AS BIGINT) AS bias_e9,
+         CAST(round((ln(1.0 / (pos_tot + 4096.0))
+                   - ln(1.0 / (neg_tot + 4096.0)))
+                    * 1000000000) AS BIGINT) AS w_default_e9
+  FROM tot, dtot
+),
+per_doc AS (
+  SELECT fb.doc_id,
+         COUNT(*) AS n_feat,
+         coalesce(SUM(w.w_e9), 0) AS s_known,
+         SUM(CASE WHEN w.w_e9 IS NULL THEN 1 ELSE 0 END) AS n_miss
+  FROM fb LEFT JOIN wts w USING (bucket)
+  GROUP BY fb.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_feat, 0) AS BIGINT) AS n_feat,
+       CAST(coalesce(p.s_known, 0) + coalesce(p.n_miss, 0) * c.w_default_e9
+            + c.bias_e9 AS BIGINT) AS logit_e9,
+       (coalesce(p.s_known, 0) + coalesce(p.n_miss, 0) * c.w_default_e9
+        + c.bias_e9) >= 0 AS pred
+FROM toks t LEFT JOIN per_doc p USING (doc_id) CROSS JOIN consts c
+"""
+
+
 def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-TFIDF (granular singleton): per-doc top-5 characteristic
     terms by tf-idf (text.tfidf_topterms) — ranking over the
@@ -750,9 +840,11 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
     the recursive greedy-walk replay, see q_wp_encode), UNIGRAM-ENCODE
     (part='unigram': Unigram-LM Viterbi with the frozen dyadic-logp
     DEMO_UG_PIECES — full oracle via the windowed-frontier recursive DP,
-    see q_unigram_encode), and LM-SCORE (part='lm':
+    see q_unigram_encode), LM-SCORE (part='lm':
     Stupid-Backoff LM scores — transition count in n_tok, the exact
-    BIGINT nano-log10 sum in fp; see q_lm_score)."""
+    BIGINT nano-log10 sum in fp; see q_lm_score), and CLS-SCORE
+    (part='cls': hashed-n-gram linear classifier logits — feature count
+    in n_tok, the exact BIGINT nano-logit in fp; see q_cls_score)."""
     from ..operators.text import chunk_documents, top_terms
 
     docs = load(spark, sf, "documents")
@@ -820,9 +912,17 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
         "n_tok",
         F.lit(None).cast("long").alias("fp"),
     )
+    cls_rows = q_cls_score(spark, sf).select(
+        F.lit("cls").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.lit(None).cast("string").alias("chunk_text"),
+        F.col("n_feat").alias("n_tok"),
+        F.col("logit_e9").alias("fp"),
+    )
     return (win.unionByName(ch).unionByName(tt).unionByName(bpe)
             .unionByName(wp).unionByName(ug).unionByName(tfidf)
-            .unionByName(lm_rows))
+            .unionByName(lm_rows).unionByName(cls_rows))
 
 
 ORACLE_TEXT_ROWS = f"""
@@ -869,6 +969,10 @@ UNION ALL
 SELECT 'lm' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
        CAST(NULL AS VARCHAR) AS chunk_text, n_trans AS n_tok, logp_e9 AS fp
 FROM ({ORACLE_LM_SCORE}) l
+UNION ALL
+SELECT 'cls' AS part, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
+       CAST(NULL AS VARCHAR) AS chunk_text, n_feat AS n_tok, logit_e9 AS fp
+FROM ({ORACLE_CLS_SCORE}) cl
 """
 
 

@@ -1,0 +1,249 @@
+"""Hashed-n-gram linear text classifier — model-based quality/domain
+filtering, the fastText-shaped signal (Joulin et al. 2016, "Bag of
+Tricks for Efficient Text Classification") trained with the
+log-count-ratio weights of Wang & Manning 2012 (the "NBSVM" linear
+baseline, closed-form — no SGD, so the whole TRAIN pass is two
+relational aggregations and every run is bit-deterministic).
+
+Pipeline role: LLM corpora are routinely gated by a *linear classifier
+over hashed word n-grams* — CCNet/fastText language filters, the
+GPT-3/LLaMA "looks like the reference corpus" quality classifiers, and
+domain routers all share this exact shape. A trained-embedding fastText
+(dense dim-d vectors + softmax, SGD) is out of scope for a pure engine;
+the hashing-trick log-odds model exercises the identical distributed
+dataflow — feature explosion, bounded weight table, broadcast scoring —
+with closed-form training the DuckDB oracle can replay bit-for-bit.
+
+Model (binary, label ∈ {0,1}):
+
+- Features of a document: lowercase-free whitespace tokens (the family
+  tokenizer) plus adjacent word bigrams (fastText ``wordNgrams=2``),
+  WITH multiplicity, each hashed to one of ``num_buckets`` buckets via
+  the engine-portable md5-prefix hash (the corpus-family idiom: first 8
+  hex chars as a 32-bit integer, mod B).
+- TRAIN: per bucket, count feature occurrences in positive vs negative
+  documents; the weight is the Laplace-smoothed log-count-ratio
+
+      w_b = ln((pos_b + a) / (POS + a*B)) - ln((neg_b + a) / (NEG + a*B))
+
+  with ``a = 1``, POS/NEG the total feature mass per class. Buckets
+  never seen in training score the shared default weight (pos_b =
+  neg_b = 0 in the same formula); the bias is the document-count prior
+  ``ln((n_pos + a) / (n_neg + a))``.
+- SCORE: logit(doc) = bias + sum over feature occurrences of w_b;
+  predict positive when logit >= 0 (sigmoid >= 0.5).
+
+Determinism / oracle contract: every weight is rounded to nano units
+(``*1e9 -> BIGINT``) at the point it leaves ``ln`` — the only float
+surface, 1-ulp absorbed by the rounding (the LM-SCORE precedent) — and
+per-document logits are exact BIGINT sums of those integers, so the
+result is independent of partitioning and join order and hash-matches
+the DuckDB replay.
+
+100 TB posture:
+- TRAIN shuffles ``(bucket, partial counts)`` — map-side combined,
+  bounded by B buckets after the combine; documents never shuffle.
+- The weight table is ≤ B rows by construction → broadcast; scoring is
+  explode → broadcast-join → per-doc sum, whose shuffle carries one
+  ``(doc_id, partial_sum)`` row per document per map partition. No
+  corpus-wide wide rows, no skew surface (bucket skew lands in the
+  map-side combine).
+- The 1-row constant frame (totals/bias) attaches by the allowlisted
+  1-row broadcast cross join, once per document row, after the per-doc
+  aggregate.
+
+Reference parity: the reference engine has no classifier layer (its
+text handling is field mapping, /root/reference/etl.js:127-199); this
+extends the training-pipeline mandate alongside LM-SCORE and DSIR.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: Laplace smoothing mass per bucket (Wang & Manning 2012 use 1).
+ALPHA = 1.0
+
+#: nano scale for ln() outputs (LM-SCORE precedent: exact BIGINT sums).
+_SCALE = 1_000_000_000
+
+
+class LinearTextModel(NamedTuple):
+    """A trained hashed-n-gram log-odds model.
+
+    ``weights``: (bucket long, w_e9 long) — ≤ num_buckets rows, broadcast
+    range by construction. ``consts``: ONE row (bias_e9 long,
+    w_default_e9 long, num_buckets int, word_ngrams int) — the scoring
+    constants plus the feature-space shape scoring must reuse."""
+
+    weights: DataFrame
+    consts: DataFrame
+
+
+def hash_bucket(col: Column, num_buckets: int) -> Column:
+    """Engine-portable feature hash: first 8 md5 hex chars as a 32-bit
+    integer, mod ``num_buckets`` (the corpus-family md5-prefix idiom —
+    DuckDB replays it as ``CAST(('0x' || substr(md5(f),1,8)) AS
+    BIGINT)``). Uniform enough for feature hashing and, unlike
+    xxhash64, available bit-identically in both engines."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % F.lit(num_buckets).cast("long")
+    )
+
+
+def _features(ws_name: str, word_ngrams: int) -> Column:
+    """array<string> of unigrams + adjacent word n-grams up to
+    ``word_ngrams`` over the token-array column ``ws_name``,
+    multiplicity preserved (fastText's feature bag)."""
+    out = F.col(ws_name)
+    for n in range(2, word_ngrams + 1):
+        if n == 2:
+            # two staggered slices zipped; greatest(...,0) keeps the
+            # slice length legal for 0/1-token docs (empty result)
+            grams = F.expr(
+                f"zip_with(slice({ws_name}, 1, greatest(size({ws_name}) - 1, 0)), "
+                f"slice({ws_name}, 2, greatest(size({ws_name}) - 1, 0)), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        else:
+            # guard the sequence: sequence(1, stop) DESCENDS when
+            # stop < 1, so short docs must short-circuit to empty
+            grams = F.when(
+                F.size(F.col(ws_name)) >= n,
+                F.expr(
+                    f"transform(sequence(1, size({ws_name}) - {n - 1}), "
+                    f"i -> array_join(slice({ws_name}, i, {n}), ' '))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<string>"))
+        out = F.concat(out, grams)
+    return out
+
+
+def _exploded(
+    docs: DataFrame, text_col: str, id_col: str, word_ngrams: int, extra: list[str]
+) -> DataFrame:
+    """(id, *extra, feature string), one row per feature OCCURRENCE —
+    zero-feature docs vanish here and are settled by the caller."""
+    return docs.select(
+        id_col, *extra, tokens(text_col).alias("_cfws")
+    ).select(id_col, *extra, F.explode(_features("_cfws", word_ngrams)).alias("f"))
+
+
+def train_log_odds(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    word_ngrams: int = 2,
+) -> LinearTextModel:
+    """Closed-form training pass: two aggregations over the labeled
+    frame. ``label_col`` must be int/boolean-ish (1/true = positive).
+
+    The bucket shuffle carries map-side-combined partial counts (≤ B
+    rows per map partition); totals and the bias reduce to one row."""
+    lab = F.col(label_col).cast("int")
+    feats = _exploded(
+        docs.withColumn("_cflab", lab), text_col, id_col, word_ngrams, ["_cflab"]
+    ).withColumn("bucket", hash_bucket(F.col("f"), num_buckets))
+
+    counts = feats.groupBy("bucket").agg(
+        F.sum("_cflab").cast("long").alias("pos_c"),
+        (F.count(F.lit(1)) - F.sum("_cflab")).cast("long").alias("neg_c"),
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("pos_c"), F.lit(0)).cast("long").alias("pos_tot"),
+        F.coalesce(F.sum("neg_c"), F.lit(0)).cast("long").alias("neg_tot"),
+    )
+    docs_tot = docs.agg(
+        F.sum(lab).cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum(lab)).cast("long").alias("n_neg"),
+    )
+
+    aB = float(ALPHA) * num_buckets
+
+    def w_expr(pos_c: Column, neg_c: Column) -> Column:
+        return F.round(
+            (
+                F.log((pos_c + F.lit(ALPHA)) / (F.col("pos_tot") + F.lit(aB)))
+                - F.log((neg_c + F.lit(ALPHA)) / (F.col("neg_tot") + F.lit(aB)))
+            )
+            * _SCALE
+        ).cast("long")
+
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", w_expr(F.col("pos_c"), F.col("neg_c")).alias("w_e9")
+    )
+    consts = totals.crossJoin(F.broadcast(docs_tot)).select(
+        F.round(
+            F.log(
+                (F.col("n_pos") + F.lit(ALPHA)) / (F.col("n_neg") + F.lit(ALPHA))
+            )
+            * _SCALE
+        )
+        .cast("long")
+        .alias("bias_e9"),
+        w_expr(F.lit(0), F.lit(0)).alias("w_default_e9"),
+        F.lit(num_buckets).alias("num_buckets"),
+        F.lit(word_ngrams).alias("word_ngrams"),
+    )
+    return LinearTextModel(weights=weights, consts=consts)
+
+
+def classifier_score(
+    docs: DataFrame,
+    model: LinearTextModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    word_ngrams: int = 2,
+) -> DataFrame:
+    """Score every document: (id, n_feat, logit_e9, logit, pred).
+
+    ``num_buckets``/``word_ngrams`` MUST match training (they ride in
+    ``model.consts`` for audit; mismatched values silently re-hash into
+    a different feature space). Docs with no features score the bare
+    bias. ``logit_e9`` is the exact BIGINT nano-logit; ``logit`` the
+    derived double; ``pred`` true at logit >= 0 (sigmoid ≥ 0.5)."""
+    feats = _exploded(docs, text_col, id_col, word_ngrams, []).withColumn(
+        "bucket", hash_bucket(F.col("f"), num_buckets)
+    )
+    # unseen-bucket occurrences count as _miss and settle against the
+    # default weight AFTER the per-doc fold — keeps the broadcast join
+    # side ≤ B rows and the constant row out of the per-feature path
+    per_doc = (
+        feats.join(F.broadcast(model.weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feat"),
+            F.coalesce(F.sum("w_e9"), F.lit(0)).cast("long").alias("_s_known"),
+            F.sum(F.when(F.col("w_e9").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("_n_miss"),
+        )
+    )
+    out = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(model.consts.select("bias_e9", "w_default_e9")))
+        .select(
+            id_col,
+            F.coalesce(F.col("n_feat"), F.lit(0)).cast("long").alias("n_feat"),
+            (
+                F.coalesce(F.col("_s_known"), F.lit(0))
+                + F.coalesce(F.col("_n_miss"), F.lit(0)) * F.col("w_default_e9")
+                + F.col("bias_e9")
+            )
+            .cast("long")
+            .alias("logit_e9"),
+        )
+        .withColumn("logit", F.col("logit_e9").cast("double") / _SCALE)
+        .withColumn("pred", F.col("logit_e9") >= 0)
+    )
+    return out
