@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "UNIGRAM-ENCODE",
     "SKETCH-FREQ",
     "LM-SCORE",
+    "CLS-SCORE",
     "CORPUS-DSIR",
     "CORPUS-NOVELTY",
     "CORPUS-SAMPLEK",

@@ -707,17 +707,21 @@ def q_cls_score(spark: SparkSession, sf: str) -> DataFrame:
     the logit with the KLL quantile gate (QUALITY-KLLGATE) instead of a
     fixed cut."""
     from ..operators.classifier import classifier_score, train_log_odds
+    from ..plans.compose import StageCache, release_when_unreachable
 
     docs = load(spark, sf, "documents").select("doc_id", "text", "lang")
+    shared = StageCache()
     model = train_log_odds(
         docs.where(F.col("doc_id") % 2 == 0).withColumn(
             "lab", (F.col("lang") == "en").cast("int")
         ),
         "lab",
+        cache=shared,
     )
-    return classifier_score(docs, model).select(
+    out = classifier_score(docs, model).select(
         "doc_id", "n_feat", "logit_e9", "pred"
     )
+    return release_when_unreachable(out, shared)
 
 
 ORACLE_CLS_SCORE = r"""

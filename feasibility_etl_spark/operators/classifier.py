@@ -142,12 +142,21 @@ def train_log_odds(
     id_col: str = "doc_id",
     num_buckets: int = 4096,
     word_ngrams: int = 2,
+    cache=None,
 ) -> LinearTextModel:
     """Closed-form training pass: two aggregations over the labeled
     frame. ``label_col`` must be int/boolean-ish (1/true = positive).
 
     The bucket shuffle carries map-side-combined partial counts (≤ B
-    rows per map partition); totals and the bias reduce to one row."""
+    rows per map partition); totals and the bias reduce to one row.
+
+    ``cache`` (a ``plans.compose.StageCache``) persists the per-bucket
+    count table — ≤ B rows, trivially cached — so the training feature
+    explosion runs ONCE: ``weights`` and ``consts`` both re-reference
+    the counts subtree, and Spark shares no common subplans, so the
+    uncached plan re-explodes the labeled corpus three times (measured:
+    4 Generate nodes → 2 with the cache). Callers own the release —
+    tie it to their terminal frame via ``release_when_unreachable``."""
     lab = F.col(label_col).cast("int")
     feats = _exploded(
         docs.withColumn("_cflab", lab), text_col, id_col, word_ngrams, ["_cflab"]
@@ -157,6 +166,8 @@ def train_log_odds(
         F.sum("_cflab").cast("long").alias("pos_c"),
         (F.count(F.lit(1)) - F.sum("_cflab")).cast("long").alias("neg_c"),
     )
+    if cache is not None:
+        counts = cache(counts)
     totals = counts.agg(
         F.coalesce(F.sum("pos_c"), F.lit(0)).cast("long").alias("pos_tot"),
         F.coalesce(F.sum("neg_c"), F.lit(0)).cast("long").alias("neg_tot"),

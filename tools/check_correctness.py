@@ -98,7 +98,16 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
+            if os.environ.get("SPARK_GRAFT_STREAM_COLLECT") == "1":
+                # big-SF sweeps: collectToPython materializes the whole
+                # result in the driver JVM heap first — TEXT-ROWS at the
+                # sf1 scale dir (millions of rows with full text columns)
+                # OOMs an 8g driver. toLocalIterator pulls one partition
+                # at a time through the JVM; only the Python process
+                # accumulates the full result.
+                srows = [tuple(r) for r in sdf.toLocalIterator()]
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))

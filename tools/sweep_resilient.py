@@ -107,6 +107,11 @@ def main() -> int:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_DUCKDB_THREADS", "4")
     env.setdefault("SPARK_GRAFT_DUCKDB_MEM", "24GB")
+    # stream Spark results through the driver JVM one partition at a
+    # time (full collects of text-heavy results OOM the 8g heap at sf1)
+    # and give the heap headroom for plan/broadcast bookkeeping anyway
+    env.setdefault("SPARK_GRAFT_STREAM_COLLECT", "1")
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 
     sink = open(out_path, "a")
 
