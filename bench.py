@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "SKETCH-FREQ",
     "LM-SCORE",
     "CLS-SCORE",
+    "CLS-ROUTE",
     "CORPUS-DSIR",
     "CORPUS-NOVELTY",
     "CORPUS-SAMPLEK",

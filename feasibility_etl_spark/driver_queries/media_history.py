@@ -789,6 +789,116 @@ FROM toks t LEFT JOIN per_doc p USING (doc_id) CROSS JOIN consts c
 """
 
 
+def q_cls_route(spark: SparkSession, sf: str) -> DataFrame:
+    """CLS-ROUTE granular: k-class one-vs-rest domain router
+    (operators/classifier.py train_router/route_score) — train on the
+    even-doc_id half with ``lang`` as the class, route EVERY document to
+    its argmax class with the winner-minus-runner-up margin. Full
+    oracle: the shared (bucket, class) count table, per-class
+    complements, dense-grid weights, and the argmax/lead window are all
+    replayed in DuckDB over the same md5-prefix hash space."""
+    from ..operators.classifier import route_score, train_router
+    from ..plans.compose import StageCache, release_when_unreachable
+
+    docs = load(spark, sf, "documents").select("doc_id", "text", "lang")
+    shared = StageCache()
+    router = train_router(
+        docs.where(F.col("doc_id") % 2 == 0), "lang", cache=shared
+    )
+    out = route_score(docs, router)
+    return release_when_unreachable(out, shared)
+
+
+ORACLE_CLS_ROUTE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+fb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS bucket
+  FROM (
+    SELECT doc_id, lang, unnest(ws) AS f FROM toks
+    UNION ALL
+    SELECT doc_id, lang, ws[x+1] || ' ' || ws[x+2] AS f
+    FROM toks, LATERAL (SELECT unnest(range(len(ws)-1)) AS x)
+  )
+),
+cnt AS (
+  SELECT bucket, lang AS cls, COUNT(*) AS c FROM fb
+  WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY bucket, lang
+),
+btot AS (SELECT bucket, SUM(c) AS bt FROM cnt GROUP BY bucket),
+ctot AS (SELECT cls, SUM(c) AS tc FROM cnt GROUP BY cls),
+allt AS (SELECT coalesce(SUM(c), 0) AS al FROM cnt),
+classes AS (
+  SELECT lang AS cls, COUNT(*) AS n_c FROM documents
+  WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY lang
+),
+nall AS (
+  SELECT COUNT(*) AS n_all FROM documents
+  WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+),
+clsx AS (
+  SELECT c.cls, coalesce(t.tc, 0) AS tc, c.n_c, a.al, n.n_all
+  FROM classes c LEFT JOIN ctot t USING (cls)
+  CROSS JOIN allt a CROSS JOIN nall n
+),
+consts AS (
+  SELECT cls,
+         CAST(round(ln((n_c + 1.0) / (n_all - n_c + 1.0))
+                    * 1000000000) AS BIGINT) AS bias_e9,
+         CAST(round((ln(1.0 / (tc + 4096.0))
+                   - ln(1.0 / (al - tc + 4096.0)))
+                    * 1000000000) AS BIGINT) AS w_def_e9
+  FROM clsx
+),
+dense AS (
+  SELECT b.bucket, x.cls,
+         CAST(round((ln((coalesce(cn.c, 0) + 1.0) / (x.tc + 4096.0))
+                   - ln((b.bt - coalesce(cn.c, 0) + 1.0)
+                        / (x.al - x.tc + 4096.0)))
+                    * 1000000000) AS BIGINT) AS w_e9
+  FROM btot b CROSS JOIN clsx x
+  LEFT JOIN cnt cn ON cn.bucket = b.bucket AND cn.cls = x.cls
+),
+per_doc AS (
+  SELECT fb.doc_id, COUNT(*) AS n_feat,
+         SUM(CASE WHEN s.bucket IS NULL THEN 1 ELSE 0 END) AS n_miss
+  FROM fb LEFT JOIN (SELECT DISTINCT bucket FROM cnt) s
+    ON fb.bucket = s.bucket
+  GROUP BY fb.doc_id
+),
+known AS (
+  SELECT fb.doc_id, d.cls, SUM(d.w_e9) AS s_known
+  FROM fb JOIN dense d ON fb.bucket = d.bucket
+  GROUP BY fb.doc_id, d.cls
+),
+grid AS (
+  SELECT t.doc_id, c.cls,
+         CAST(coalesce(p.n_feat, 0) AS BIGINT) AS n_feat,
+         CAST(coalesce(k.s_known, 0) + coalesce(p.n_miss, 0) * c.w_def_e9
+              + c.bias_e9 AS BIGINT) AS logit_e9
+  FROM (SELECT doc_id FROM documents) t
+  CROSS JOIN consts c
+  LEFT JOIN known k ON k.doc_id = t.doc_id AND k.cls = c.cls
+  LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY logit_e9 DESC, cls) AS rn,
+         LEAD(logit_e9) OVER (PARTITION BY doc_id
+                              ORDER BY logit_e9 DESC, cls) AS nxt
+  FROM grid
+)
+SELECT doc_id, n_feat, cls, logit_e9,
+       CAST(logit_e9 - nxt AS BIGINT) AS margin_e9
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-TFIDF (granular singleton): per-doc top-5 characteristic
     terms by tf-idf (text.tfidf_topterms) — ranking over the

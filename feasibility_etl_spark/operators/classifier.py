@@ -52,6 +52,13 @@ the DuckDB replay.
   1-row broadcast cross join, once per document row, after the per-doc
   aggregate.
 
+The k-class one-vs-rest router (``train_router`` / ``route_score``)
+extends the same machinery to language-ID / domain-routing: one feature
+explosion trains all k models (the (bucket, class) count table yields
+every class's pos/neg counts by complement), the dense ≤B×k weight
+table broadcasts, and scoring argmaxes k exact integer logits per doc
+with a margin (winner − runner-up) as the abstain signal.
+
 Reference parity: the reference engine has no classifier layer (its
 text handling is field mapping, /root/reference/etl.js:127-199); this
 extends the training-pipeline mandate alongside LM-SCORE and DSIR.
@@ -258,3 +265,199 @@ def classifier_score(
         .withColumn("pred", F.col("logit_e9") >= 0)
     )
     return out
+
+
+class RouterModel(NamedTuple):
+    """A trained k-class one-vs-rest router over the same hashed
+    feature space.
+
+    ``dense``: (bucket long, cls string, w_e9 long) — one weight per
+    TRAINING-SEEN bucket per class, ≤ num_buckets × k rows → broadcast
+    range for the small class counts routers serve (languages, domains,
+    source registries). ``consts``: k rows (cls, bias_e9, w_def_e9) —
+    per-class prior and unseen-bucket weight."""
+
+    dense: DataFrame
+    consts: DataFrame
+
+
+def train_router(
+    docs: DataFrame,
+    class_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    word_ngrams: int = 2,
+    cache=None,
+) -> RouterModel:
+    """One-vs-rest log-count-ratio training for a k-class router
+    (language ID / domain routing / source attribution — the fastText
+    supervised setting with k labels, Joulin et al. 2016 §2).
+
+    ONE feature explosion feeds every class: the (bucket, class) count
+    table gives, for class c, pos = cnt(b,c) and neg = bucket_total(b)
+    - cnt(b,c), with class/complement feature masses from the same
+    aggregate — k models for the price of one shuffle. ``cache``
+    persists that count table (≤ B×k rows) so the dense-weight,
+    per-class-total, and grand-total branches don't re-explode the
+    corpus (the binary trainer's lesson).
+
+    Rows with NULL ``class_col`` are excluded from training (no class
+    to credit); NULL never becomes a routable label."""
+    labeled = docs.where(F.col(class_col).isNotNull()).withColumn(
+        "_cfcls", F.col(class_col).cast("string")
+    )
+    feats = _exploded(labeled, text_col, id_col, word_ngrams, ["_cfcls"]).withColumn(
+        "bucket", hash_bucket(F.col("f"), num_buckets)
+    )
+    cnt = feats.groupBy("bucket", "_cfcls").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    if cache is not None:
+        cnt = cache(cnt)
+    from pyspark.sql import Window
+
+    btot = cnt.groupBy("bucket").agg(F.sum("c").cast("long").alias("bt"))
+    # grand totals ride as unpartitioned window sums over the k-row
+    # class frames instead of separate aggregate branches — Spark shares
+    # no common subplans, so a dedicated .agg() branch would re-derive
+    # (and re-scan) its whole subtree
+    wall = Window.partitionBy()
+    ctot = cnt.groupBy("_cfcls").agg(
+        F.sum("c").cast("long").alias("tc")
+    ).withColumn("al", F.sum("tc").over(wall).cast("long"))
+    classes = labeled.groupBy("_cfcls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    ).withColumn("n_all", F.sum("n_c").over(wall).cast("long"))
+
+    aB = float(ALPHA) * num_buckets
+    cls = (
+        classes.join(ctot, "_cfcls", "left")
+        .withColumn("tc", F.coalesce("tc", F.lit(0)))
+        # a class whose docs have no features misses ctot's al too:
+        # backfill from any sibling row (al is constant across rows)
+        .withColumn(
+            "al", F.coalesce(F.max("al").over(wall), F.lit(0)).cast("long")
+        )
+    )
+    consts = cls.select(
+        F.col("_cfcls").alias("cls"),
+        F.round(
+            F.log(
+                (F.col("n_c") + F.lit(ALPHA))
+                / (F.col("n_all") - F.col("n_c") + F.lit(ALPHA))
+            )
+            * _SCALE
+        )
+        .cast("long")
+        .alias("bias_e9"),
+        F.round(
+            (
+                F.log(F.lit(ALPHA) / (F.col("tc") + F.lit(aB)))
+                - F.log(F.lit(ALPHA) / (F.col("al") - F.col("tc") + F.lit(aB)))
+            )
+            * _SCALE
+        )
+        .cast("long")
+        .alias("w_def_e9"),
+    )
+    # dense grid: every training-seen bucket × every class, missing
+    # (bucket, class) pairs scoring cnt=0 through the same formula —
+    # a ≤B-row × k-row product (broadcast the class table), then a
+    # hash left join back to the real counts
+    dense = (
+        btot.crossJoin(F.broadcast(cls.select("_cfcls", "tc", "al")))
+        .join(cnt, ["bucket", "_cfcls"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .select(
+            "bucket",
+            F.col("_cfcls").alias("cls"),
+            F.round(
+                (
+                    F.log(
+                        (F.col("c") + F.lit(ALPHA)) / (F.col("tc") + F.lit(aB))
+                    )
+                    - F.log(
+                        (F.col("bt") - F.col("c") + F.lit(ALPHA))
+                        / (F.col("al") - F.col("tc") + F.lit(aB))
+                    )
+                )
+                * _SCALE
+            )
+            .cast("long")
+            .alias("w_e9"),
+        )
+    )
+    return RouterModel(dense=dense, consts=consts)
+
+
+def route_score(
+    docs: DataFrame,
+    router: RouterModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    word_ngrams: int = 2,
+) -> DataFrame:
+    """Route every document to its argmax class:
+    (id, n_feat, cls, logit_e9, margin_e9).
+
+    Per doc per class, logit = bias_c + Σ_known w_c(bucket) +
+    n_miss × w_def_c; the winner is max logit with class-asc
+    tie-break. ``margin_e9`` = winner minus runner-up (NULL for a
+    single-class router) — the abstain/confidence signal a routing
+    gate thresholds on. The dense table (≤ B×k rows) and the k-row
+    constants broadcast; the only corpus-sized shuffles are keyed by
+    (id) and (id, class).
+
+    ONE feature explosion: every training-seen bucket matches all k
+    dense rows, so the per-(id, class) aggregate's occurrence count is
+    the per-doc SEEN count for free, and the total feature count is
+    analytic in the token count (Σ_n max(|tokens|−n+1, 0)) — no second
+    explode-and-count pass over the corpus."""
+    feats = _exploded(docs, text_col, id_col, word_ngrams, []).withColumn(
+        "bucket", hash_bucket(F.col("f"), num_buckets)
+    )
+    known = (
+        feats.join(F.broadcast(router.dense), "bucket")
+        .groupBy(id_col, "cls")
+        .agg(
+            F.coalesce(F.sum("w_e9"), F.lit(0)).cast("long").alias("_s_known"),
+            F.count(F.lit(1)).cast("long").alias("_n_seen"),
+        )
+    )
+    sz = F.coalesce(F.size(tokens(text_col)), F.lit(0))
+    n_feat = sum(
+        (F.greatest(sz - F.lit(n - 1), F.lit(0)) for n in range(1, word_ngrams + 1)),
+        F.lit(0),
+    )
+    grid = (
+        docs.select(id_col, n_feat.cast("long").alias("n_feat"))
+        .crossJoin(F.broadcast(router.consts))
+        .join(known, [id_col, "cls"], "left")
+        .select(
+            id_col,
+            "cls",
+            "n_feat",
+            (
+                F.coalesce(F.col("_s_known"), F.lit(0))
+                + (F.col("n_feat") - F.coalesce(F.col("_n_seen"), F.lit(0)))
+                * F.col("w_def_e9")
+                + F.col("bias_e9")
+            )
+            .cast("long")
+            .alias("logit_e9"),
+        )
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.desc("logit_e9"), F.asc("cls"))
+    ranked = grid.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_next", F.lead("logit_e9").over(w)
+    )
+    return ranked.where(F.col("_rn") == 1).select(
+        id_col,
+        "n_feat",
+        "cls",
+        "logit_e9",
+        (F.col("logit_e9") - F.col("_next")).cast("long").alias("margin_e9"),
+    )

@@ -189,3 +189,155 @@ def test_plan_shape_broadcast_no_python(spark, fixture_df):
     )
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- router
+
+from collections import Counter
+
+from feasibility_etl_spark.operators.classifier import route_score, train_router
+
+ROUTE_FIXTURE = [
+    (1, "le chat noir dort", "fr"),
+    (2, "le chien noir court", "fr"),
+    (3, "the black cat sleeps", "en"),
+    (4, "the black dog runs", "en"),
+    (5, "der schwarze hund rennt", "de"),
+    (6, "der schwarze kater schlaeft", "de"),
+    (7, "mystery words unlabeled", None),
+]
+
+
+def _py_router(rows, num_buckets=B):
+    cnt: dict[tuple[int, str], int] = {}
+    for _id, text, c in rows:
+        if c is None:
+            continue
+        for f in _feats(text):
+            b = _bucket(f, num_buckets)
+            cnt[(b, c)] = cnt.get((b, c), 0) + 1
+    classes = sorted({c for _, _, c in rows if c is not None})
+    btot: dict[int, int] = {}
+    ctot = {c: 0 for c in classes}
+    for (b, c), v in cnt.items():
+        btot[b] = btot.get(b, 0) + v
+        ctot[c] += v
+    al = sum(cnt.values())
+    n_c = Counter(c for _, _, c in rows if c is not None)
+    n_all = sum(n_c.values())
+    aB = ALPHA * num_buckets
+    dense = {
+        (b, c): round(
+            (
+                math.log((cnt.get((b, c), 0) + ALPHA) / (ctot[c] + aB))
+                - math.log(
+                    (btot[b] - cnt.get((b, c), 0) + ALPHA) / (al - ctot[c] + aB)
+                )
+            )
+            * 1e9
+        )
+        for b in btot
+        for c in classes
+    }
+    bias = {
+        c: round(math.log((n_c[c] + ALPHA) / (n_all - n_c[c] + ALPHA)) * 1e9)
+        for c in classes
+    }
+    wdef = {
+        c: round(
+            (math.log(ALPHA / (ctot[c] + aB)) - math.log(ALPHA / (al - ctot[c] + aB)))
+            * 1e9
+        )
+        for c in classes
+    }
+    return dense, bias, wdef, btot, classes
+
+
+def _py_route(text, dense, bias, wdef, btot, classes, num_buckets=B):
+    logits = {}
+    for c in classes:
+        s = bias[c]
+        for f in _feats(text):
+            b = _bucket(f, num_buckets)
+            s += dense[(b, c)] if b in btot else wdef[c]
+        logits[c] = s
+    order = sorted(classes, key=lambda c: (-logits[c], c))
+    win = order[0]
+    margin = logits[win] - logits[order[1]] if len(order) > 1 else None
+    return win, logits[win], margin
+
+
+@pytest.fixture(scope="module")
+def route_df(spark):
+    return spark.createDataFrame(
+        ROUTE_FIXTURE, "doc_id long, text string, lang string"
+    )
+
+
+def test_router_matches_python_replay(spark, route_df):
+    router = train_router(route_df, "lang", num_buckets=B)
+    dense, bias, wdef, btot, classes = _py_router(ROUTE_FIXTURE)
+    got_dense = {
+        (r["bucket"], r["cls"]): r["w_e9"] for r in router.dense.collect()
+    }
+    assert set(got_dense) == set(dense)
+    for k in dense:
+        assert abs(got_dense[k] - dense[k]) <= 1, (k, got_dense[k], dense[k])
+    got_consts = {r["cls"]: r for r in router.consts.collect()}
+    assert sorted(got_consts) == classes
+    for c in classes:
+        assert abs(got_consts[c]["bias_e9"] - bias[c]) <= 1
+        assert abs(got_consts[c]["w_def_e9"] - wdef[c]) <= 1
+
+
+def test_router_argmax_and_margin(spark, route_df):
+    router = train_router(route_df, "lang", num_buckets=B)
+    dense, bias, wdef, btot, classes = _py_router(ROUTE_FIXTURE)
+    routed = {r["doc_id"]: r for r in route_score(route_df, router, num_buckets=B).collect()}
+    slack = 1 + max(len(_feats(t)) for _, t, _ in ROUTE_FIXTURE)
+    for _id, text, _c in ROUTE_FIXTURE:
+        win, top, margin = _py_route(text, dense, bias, wdef, btot, classes)
+        got = routed[_id]
+        assert got["cls"] == win, (_id, got["cls"], win)
+        assert abs(got["logit_e9"] - top) <= slack
+        assert got["n_feat"] == len(_feats(text))
+        assert margin is not None and abs(got["margin_e9"] - margin) <= 2 * slack
+        assert got["margin_e9"] >= 0
+    # labeled training docs route back to their own class (separable vocab)
+    for _id, _t, c in ROUTE_FIXTURE:
+        if c is not None:
+            assert routed[_id]["cls"] == c
+
+
+def test_router_routes_held_out_vocab(spark, route_df):
+    router = train_router(route_df, "lang", num_buckets=4096)
+    held = spark.createDataFrame(
+        [(20, "le chat court"), (21, "the cat runs"), (22, "der hund schlaeft")],
+        "doc_id long, text string",
+    )
+    routed = {
+        r["doc_id"]: r["cls"]
+        for r in route_score(held, router, num_buckets=4096).collect()
+    }
+    assert routed == {20: "fr", 21: "en", 22: "de"}
+
+
+def test_router_single_class_margin_null(spark):
+    df = spark.createDataFrame(
+        [(1, "only one class here", "en"), (2, "more of the same", "en")],
+        "doc_id long, text string, lang string",
+    )
+    router = train_router(df, "lang", num_buckets=B)
+    rows = route_score(df, router, num_buckets=B).collect()
+    assert all(r["cls"] == "en" and r["margin_e9"] is None for r in rows)
+
+
+def test_router_null_class_excluded_from_training(spark, route_df):
+    """Doc 7's NULL class must not become a routable label, and its
+    features must not contribute counts."""
+    router = train_router(route_df, "lang", num_buckets=4096)
+    assert sorted(r["cls"] for r in router.consts.collect()) == ["de", "en", "fr"]
+    no_null = [r for r in ROUTE_FIXTURE if r[2] is not None]
+    dense, *_ = _py_router(no_null, num_buckets=4096)
+    got = {(r["bucket"], r["cls"]): r["w_e9"] for r in router.dense.collect()}
+    assert set(got) == set(dense)

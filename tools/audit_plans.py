@@ -79,6 +79,16 @@ CARTESIAN_OK = {
     # DSIR totals/KLL-threshold 1-row attaches (CORPUS-DSIR /
     # QUALITY-KLLGATE). No new cartesian shape of its own.
     "PIPE-CORPUS",
+    # CLS-SCORE: three 1-row scalar attaches (feature totals onto the
+    # weight table, doc-count prior + default weight onto the scored
+    # frame); the weight join proper is a broadcast hash equi-join on
+    # bucket. TEXT-ROWS inherits it via its part='cls' slice.
+    "CLS-SCORE",
+    # CLS-ROUTE: the k-row class table (k = #langs) crosses the ≤B-row
+    # bucket-total table to build the dense weight grid, plus the same
+    # 1-row total attaches — class-grid algebra, never a join over the
+    # corpus; scoring joins are hash equi-joins on bucket/(id, cls).
+    "CLS-ROUTE",
 }
 
 #: Queries that legitimately run Arrow-batched Python: multimodal decode,
