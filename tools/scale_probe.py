@@ -39,6 +39,39 @@ from feasibility_etl_spark.operators.sketches import (  # noqa: E402
 )
 
 
+def _cls_score(d: DataFrame) -> DataFrame:
+    from feasibility_etl_spark.operators.classifier import (
+        classifier_score,
+        train_log_odds,
+    )
+    from feasibility_etl_spark.plans.compose import (
+        StageCache,
+        release_when_unreachable,
+    )
+
+    shared = StageCache()
+    model = train_log_odds(
+        d.where(F.col("doc_id") % 2 == 0).withColumn(
+            "lab", (F.col("lang") == "en").cast("int")
+        ),
+        "lab",
+        cache=shared,
+    )
+    return release_when_unreachable(classifier_score(d, model), shared)
+
+
+def _cls_route(d: DataFrame) -> DataFrame:
+    from feasibility_etl_spark.operators.classifier import route_score, train_router
+    from feasibility_etl_spark.plans.compose import (
+        StageCache,
+        release_when_unreachable,
+    )
+
+    shared = StageCache()
+    router = train_router(d.where(F.col("doc_id") % 2 == 0), "lang", cache=shared)
+    return release_when_unreachable(route_score(d, router), shared)
+
+
 def replicate(df: DataFrame, id_col: str, factor: int) -> DataFrame:
     """N× the frame with distinct ids: id' = id * factor + replica."""
     replicas = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_r")
@@ -126,6 +159,12 @@ def main() -> None:
             d, top_ns=(2, 3), dup_ns=(2, 5)
         ),
         "bm25": lambda d: bm25_scores(d, ["spark", "join", "vector"]),
+        # classifier family: train-and-score end to end — training's
+        # bucket shuffle is bounded by B (map-side combine), scoring is
+        # explode + broadcast join; super-linearity would mean the
+        # bounded-weight-table claim broke
+        "cls_score": lambda d: _cls_score(d),
+        "cls_route": lambda d: _cls_route(d),
     }
     fact_ops = {
         "worklog_rollup": lambda d: worklog_rollup_relational(
