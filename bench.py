@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "LM-SCORE",
     "CLS-SCORE",
     "CLS-ROUTE",
+    "CLS-GATE",
     "CORPUS-DSIR",
     "CORPUS-NOVELTY",
     "CORPUS-SAMPLEK",

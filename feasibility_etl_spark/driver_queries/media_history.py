@@ -899,6 +899,28 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_cls_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """CLS-GATE granular: MODEL-BASED quality selection end to end — the
+    GPT-3/CCNet pattern (train a reference-vs-rest classifier, keep the
+    top quantile by its score). Composes q_cls_score's exact nano-logits
+    with ``threshold_filter`` (operators/sketches.py): a KLL sketch of
+    the logit distribution yields the cut, so selection is one aggregate
+    + broadcast attach + filter — never a global sort. Hash-exact in the
+    KLL exact regime (rows ≤ k = 65535; see ORACLE_REGIMES — big-SF
+    sweeps record rows-only past it)."""
+    from ..operators.sketches import threshold_filter
+
+    return threshold_filter(q_cls_score(spark, sf), "logit_e9", keep_frac=0.25)
+
+
+ORACLE_CLS_GATE = f"""
+WITH d AS ({ORACLE_CLS_SCORE}),
+r AS (SELECT d.*, cume_dist() OVER (ORDER BY logit_e9) AS cd FROM d),
+t AS (SELECT MIN(CASE WHEN cd >= 0.75 THEN logit_e9 END) AS thr FROM r)
+SELECT doc_id, n_feat, logit_e9, pred FROM d, t WHERE logit_e9 > thr
+"""
+
+
 def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-TFIDF (granular singleton): per-doc top-5 characteristic
     terms by tf-idf (text.tfidf_topterms) — ranking over the

@@ -84,6 +84,10 @@ CARTESIAN_OK = {
     # frame); the weight join proper is a broadcast hash equi-join on
     # bucket. TEXT-ROWS inherits it via its part='cls' slice.
     "CLS-SCORE",
+    # CLS-GATE: inherits CLS-SCORE's scalar attaches plus
+    # QUALITY-KLLGATE's 1-row KLL-threshold broadcast attach onto the
+    # scored frame.
+    "CLS-GATE",
     # CLS-ROUTE: the k-row class table (k = #langs) crosses the ≤B-row
     # bucket-total table to build the dense weight grid, plus the same
     # 1-row total attaches — class-grid algebra, never a join over the

@@ -90,6 +90,23 @@ def main() -> int:
     else:
         queries = entrymod.queries()
         oracles = entrymod.oracle_sql()
+    try:
+        from feasibility_etl_spark.driver_queries import ORACLE_REGIMES
+    except ImportError:
+        ORACLE_REGIMES = {}
+    # drop out-of-regime oracles up front (e.g. KLL-thresholded gates
+    # past the sketch's exact regime at big SFs): the hash CANNOT match
+    # there by design, so the honest record is the weaker rows-only
+    # check, not a false failure
+    for qname, (count_sql, bound, note) in ORACLE_REGIMES.items():
+        if qname in oracles:
+            n_in = con.execute(count_sql).fetchone()[0]
+            if n_in > bound:
+                del oracles[qname]
+                print(
+                    f"[regime] {qname}: input rows {n_in} > {bound} "
+                    f"({note}) -> rows-only at this SF"
+                )
     failures, passed, rows_only = [], 0, 0
     for name, fn in queries.items():
         if only and name not in only:
