@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "SIM-TOPK",
     "SIM-BQ",
     "TEXT-QUALITY",
+    "TEXT-GOPHER",
     "TEXT-LANGID",
     "J-SALTED",
     "J-ASOF",

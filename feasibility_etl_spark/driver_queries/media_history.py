@@ -921,6 +921,73 @@ SELECT doc_id, n_feat, logit_e9, pred FROM d, t WHERE logit_e9 > thr
 """
 
 
+def q_text_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-GOPHER granular: the named Gopher rule battery (Rae et al.
+    2021 §A1.1, operators/text.py gopher_signals) — per-doc raw counts,
+    the seven per-rule booleans, and the overall pass flag. Full oracle:
+    every rule is an integer cross-multiplication, so DuckDB replays the
+    battery bit-for-bit with no float thresholds."""
+    from ..operators.text import gopher_signals
+
+    return gopher_signals(load(spark, sf, "documents"))
+
+
+ORACLE_TEXT_GOPHER = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS ws,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS lws,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0)
+         AS BIGINT) AS n_chars,
+    CAST(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))
+         AS BIGINT) AS n_symbol_words,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines,
+         l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*')))
+         AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(lines,
+         l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+         AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+         AS BIGINT) AS n_alpha_words,
+    CAST((CASE WHEN list_contains(lws, 'the') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(lws, 'be') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(lws, 'to') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(lws, 'of') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(lws, 'and') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(lws, 'that') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(lws, 'have') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(lws, 'with') THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_req_stops
+  FROM t
+)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+  (3 * n_words <= n_chars AND n_chars <= 10 * n_words) AS r_meanlen,
+  (10 * n_symbol_words < n_words) AS r_symbol,
+  (10 * n_bullet_lines < 9 * n_lines) AS r_bullet,
+  (10 * n_ellipsis_lines < 3 * n_lines) AS r_ellipsis,
+  (10 * n_alpha_words >= 8 * n_words) AS r_alpha,
+  (n_req_stops >= 2) AS r_stops,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+   AND (10 * n_symbol_words < n_words)
+   AND (10 * n_bullet_lines < 9 * n_lines)
+   AND (10 * n_ellipsis_lines < 3 * n_lines)
+   AND (10 * n_alpha_words >= 8 * n_words)
+   AND (n_req_stops >= 2)) AS gopher_pass
+FROM c
+"""
+
+
 def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-TFIDF (granular singleton): per-doc top-5 characteristic
     terms by tf-idf (text.tfidf_topterms) — ranking over the

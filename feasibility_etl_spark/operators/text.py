@@ -673,3 +673,87 @@ def control_char_count(text: Column | str) -> Column:
             F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
         )
     ).cast("long")
+
+
+#: The Gopher required stopwords (Rae et al. 2021, arXiv:2112.11446,
+#: §A1.1: a document must contain ≥2 of these to pass the rule battery).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+    — the standard NAMED per-rule document filter, alongside the
+    composite ``quality_score`` heuristic: per document, each raw signal
+    count, each rule's boolean, and the overall ``gopher_pass``.
+
+    Every rule is an INTEGER comparison (ratios phrased by
+    cross-multiplication, e.g. "mean word length in [3, 10]" as
+    ``3·n_words ≤ total_chars ≤ 10·n_words``), so the output is
+    bit-stable across engines/partitionings — no float thresholds to
+    drift. Pure per-row Column expressions: no shuffle, no UDF; at 100
+    TB this is a map-only pass that fuses into whatever scan feeds it.
+
+    Rules: 50 ≤ words ≤ 100k; mean word length in [3, 10]; symbol-word
+    ("#"/"...") ratio < 0.1; < 90% of lines bullet-started; < 30% of
+    lines ellipsis-ended; ≥ 80% of words contain an alphabetic char;
+    ≥ 2 of the required stopwords present."""
+    c = F.col(text_col)
+    ws = tokens(c)
+    lws = tokens(F.lower(c))
+    lines = F.split(c, "\n")
+    n_words = F.size(ws).cast("long")
+    n_symbol = F.size(
+        F.filter(ws, lambda x: x.contains("#") | x.contains("..."))
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines, lambda l: F.substring(F.ltrim(l), 1, 1).isin("•", "-", "*")
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+            | F.endswith(F.rtrim(l), F.lit("…")),
+        )
+    ).cast("long")
+    n_alpha = F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    n_stops = sum(
+        (
+            F.array_contains(lws, s).cast("int")
+            for s in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    ).cast("long")
+    out = df.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("n_chars"),
+        n_symbol.alias("n_symbol_words"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"),
+        n_stops.alias("n_req_stops"),
+    )
+    w, ch = F.col("n_words"), F.col("n_chars")
+    rules = {
+        "r_wordcount": (w >= 50) & (w <= 100_000),
+        "r_meanlen": (3 * w <= ch) & (ch <= 10 * w),
+        "r_symbol": 10 * F.col("n_symbol_words") < w,
+        "r_bullet": 10 * F.col("n_bullet_lines") < 9 * F.col("n_lines"),
+        "r_ellipsis": 10 * F.col("n_ellipsis_lines") < 3 * F.col("n_lines"),
+        "r_alpha": 10 * F.col("n_alpha_words") >= 8 * w,
+        "r_stops": F.col("n_req_stops") >= 2,
+    }
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    gpass = None
+    for name in rules:
+        gpass = F.col(name) if gpass is None else (gpass & F.col(name))
+    return out.withColumn("gopher_pass", gpass)
