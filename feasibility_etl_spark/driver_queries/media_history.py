@@ -921,6 +921,39 @@ SELECT doc_id, n_feat, logit_e9, pred FROM d, t WHERE logit_e9 > thr
 """
 
 
+def q_text_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """TEXT-TOPTERMS granular singleton: per-language top-10 vocabulary
+    (operators/text.py top_terms — map-side-combined token counts,
+    per-group window rank, cnt-desc/term-asc tiebreak). The same slice
+    rides in TEXT-ROWS as part='topterms'; the singleton keeps the op
+    verifiable at SFs where TEXT-ROWS' 9-way-union oracle exceeds the
+    host (the TEXT-PROFILE oom_skip precedent)."""
+    from ..operators.text import top_terms
+
+    return top_terms(
+        load(spark, sf, "documents"), "text", "lang", k=10
+    ).orderBy("lang", "rank")
+
+
+ORACLE_TEXT_TOPTERMS = r"""
+SELECT lang, term, cnt, rnk AS rank
+FROM (
+  SELECT lang, term, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, term) AS rnk
+  FROM (
+    SELECT lang, term, COUNT(*) AS cnt FROM (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ) GROUP BY lang, term
+  )
+) WHERE rnk <= 10
+ORDER BY lang, rnk
+"""
+
+
 def q_text_gopher(spark: SparkSession, sf: str) -> DataFrame:
     """TEXT-GOPHER granular: the named Gopher rule battery (Rae et al.
     2021 §A1.1, operators/text.py gopher_signals) — per-doc raw counts,

@@ -6,7 +6,7 @@ from .views_dedup_corpus import ORACLE_CORPUS_DECONTAM, ORACLE_CORPUS_PACK, ORAC
 from .similarity_text import ORACLE_A_SALTED, ORACLE_A_PIVOT, ORACLE_SIM_BQ, q_a_pivot, q_sim_bq, q_sim_ivfbq, ORACLE_J_SALTED, ORACLE_SIM_TOPK, ORACLE_TEXT_FINGERPRINT, ORACLE_TEXT_LANGID, ORACLE_TEXT_QUALITY, ORACLE_TEXT_TOKENS, q_a_salted, q_emb_neardup, q_j_salted, q_sim_ivf, q_sim_ivfpq, q_sim_lsh, q_sim_pq, q_sim_topk, q_text_fingerprint, q_text_langid, q_text_normalize, ORACLE_TEXT_NORMALIZE, q_text_quality, q_text_tokens
 from .pipelines_joins import ORACLE_ASOF, ORACLE_EMB_QUANT, ORACLE_MM_AUDIO, ORACLE_MM_FRAMES, ORACLE_MM_IMAGE, ORACLE_MM_RESIZE, ORACLE_PIPE_CORPUS, ORACLE_PIPE_DOCS, ORACLE_PIPE_EVENTS, ORACLE_PIPE_FAMILY, ORACLE_RANGE_JOIN, ORACLE_TEXT_WINNOW, q_asof, q_emb_quant, q_mm_audio, q_mm_frames, q_mm_image, q_mm_resize, q_pipe_corpus, q_pipe_docs, q_pipe_events, q_pipe_family, q_range_join, q_text_winnow
 from .combined_entries import BM25_TERMS, ORACLE_CORPUS_ASSIGN, ORACLE_CORPUS_NOVELTY, q_corpus_novelty, ORACLE_E_AUDIT, ORACLE_E_PROFILE, ORACLE_F_CUSTOMER, ORACLE_F_CUSTOMER_WIDE, ORACLE_F_EVENTS, ORACLE_F_ORDERS, ORACLE_F_SCALAR, ORACLE_J_DIM, ORACLE_CORPUS_DSIR, ORACLE_SKETCH_CONTAM, ORACLE_SKETCH_FREQ, ORACLE_SKETCH_HLL, ORACLE_SKETCH_KLL, ORACLE_SKETCH_THETA, ORACLE_TEXT_BM25, ORACLE_TEXT_PROFILE, ORACLE_TEXT_REPETITION, ORACLE_WIN_FIXED, _bm25_oracle, ORACLE_QUALITY_KLLGATE, q_corpus_assign, q_corpus_dsir, q_corpus_packseq, q_e_audit, q_quality_kllgate, q_f_customer, q_f_customer_wide, q_f_events, q_f_orders, q_f_scalar, q_j_dim, q_sketch_contam, q_sketch_contam_scout, q_sketch_freq, q_sketch_hll, q_sketch_kll, q_sketch_theta, q_text_profile, q_win_fixed
-from .media_history import ORACLE_BPE_ENCODE, ORACLE_WP_ENCODE, ORACLE_UNIGRAM_ENCODE, ORACLE_TEXT_TFIDF, ORACLE_E_ROBUST, q_wp_encode, q_unigram_encode, q_text_tfidf, q_compress_ratio, q_e_robust, ORACLE_DEDUP_VERIFY, ORACLE_E_QUANTILE, ORACLE_LM_SCORE, ORACLE_CLS_SCORE, ORACLE_CLS_ROUTE, ORACLE_CLS_GATE, ORACLE_TEXT_GOPHER, ORACLE_MM_MEDIA, ORACLE_MM_VISUAL, ORACLE_SCD2_APPLY, ORACLE_TEXT_CHUNK, ORACLE_TEXT_ROWS, q_bpe_encode, q_dedup_candidates, q_dedup_verify, q_e_quantile, q_cls_score, q_cls_route, q_cls_gate, q_text_gopher, q_lm_score, q_mm_media, q_mm_visual, q_scd2_apply, q_sim_ann, q_text_chunk, q_text_rows
+from .media_history import ORACLE_BPE_ENCODE, ORACLE_WP_ENCODE, ORACLE_UNIGRAM_ENCODE, ORACLE_TEXT_TFIDF, ORACLE_E_ROBUST, q_wp_encode, q_unigram_encode, q_text_tfidf, q_compress_ratio, q_e_robust, ORACLE_DEDUP_VERIFY, ORACLE_E_QUANTILE, ORACLE_LM_SCORE, ORACLE_CLS_SCORE, ORACLE_CLS_ROUTE, ORACLE_CLS_GATE, ORACLE_TEXT_GOPHER, ORACLE_TEXT_TOPTERMS, ORACLE_MM_MEDIA, ORACLE_MM_VISUAL, ORACLE_SCD2_APPLY, ORACLE_TEXT_CHUNK, ORACLE_TEXT_ROWS, q_bpe_encode, q_dedup_candidates, q_dedup_verify, q_e_quantile, q_cls_score, q_cls_route, q_cls_gate, q_text_gopher, q_text_topterms, q_lm_score, q_mm_media, q_mm_visual, q_scd2_apply, q_sim_ann, q_text_chunk, q_text_rows
 
 
 
@@ -425,6 +425,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "CLS-ROUTE": q_cls_route,
     "CLS-GATE": q_cls_gate,
     "TEXT-GOPHER": q_text_gopher,
+    "TEXT-TOPTERMS": q_text_topterms,
     "CORPUS-DSIR": q_corpus_dsir,
     "CORPUS-PACKSEQ": q_corpus_packseq,
     "SKETCH-CONTAM-SCOUT": q_sketch_contam_scout,
@@ -516,6 +517,7 @@ ALL_ORACLES: dict[str, str] = {
     "CLS-ROUTE": ORACLE_CLS_ROUTE,
     "CLS-GATE": ORACLE_CLS_GATE,
     "TEXT-GOPHER": ORACLE_TEXT_GOPHER,
+    "TEXT-TOPTERMS": ORACLE_TEXT_TOPTERMS,
     "CORPUS-DSIR": ORACLE_CORPUS_DSIR,
     "QUALITY-KLLGATE": ORACLE_QUALITY_KLLGATE,
     "CORPUS-DECONTAM": ORACLE_CORPUS_DECONTAM,
