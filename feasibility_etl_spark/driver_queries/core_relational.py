@@ -725,6 +725,45 @@ SELECT o_orderkey, strftime(o_orderdate, '%m-%d-%Y') AS formatted FROM orders
 """
 
 
+def q_f_dateops(spark: SparkSession, sf: str) -> DataFrame:
+    """F-DATEOPS granular singleton: date arithmetic — F-DATESUB
+    (SURVEY §2.6, the reference's date-offset math in its report
+    window, /root/reference/etl.js:44-54) exercised through Spark's
+    date_sub/date_add/datediff builtins: ship-minus-30, due-plus-7, and
+    the order→ship day distance. Dates surface as strings (the family's
+    oracle-parity rule for temporal columns)."""
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_sub("o_orderdate", 30), "yyyy-MM-dd").alias(
+            "window_open"
+        ),
+        F.date_format(F.date_add("o_orderdate", 7), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.datediff(
+            F.date_add("o_orderdate", 7), F.date_sub("o_orderdate", 30)
+        )
+        .cast("long")
+        .alias("window_days"),
+        F.datediff(F.to_date(F.lit("1998-12-31")), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_close"),
+    )
+
+
+ORACLE_F_DATEOPS = """
+SELECT o_orderkey,
+       strftime(o_orderdate - INTERVAL 30 DAY, '%Y-%m-%d') AS window_open,
+       strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') AS due_date,
+       CAST(date_diff('day', o_orderdate - INTERVAL 30 DAY,
+                      o_orderdate + INTERVAL 7 DAY) AS BIGINT) AS window_days,
+       CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS BIGINT)
+         AS days_to_close
+FROM orders
+"""
+
+
 def q_f_concat(spark: SparkSession, sf: str) -> DataFrame:
     """F-CONCAT: string assembly (helpers.js:47-50)."""
     return load(spark, sf, "customer").select(
