@@ -140,6 +140,19 @@ def main() -> int:
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
+            if "Out of Memory" in str(e):
+                # the SPARK side succeeded; the ORACLE exceeded host
+                # memory at this SF (composed multi-CTE replays at big
+                # scale dirs — the TEXT-PROFILE precedent). Record the
+                # weaker rows-only outcome honestly, not a false engine
+                # failure; constituent ops keep their own singleton
+                # oracles at this SF.
+                rows_only += 1
+                print(
+                    f"[OOM-ORACLE] {name}: {len(srows)} spark rows; "
+                    f"duckdb oracle exceeded memory at this SF"
+                )
+                continue
             failures.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
             print(f"[FAIL] {name}: duckdb error: {e}")
             continue
