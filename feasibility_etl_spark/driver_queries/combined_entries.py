@@ -234,9 +234,12 @@ def q_sketch_theta(spark: SparkSession, sf: str) -> DataFrame:
     """SKETCH-THETA granular: per-event-type Theta sketches of the
     distinct user set; pairwise intersection estimates via sketch set
     algebra (K² sketch-side rows, never a join over the events). The
-    per-type user sets stay under the sketch's exact-retention bound, so
-    the estimates hash-match the oracle's exact overlap counts; the
-    approximate regime is pinned in tests/test_sketches.py."""
+    per-type user sets stay under the sketch's exact-retention bound at
+    the correctness SFs, so the estimates hash-match the oracle's exact
+    overlap counts; past retention (declared in ORACLE_REGIMES — e.g.
+    the sf1 scale dir's 15k users/type > k=4096) the sweep records
+    rows-only and the approximate regime is pinned in
+    tests/test_sketches.py."""
     from ..operators.sketches import pairwise_overlap, theta_sketches
 
     ev = load(spark, sf, "events")

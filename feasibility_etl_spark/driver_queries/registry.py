@@ -565,4 +565,25 @@ ORACLE_REGIMES: dict[str, tuple[str, int, str]] = {
         65535,
         "KLL exact regime (rows <= k=65535)",
     ),
+    # Theta sketches retain every hash while the per-key distinct count
+    # stays <= nominal entries k=4096 (lg_k=12, the Spark default); past
+    # it the sketch samples (theta < 1) and intersections estimate
+    # (~1.6% RSE, pinned in tests/test_sketches.py) — no SQL oracle can
+    # replay the sampled hash set. sf0.1 has 1.5k distinct users/type
+    # (exact); the sf1 scale dir has 15k (estimating).
+    "SKETCH-THETA": (
+        "SELECT MAX(n) FROM (SELECT COUNT(DISTINCT user_id) AS n "
+        "FROM events GROUP BY event_type)",
+        4096,
+        "Theta exact regime (distinct users/type <= k=4096)",
+    ),
+    # E-AUDIT unions the SKETCH-THETA rows (part='theta'), so it shares
+    # the Theta retention bound; every other part (gate/profile/hll/freq)
+    # keeps its own full-oracle singleton at any SF.
+    "E-AUDIT": (
+        "SELECT MAX(n) FROM (SELECT COUNT(DISTINCT user_id) AS n "
+        "FROM events GROUP BY event_type)",
+        4096,
+        "Theta exact regime (distinct users/type <= k=4096; theta part)",
+    ),
 }

@@ -413,14 +413,37 @@ def blocked_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.2,
 ) -> DataFrame:
-    """Exact token-set Jaccard pairs within blocking groups — relationally.
+    """Exact token-set Jaccard pairs within blocking groups — relationally,
+    with PREFIX FILTERING so common tokens never drive the candidate join.
 
-    ``|A∩B|`` comes from a self-join of exploded distinct tokens on
-    (block, token) + a pair-count groupBy; ``|A∪B| = |A|+|B|−|A∩B|``. No
-    per-pair array intersection (interpreted, O(pairs×tokens)) — everything
-    is codegen'd joins/aggregations, and pairs sharing zero tokens never
-    materialize. With threshold > 0 this equals the all-pairs-in-block
-    result exactly.
+    The naive plan (self-join ALL exploded tokens on (block, token)) costs
+    Σ_token df(token)² — quadratic in document frequency, so one stopword
+    shared by 30k block members alone emits ~10⁹ join rows (measured: JVM
+    heap OOM at the 500k-doc scale dir). Prefix filtering (Bayardo et al.,
+    WWW'07 "Scaling Up All Pairs Similarity Search"; Xiao et al., PPJoin)
+    makes the candidate join touch only each doc's RAREST tokens while
+    staying exact for ``jaccard ≥ threshold``:
+
+    1. order each doc's distinct tokens rarest-first (per-block document
+       frequency asc, token asc — one total order per block, and pairs
+       only form within a block);
+    2. index only the first ``|d| − ⌈t·|d|⌉ + 1`` tokens (the PPJoin
+       prefix for Jaccard threshold t): any pair with J ≥ t shares
+       ≥ ⌈t·max(|a|,|b|)⌉ tokens, so by the prefix lemma the two
+       prefixes must intersect — candidate generation is complete;
+    3. join prefixes on (block, token) + the size filter
+       (J ≥ t ⇒ t·|b| ≤ |a|), distinct the pairs;
+    4. VERIFY exactly: join candidates back to the full token sets for
+       ``|A∩B|``; ``|A∪B| = |A|+|B|−|A∩B|``; the final ``≥ threshold``
+       predicate is authoritative, so every emitted pair is exact.
+
+    Everything is codegen'd joins/aggregations — no per-pair array
+    intersection. The quadratic term drops from Σ df² to Σ prefix-df²,
+    and high-df tokens sort to the END of each doc's order, so they fall
+    out of the prefix precisely when they are dangerous. ⌈t·n⌉ is
+    computed as ``ceil(t·n − 1e-9)`` so FP noise can only LENGTHEN a
+    prefix (more candidates, never a missed pair). threshold=0 degrades
+    to indexing every token (the complete join).
     """
     toks = df.select(
         F.col(id_col),
@@ -430,17 +453,45 @@ def blocked_jaccard_pairs(
         ).alias("tok"),
     )
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
-    a, b = toks.alias("a"), toks.alias("b")
-    cond = (F.col("a.tok") == F.col("b.tok")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    # per-block document frequency -> rarest-first order -> PPJoin prefix
+    df_tok = toks.groupBy(*block_cols, "tok").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("tok").asc())
+    ranked = (
+        toks.join(df_tok, [*block_cols, "tok"])
+        .join(sizes, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(
+            F.col("_rn")
+            <= F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok") - 1e-9) + 1
+        )
+        .select(id_col, *block_cols, "tok", "n_tok")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # size filter: J >= t implies t*|b| <= |a| and t*|a| <= |b|
+        & (F.col("a.n_tok") + 1e-9 >= F.lit(threshold) * F.col("b.n_tok"))
+        & (F.col("b.n_tok") + 1e-9 >= F.lit(threshold) * F.col("a.n_tok"))
     )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
+    cand = (
         a.join(b, cond)
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .distinct()
+    )
+    # exact verify: |A∩B| over candidate pairs only (id determines block)
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))

@@ -478,3 +478,53 @@ def test_prune_components_keep_best_score(spark):
     )
     assert kept_min == [1, 3]
     assert kept_best == [2, 3]
+
+
+def test_blocked_jaccard_prefix_filter_matches_bruteforce(spark):
+    """The prefix-filtered candidate stage (Bayardo All-Pairs / PPJoin
+    prefix |d|−⌈t·|d|⌉+1, rarest-first order) must be COMPLETE: against a
+    randomized corpus with heavy stopword overlap (the worst case for the
+    old quadratic token join and the easiest place to lose a pair), every
+    threshold tier must reproduce the brute-force all-pairs result
+    exactly — same pairs, same similarity values."""
+    import itertools
+    import random
+
+    rng = random.Random(0xD06)
+    stop = ["the", "a", "of", "and", "to", "in", "is", "it"]
+    rare = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(60):
+        # every doc shares the stopword core; rare tail varies
+        n_rare = rng.randint(1, 12)
+        words = stop[: rng.randint(4, 8)] + rng.sample(rare, n_rare)
+        # plant explicit near-dups: clone the previous doc with one edit
+        if i % 7 == 3 and rows:
+            words = rows[-1][1].split()[:-1] + [rng.choice(rare)]
+        rng.shuffle(words)
+        rows.append((i, " ".join(words), "en", f"s{i % 2}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    def brute(threshold):
+        toks = {i: set(t.lower().split()) for i, t, _, _ in rows}
+        blk = {i: (lang, src) for i, _, lang, src in rows}
+        out = {}
+        for x, y in itertools.combinations(sorted(toks), 2):
+            if blk[x] != blk[y]:
+                continue
+            j = len(toks[x] & toks[y]) / len(toks[x] | toks[y])
+            if j >= threshold:
+                out[(x, y)] = j
+        return out
+
+    for t in (0.0, 0.15, 0.35, 0.6, 0.9):
+        got = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in blocked_jaccard_pairs(
+                df, ["lang", "source"], threshold=t
+            ).collect()
+        }
+        want = brute(t)
+        assert set(got) == set(want), (t, set(want) - set(got), set(got) - set(want))
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-12

@@ -127,8 +127,18 @@ def main() -> int:
                 srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
         except Exception as e:  # noqa: BLE001
-            failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
-            print(f"[FAIL] {name}: spark error: {e}")
+            # Py4J errors bury the JVM root cause in a multi-line stack;
+            # the sweep driver keeps only the first line — surface the
+            # deepest "Caused by:" so big-SF failures stay diagnosable
+            msg = str(e)
+            causes = [
+                ln.strip() for ln in msg.splitlines()
+                if ln.strip().startswith("Caused by")
+            ]
+            root = causes[-1] if causes else msg.splitlines()[0] if msg else ""
+            failures.append((name, f"SPARK ERROR: {type(e).__name__}: {root}"))
+            print(f"[FAIL] {name}: spark error: {root}")
+            sys.stderr.write(f"[FAIL-DETAIL] {name}:\n{msg}\n")
             continue
         if name not in oracles:
             status = "ROWS-ONLY"
