@@ -587,3 +587,30 @@ ORACLE_REGIMES: dict[str, tuple[str, int, str]] = {
         "Theta exact regime (distinct users/type <= k=4096; theta part)",
     ),
 }
+
+#: Oracles whose SQL is exact at ANY scale but computationally
+#: infeasible for single-node DuckDB past a DECLARED input bound — the
+#: all-pairs-in-block Jaccard twins cost Σ_block (docs/block)² pair
+#: evaluations (each a list_intersect over ~100-token lists): trivial at
+#: 5k docs (sf0.1), ~8×10⁹ list intersections at the 500k-doc sf1 scale
+#: dir (observed: OOM-killed twice). The ENGINE side stays exact and
+#: scale-safe there (prefix-filtered candidates, see
+#: operators/dedup.py blocked_jaccard_pairs); past the bound the sweep
+#: records the oracle-infeasible outcome up front instead of burning
+#: ~2× the kill timeout rediscovering it. Same shape as ORACLE_REGIMES:
+#: name -> (duckdb_count_sql, max_value, note).
+ORACLE_COMPUTE_BOUNDS: dict[str, tuple[str, int, str]] = {
+    name: (
+        "SELECT COUNT(*) FROM documents",
+        60000,
+        "all-pairs-in-block oracle infeasible on one node past ~60k docs",
+    )
+    for name in (
+        "DEDUP-NGRAM",
+        "DEDUP-COMPONENTS",
+        "DEDUP-PRUNE",
+        "DEDUP-PRUNE-BEST",
+        "PIPE-DOCS",
+        "PIPE-CORPUS",
+    )
+}

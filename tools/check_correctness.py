@@ -94,6 +94,10 @@ def main() -> int:
         from feasibility_etl_spark.driver_queries import ORACLE_REGIMES
     except ImportError:
         ORACLE_REGIMES = {}
+    try:
+        from feasibility_etl_spark.driver_queries import ORACLE_COMPUTE_BOUNDS
+    except ImportError:
+        ORACLE_COMPUTE_BOUNDS = {}
     # drop out-of-regime oracles up front (e.g. KLL-thresholded gates
     # past the sketch's exact regime at big SFs): the hash CANNOT match
     # there by design, so the honest record is the weaker rows-only
@@ -106,6 +110,20 @@ def main() -> int:
                 print(
                     f"[regime] {qname}: input rows {n_in} > {bound} "
                     f"({note}) -> rows-only at this SF"
+                )
+    # drop declared-infeasible oracles up front (exact at any scale but
+    # quadratic for single-node DuckDB — the all-pairs Jaccard twins):
+    # the entry records as oracle-infeasible instead of burning the OOM
+    # kill timeout twice rediscovering it per sweep
+    infeasible: dict[str, str] = {}
+    for qname, (count_sql, bound, note) in ORACLE_COMPUTE_BOUNDS.items():
+        if qname in oracles:
+            n_in = con.execute(count_sql).fetchone()[0]
+            if n_in > bound:
+                del oracles[qname]
+                infeasible[qname] = note
+                print(
+                    f"[infeasible] {qname}: input {n_in} > {bound} ({note})"
                 )
     failures, passed, rows_only = [], 0, 0
     for name, fn in queries.items():
@@ -141,6 +159,14 @@ def main() -> int:
             sys.stderr.write(f"[FAIL-DETAIL] {name}:\n{msg}\n")
             continue
         if name not in oracles:
+            if name in infeasible:
+                rows_only += 1
+                print(
+                    f"[OOM-ORACLE] {name}: {len(srows)} spark rows "
+                    f"({time.time()-t0:.1f}s); declared infeasible bound: "
+                    f"{infeasible[name]}"
+                )
+                continue
             status = "ROWS-ONLY"
             rows_only += 1
             print(f"[{status}] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
