@@ -20,15 +20,22 @@ def q_pipe_docs(spark: SparkSession, sf: str) -> DataFrame:
     blocks; the final embedding join shuffles on the id (or broadcasts, AQE
     decides). No stage holds the corpus in one place.
     """
+    from ..plans.compose import StageCache, release_when_unreachable
+
     docs = load(spark, sf, "documents")
     emb = load(spark, sf, "embeddings")
+    shared = StageCache()
     s1 = exact_dedup(docs)
-    s2 = s1.where(quality_score("text") >= 0.5)
-    pairs = blocked_jaccard_pairs(s2, ["lang", "source"], threshold=0.6)
+    # s2 feeds the pair stage, the anti-join left side, and (via the
+    # pair stage's token/size frames) several more branches — persist
+    # through one cache whose lifetime is the returned frame's
+    s2 = shared(s1.where(quality_score("text") >= 0.5))
+    pairs = blocked_jaccard_pairs(s2, ["lang", "source"], threshold=0.6,
+                                  cache=shared)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     s3 = s2.join(losers, "doc_id", "left_anti")
     has_emb = emb.select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("_he"))
-    return (
+    out = (
         s3.join(has_emb, "doc_id", "left")
         .select(
             "doc_id",
@@ -39,6 +46,7 @@ def q_pipe_docs(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.col("_he"), F.lit(False)).alias("has_embedding"),
         )
     )
+    return release_when_unreachable(out, shared)
 
 
 ORACLE_PIPE_DOCS = (
@@ -664,7 +672,8 @@ def q_pipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
         d1.where((quality_score("text") >= 0.45) & (lang_id("text") != "und"))
     )
     d3 = shared(exact_dedup(d2))
-    pairs = blocked_jaccard_pairs(d3, ["lang", "source"], threshold=0.2)
+    pairs = blocked_jaccard_pairs(d3, ["lang", "source"], threshold=0.2,
+                                  cache=shared)
     d4 = prune_components(d3, pairs)
     d5 = shared(bloom_decontaminate(d4, raw.where(F.col("doc_id") % 97 == 0)))
     w = shared(dsir_weights(d5, raw.where(F.col("doc_id") % 101 == 0)))

@@ -412,6 +412,7 @@ def blocked_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.2,
+    cache: "StageCache | None" = None,
 ) -> DataFrame:
     """Exact token-set Jaccard pairs within blocking groups — relationally,
     with PREFIX FILTERING so common tokens never drive the candidate join.
@@ -444,15 +445,29 @@ def blocked_jaccard_pairs(
     computed as ``ceil(t·n − 1e-9)`` so FP noise can only LENGTHEN a
     prefix (more candidates, never a missed pair). threshold=0 degrades
     to indexing every token (the complete join).
+
+    ``toks`` and ``sizes`` feed 4 and 3 plan branches respectively —
+    Spark shares no common subplans, so they are persisted through a
+    :class:`StageCache` (PERF-NOTES 23's kilobyte-persist lesson at
+    token scale). Standalone callers get a self-managed cache released
+    when the returned frame becomes unreachable; compositions pass
+    their own ``cache`` so one lifecycle owns every stage.
     """
-    toks = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        F.explode(
-            F.array_distinct(tokens(F.lower(F.trim(F.col(text_col)))))
-        ).alias("tok"),
+    from ..plans.compose import StageCache, release_when_unreachable
+
+    own_cache = cache is None
+    if own_cache:
+        cache = StageCache()
+    toks = cache(
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.explode(
+                F.array_distinct(tokens(F.lower(F.trim(F.col(text_col)))))
+            ).alias("tok"),
+        )
     )
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    sizes = cache(toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok")))
     # per-block document frequency -> rarest-first order -> PPJoin prefix
     df_tok = toks.groupBy(*block_cols, "tok").agg(
         F.count(F.lit(1)).alias("_df")
@@ -496,7 +511,7 @@ def blocked_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -509,6 +524,7 @@ def blocked_jaccard_pairs(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
+    return release_when_unreachable(out, cache) if own_cache else out
 
 
 def simhash_signatures(

@@ -50,7 +50,11 @@ MAX_EXCHANGES = {
                           # join reuses the agg's (key, bucket) keying
     "SCD2-APPLY": 5,      # shared-key windows + current-join + close agg + union
     "DEDUP-EXACT": 1,     # fingerprint groupBy only
-    "DEDUP-NGRAM": 3,     # token explode agg + (block, token) self-join + sizes
+    "DEDUP-NGRAM": 8,     # prefix-filtered (round 6, PERF-NOTES 25):
+                          # sizes agg + per-block df agg + doc-ordered
+                          # window + prefix self-join + candidate
+                          # distinct + 2 verify joins + final size join;
+                          # toks/sizes persist, so count by plan_id
     "DEDUP-MINHASH": 3,   # sig agg + banded self-join + verify
     "DEDUP-PRUNE": 2,     # final labels join + anti-join (loop rounds checkpointed)
     "DEDUP-SUBSTRING": 3, # gram agg + doc-keyed window (the rebuild agg and
@@ -99,7 +103,10 @@ MAX_EXCHANGES = {
                           # (all lang-cardinality, broadcast back) + the
                           # entry's presentation orderBy
     "MM-IMAGE": 0,        # mapInPandas decode, no shuffle
-    "PIPE-DOCS": 10,      # multi-op pipeline entry (dedup + profile + joins)
+    "PIPE-DOCS": 11,      # multi-op pipeline entry (dedup + quality +
+                          # prefix-filtered near-dup prune + embedding
+                          # join); s2/toks/sizes persist (21 exchanges
+                          # uncached), so count by plan_id
     "PIPE-EVENTS": 1,
     "SKETCH-HLL": 2,      # build agg + merge agg
     "SKETCH-THETA": 2,    # per-key sketch agg + sketch-side pairing
@@ -133,6 +140,16 @@ MAX_EXCHANGES = {
                           # cached subtree once per reference and a raw
                           # text count would tally the same physical
                           # exchange many times
+    "TEXT-GOPHER": 0,     # named Gopher rule battery: map-only integer
+                          # cross-multiplications, fuses into the scan
+    "CLS-SCORE": 8,       # NBSVM train: 2 count aggs over ONE feature
+                          # explosion (count table persisted) + score
+                          # explode/join/fold + presentation orderBy
+    "CLS-ROUTE": 16,      # one (bucket, class) count explosion trains
+                          # all k one-vs-rest models (PERF-NOTES 24:
+                          # analytic n_feat, window-sum totals)
+    "CLS-GATE": 17,       # CLS-SCORE subtree under both the KLL
+                          # threshold sketch and the kept stream
 }
 
 #: operator-level zero-shuffle guarantees (no bench-input repartition)
@@ -168,7 +185,7 @@ def _plan(spark, name: str) -> str:
 #: once per reference, so exchanges are counted by DISTINCT plan_id
 #: (the same physical node keeps its id across printings) instead of by
 #: text occurrence.
-COUNT_BY_PLAN_ID = {"PIPE-CORPUS"}
+COUNT_BY_PLAN_ID = {"PIPE-CORPUS", "PIPE-DOCS", "DEDUP-NGRAM"}
 
 
 @pytest.mark.parametrize("name", sorted(MAX_EXCHANGES))
