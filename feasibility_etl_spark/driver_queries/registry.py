@@ -614,3 +614,19 @@ ORACLE_COMPUTE_BOUNDS: dict[str, tuple[str, int, str]] = {
         "PIPE-CORPUS",
     )
 }
+# The wide text-profile oracles explode the corpus into n-gram/token
+# CTEs that DuckDB joins 8-9 ways; its transient list/regex allocations
+# are not buffer-managed, so past ~60k docs the kernel OOM-killer takes
+# the process regardless of memory_limit (measured at the 500k-doc sf1
+# dir: TEXT-PROFILE/TEXT-REPETITION killed twice each, TEXT-ROWS out of
+# memory at a 24 GB cap after ~2 h). Every constituent op keeps its own
+# full-oracle singleton at that scale (TEXT-TOPTERMS exists for exactly
+# this), so the honest big-SF record is oracle-infeasible, declared.
+ORACLE_COMPUTE_BOUNDS.update({
+    name: (
+        "SELECT COUNT(*) FROM documents",
+        60000,
+        "multi-CTE corpus-exploding oracle exceeds host memory past ~60k docs",
+    )
+    for name in ("TEXT-PROFILE", "TEXT-REPETITION", "TEXT-ROWS")
+})
