@@ -87,8 +87,16 @@ BENCH_QUERIES = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str) -> float:
+def run_query(spark, name: str, sf_dir: str, tracker=None) -> float:
     fn = flagship if name == "FLAGSHIP" else ALL_QUERIES[name]
+    if tracker is not None:
+        # metrics fold happens AFTER the timed action (statusStore read),
+        # so tracking adds no inside-the-window cost
+        with tracker.track(name):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            return time.time() - t0
     t0 = time.time()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
@@ -109,8 +117,12 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def run_query_med(spark, name: str, sf_dir: str) -> float:
-    return _median([run_query(spark, name, sf_dir) for _ in range(BENCH_REPS)])
+def run_query_med(spark, name: str, sf_dir: str, tracker=None) -> float:
+    """Median of BENCH_REPS; the LAST rep (warm caches, steady plan) is
+    the one whose job metrics land in the tracker."""
+    reps = [run_query(spark, name, sf_dir) for _ in range(BENCH_REPS - 1)]
+    reps.append(run_query(spark, name, sf_dir, tracker=tracker))
+    return _median(reps)
 
 
 def run_stream_med(fn, spark, sf_dir: str) -> tuple[float, int]:
@@ -671,13 +683,30 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench warm-up skipped: {e}", file=sys.stderr)
 
+    # per-query job metrics (records/bytes in, shuffle read/write,
+    # executor time) from the warm final rep — the scale-posture
+    # evidence: a timing can look fine while shuffle bytes quietly grow
+    from feasibility_etl_spark.observability import JobMetricsTracker
+
+    tracker = JobMetricsTracker(spark)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         try:
-            timings[name.lower()] = round(run_query_med(spark, name, sf_dir), 3)
+            timings[name.lower()] = round(
+                run_query_med(spark, name, sf_dir, tracker=tracker), 3
+            )
         except Exception as e:  # noqa: BLE001
             timings[name.lower()] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
+    plan_metrics: dict[str, dict[str, int]] = {}
+    for row in tracker.metrics_df().collect():
+        plan_metrics[row.query.lower()] = {
+            "input_mb": round(row.input_bytes / 1e6, 1),
+            "shuffle_write_mb": round(row.shuffle_write_bytes / 1e6, 2),
+            "shuffle_read_mb": round(row.shuffle_read_bytes / 1e6, 2),
+            "executor_run_ms": row.executor_run_ms,
+            "n_tasks": row.n_tasks,
+        }
     # batch suite total first — streaming entries are reported per-query but
     # excluded from the headline sum so `value` stays comparable round-over-
     # round (micro-batch/checkpoint fixed costs dominate them at bench SF and
@@ -743,6 +772,7 @@ def main() -> None:
                 "unit": "sec",
                 "reps": BENCH_REPS,
                 "queries": timings,
+                "plan_metrics": plan_metrics,
                 "sf": sf,
                 **rates,
                 **recall_metrics,
