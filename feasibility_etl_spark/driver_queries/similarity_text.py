@@ -30,11 +30,22 @@ def q_emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup_pairs
 
     emb = load(spark, sf, "embeddings")
-    lsh = embedding_near_dups(emb, threshold=0.3, dim=64, n_planes=8).select(
-        F.lit("lsh").alias("method"), "id_a", "id_b", "cos_sim"
-    )
+    # candidate structures must scale with the corpus (the sf1 sweep's
+    # measured lesson — fixed 2^8 buckets / 16 cells give Σ|group|² pair
+    # counts that grow quadratically with n): past 50k vectors, deepen
+    # the LSH to r=12 planes recovering recall with b=6 bands (higher
+    # recall than r=8/b=1 at every cos ≥ ~0.45, ~40× fewer candidates)
+    # and hold k-means cells at ~1k vectors each. Below that the
+    # historical shapes are kept so small-SF records stay comparable.
+    n = emb.count()
+    big = n > 50_000
+    lsh = embedding_near_dups(
+        emb, threshold=0.3, dim=64,
+        n_planes=12 if big else 8, n_bands=6 if big else 1,
+    ).select(F.lit("lsh").alias("method"), "id_a", "id_b", "cos_sim")
     sem = semantic_dedup_pairs(
-        emb, threshold=0.3, n_cells=16, train_fraction=0.5
+        emb, threshold=0.3, n_cells=max(16, n // 1000) if big else 16,
+        train_fraction=0.5,
     ).select(F.lit("semdedup").alias("method"), "id_a", "id_b", "cos_sim")
     return lsh.unionByName(sem).orderBy("method", "id_a", "id_b")
 

@@ -691,24 +691,64 @@ def embedding_near_dups(
     dim: int = 64,
     n_planes: int = 10,
     seed: int = 42,
+    n_bands: int = 1,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify
-    (:func:`verify_cosine_pairs` on the bucket-local candidate pairs)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    b = corpus.select(
-        F.col(corpus_id), lsh_bucket(F.col(corpus_vec), planes).alias("_bucket")
+    """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH
+    self-join + exact verify (:func:`verify_cosine_pairs` on the
+    bucket-local candidate pairs).
+
+    ``n_bands`` independent sets of ``n_planes`` hyperplanes; a pair is a
+    candidate if it shares a bucket in ANY band (the MinHash-LSH banding
+    scheme applied to sign-bit sketches). For per-plane collision
+    probability ``p = 1 − θ/π`` a true near-dup pair is recalled with
+    ``1 − (1 − p^r)^b`` instead of single-band ``p^r`` — so GROWING r
+    (which shrinks buckets 2× per plane and the per-bucket pair
+    quadratic 4× per plane) can be paid for with bands instead of
+    recall. The single-band default keeps the historical behavior
+    (band 0 uses the same seed → identical buckets).
+
+    Scale rule (the sf1 sweep's measured lesson): per-bucket pair count
+    is Σ|bucket|²; with FIXED planes it grows quadratically with corpus
+    size. Hold |bucket| ≈ n/2^r bounded by raising r with log2(n) and
+    recover recall with b — e.g. r=12/b=6 at 200k vectors beats r=8/b=1
+    on BOTH recall (0.86 vs 0.43 at cos 0.95) and verify work (~40×
+    fewer candidate pairs). Candidates are distinct id pairs only;
+    vectors attach by id join in the verify stage.
+    """
+    bucket_cols = [
+        lsh_bucket(
+            F.col(corpus_vec), _hyperplanes(dim, n_planes, seed + 7919 * band)
+        ).alias(f"_b{band}")
+        # band 0 keeps the caller's seed so n_bands=1 reproduces the
+        # historical single-band bucketing exactly
+        if band else
+        lsh_bucket(F.col(corpus_vec), _hyperplanes(dim, n_planes, seed)).alias("_b0")
+        for band in range(n_bands)
+    ]
+    buckets = corpus.select(F.col(corpus_id), *bucket_cols).select(
+        F.col(corpus_id),
+        F.posexplode(F.array(*[F.col(f"_b{i}") for i in range(n_bands)])).alias(
+            "_band", "_bucket"
+        ),
     )
-    a, c = b.alias("a"), b.alias("b")
-    cands = a.join(
-        c,
-        (F.col("a._bucket") == F.col("b._bucket"))
-        & (F.col(f"a.{corpus_id}") < F.col(f"b.{corpus_id}")),
-    ).select(
-        F.col(f"a.{corpus_id}").alias("id_a"),
-        F.col(f"b.{corpus_id}").alias("id_b"),
+    a, c = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            c,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{corpus_id}") < F.col(f"b.{corpus_id}")),
+        )
+        .select(
+            F.col(f"a.{corpus_id}").alias("id_a"),
+            F.col(f"b.{corpus_id}").alias("id_b"),
+        )
     )
+    if n_bands > 1:
+        # a pair sharing buckets in several bands must verify once
+        cands = cands.distinct()
     return verify_cosine_pairs(
         cands, corpus, threshold, corpus_id=corpus_id, corpus_vec=corpus_vec
     )

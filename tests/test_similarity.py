@@ -418,3 +418,52 @@ def test_ivfbq_recall_and_shortlist_containment(spark):
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_banded_lsh_neardups_dominate_single_band(spark):
+    """Banded hyperplane LSH (r=12, b=6) must (a) keep precision 1 — every
+    emitted pair is a true near-dup, verify is exact; (b) recall at least
+    as many true pairs as the historical single-band r=8 shape; and
+    (c) with n_bands=1 and the same seed, reproduce the historical
+    single-band output exactly (backward-compat pin)."""
+    from feasibility_etl_spark.operators.similarity import (
+        cosine,
+        embedding_near_dups,
+    )
+
+    corpus = clustered_embeddings(spark, n_clusters=6, per_cluster=25)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.95)
+        .collect()
+    }
+    single = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(
+            corpus, threshold=0.95, dim=16, n_planes=8, n_bands=1
+        ).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(
+            corpus, threshold=0.95, dim=16, n_planes=12, n_bands=6
+        ).collect()
+    }
+    assert single <= truth and banded <= truth  # precision 1 (exact verify)
+    assert len(banded) >= len(single)
+    assert len(banded) / len(truth) > 0.7, len(banded) / len(truth)
+    # n_bands=1 keeps the caller's seed -> historical bucketing untouched
+    legacy = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(
+            corpus, threshold=0.95, dim=16, n_planes=8
+        ).collect()
+    }
+    assert legacy == single
