@@ -64,12 +64,32 @@ def cosine_topk(
 
     Queries broadcast (the small side by construction); per-query top-k via
     window row_number. Returns (query_id, vec_id, cos_sim, rank).
+
+    Each side's norm is computed once per ROW, not once per (corpus,
+    query) pair — with q queries that is 1 fold per corpus row instead
+    of 2q (folds are interpreted, see verify_cosine_pairs); identical
+    double arithmetic, so the SIM-TOPK oracle hash is unchanged.
     """
-    q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec)))
-    scored = corpus.crossJoin(q).select(
-        F.col(query_id),
-        F.col(corpus_id),
-        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id), F.col(query_vec),
+            l2_norm(F.col(query_vec)).alias("_qn"),
+        )
+    )
+    denom = F.col("_cn") * F.col("_qn")
+    scored = (
+        corpus.select(
+            F.col(corpus_id), F.col(corpus_vec),
+            l2_norm(F.col(corpus_vec)).alias("_cn"),
+        )
+        .crossJoin(q)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(dot(F.col(corpus_vec), F.col(query_vec)) / denom)
+            .alias("cos_sim"),
+        )
     )
     if exclude_self:
         scored = scored.where(F.col(query_id) != F.col(corpus_id))
@@ -670,15 +690,47 @@ def verify_cosine_pairs(
     the MinHash family got with ``dedup.verify_pairs``. Candidates carry
     only id pairs; vectors attach by two id-keyed joins, so a skewed
     candidate generator never replicates vector payloads through its own
-    self-join. The cosine is the shared ``zip_with``+``aggregate`` fold —
-    sequential in both engines, hence bit-equal against DuckDB's
-    ``list_sum(list_transform(...))``."""
-    emb = corpus.select(F.col(corpus_id), F.col(corpus_vec))
+    self-join. The dot product is the shared ``zip_with``+``aggregate``
+    fold — sequential in both engines, hence bit-equal against DuckDB's
+    ``list_sum(list_transform(...))``.
+
+    Norms are computed ONCE PER VECTOR before the pair join (higher-order
+    folds don't codegen, so a per-pair ``cosine()`` pays 3 interpreted
+    folds where 1 suffices — at 10⁸ candidate pairs the redundant norm
+    folds dominated the sf1 verify stage). ``sqrt(Σa²)·sqrt(Σb²)`` from
+    the pre-joined scalars is the identical double arithmetic, so oracle
+    hashes are unchanged."""
+    emb = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        l2_norm(F.col(corpus_vec)).alias("_n"),
+    )
+    denom = F.col("_na") * F.col("_nb")
     scored = (
         cands.select("id_a", "id_b")
-        .join(emb.select(F.col(corpus_id).alias("id_a"), F.col(corpus_vec).alias("_va")), "id_a")
-        .join(emb.select(F.col(corpus_id).alias("id_b"), F.col(corpus_vec).alias("_vb")), "id_b")
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .join(
+            emb.select(
+                F.col(corpus_id).alias("id_a"),
+                F.col(corpus_vec).alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            emb.select(
+                F.col(corpus_id).alias("id_b"),
+                F.col(corpus_vec).alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(dot(F.col("_va"), F.col("_vb")) / denom)
+            .alias("cos_sim"),
+        )
     )
     if threshold is None:
         return scored
@@ -832,9 +884,18 @@ def semantic_dedup_pairs(
             F.col(corpus_vec),
             array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features"),
         )
-    ).select(F.col(corpus_id), F.col(corpus_vec), F.col("prediction").alias("_cell"))
+    ).select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        # norm once per vector, not 2 folds per pair (see
+        # verify_cosine_pairs — identical double arithmetic, 3x fewer
+        # interpreted folds in the pair stage)
+        l2_norm(F.col(corpus_vec)).alias("_n"),
+        F.col("prediction").alias("_cell"),
+    )
 
     a, b = assigned.alias("a"), assigned.alias("b")
+    denom = F.col("a._n") * F.col("b._n")
     return (
         a.join(
             b,
@@ -844,7 +905,11 @@ def semantic_dedup_pairs(
         .select(
             F.col(f"a.{corpus_id}").alias("id_a"),
             F.col(f"b.{corpus_id}").alias("id_b"),
-            cosine(F.col(f"a.{corpus_vec}"), F.col(f"b.{corpus_vec}")).alias("cos_sim"),
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(
+                dot(F.col(f"a.{corpus_vec}"), F.col(f"b.{corpus_vec}")) / denom
+            )
+            .alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
