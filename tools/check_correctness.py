@@ -137,13 +137,35 @@ def main() -> int:
                 # big-SF sweeps: collectToPython materializes the whole
                 # result in the driver JVM heap first — TEXT-ROWS at the
                 # sf1 scale dir (millions of rows with full text columns)
-                # OOMs an 8g driver. toLocalIterator pulls one partition
-                # at a time through the JVM; only the Python process
-                # accumulates the full result.
-                srows = [tuple(r) for r in sdf.toLocalIterator()]
+                # OOMs an 8g driver. The first fix (toLocalIterator) kept
+                # the heap bounded but executes ONE JOB PER PARTITION,
+                # serially — a 200-partition result runs its final stage
+                # one task at a time (observed: 1000+ stages, 1-2 live
+                # threads, the sweep's real straggler). Scalable shape:
+                # a fully PARALLEL parquet write, then read the files
+                # back through DuckDB — which also types the rows exactly
+                # like the oracle side (same engine parses both), and the
+                # hash is order-insensitive so file order is irrelevant.
+                import glob as _glob
+                import shutil as _shutil
+
+                tmp_dir = f"/tmp/cc_spark_result/{name.replace('/', '_')}"
+                _shutil.rmtree(tmp_dir, ignore_errors=True)
+                sdf.write.mode("overwrite").parquet(tmp_dir)
+                scols = list(sdf.columns)
+                parts = _glob.glob(f"{tmp_dir}/*.parquet")
+                if parts:
+                    cur = con.execute(
+                        f"SELECT * FROM read_parquet('{tmp_dir}/*.parquet')"
+                    )
+                    scols = [d[0] for d in cur.description]
+                    srows = cur.fetchall()
+                else:
+                    srows = []
+                _shutil.rmtree(tmp_dir, ignore_errors=True)
             else:
                 srows = [tuple(r) for r in sdf.collect()]
-            scols = list(sdf.columns)
+                scols = list(sdf.columns)
         except Exception as e:  # noqa: BLE001
             # Py4J errors bury the JVM root cause in a multi-line stack;
             # the sweep driver keeps only the first line — surface the
