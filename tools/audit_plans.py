@@ -63,6 +63,10 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: inherits it via its dsir_* columns.
 CARTESIAN_OK = {
     "SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN", "SIM-BQ",
+    # SIM-IVFBQ (round-6 granular singleton): the same ≤5-query-vector
+    # broadcast attach as its SIM siblings — query table crossed onto
+    # the probed cells, never corpus×corpus.
+    "SIM-IVFBQ",
     "J-LOOKUP-INSERT", "E-AUDIT",
     "TEXT-BM25", "TEXT-PROFILE", "SKETCH-THETA",
     "SKETCH-CONTAM", "SKETCH-CONTAM-SCOUT", "TEXT-BM25-TOPK",
