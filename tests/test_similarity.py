@@ -467,3 +467,25 @@ def test_banded_lsh_neardups_dominate_single_band(spark):
         ).collect()
     }
     assert legacy == single
+
+
+def test_group_cosine_arrow_matches_sql_engine(spark):
+    """The Arrow blocked-matmul pair stage must emit EXACTLY the same
+    pair set as the relational fold path for both operators (scores may
+    differ in the last ULP; membership may not — asserted on clustered
+    data where no pair sits at the threshold boundary)."""
+    from feasibility_etl_spark.operators.similarity import (
+        embedding_near_dups,
+        semantic_dedup_pairs,
+    )
+
+    corpus = clustered_embeddings(spark, n_clusters=5, per_cluster=20)
+    for fn, kw in [
+        (embedding_near_dups, dict(threshold=0.9, dim=16, n_planes=6, n_bands=3)),
+        (semantic_dedup_pairs, dict(threshold=0.9, n_cells=5, seed=3)),
+    ]:
+        arrow = {(r.id_a, r.id_b): r.cos_sim for r in fn(corpus, engine="arrow", **kw).collect()}
+        sql = {(r.id_a, r.id_b): r.cos_sim for r in fn(corpus, engine="sql", **kw).collect()}
+        assert set(arrow) == set(sql), (fn.__name__, set(arrow) ^ set(sql))
+        for k in arrow:
+            assert abs(arrow[k] - sql[k]) < 1e-9, (fn.__name__, k)
