@@ -16,4 +16,4 @@ from . import media_history as _media_history  # noqa: F401  (module side-effect
 from . import registry as _registry  # noqa: F401  (module side-effect order)
 
 from ._shared import QueryFn  # noqa: F401
-from .registry import ALL_ORACLES, ALL_QUERIES, ORACLE_COMPUTE_BOUNDS, ORACLE_REGIMES, ORACLES, QUERIES  # noqa: F401
+from .registry import ALL_ORACLES, ALL_QUERIES, ENGINE_DISK_BOUNDS, ORACLE_COMPUTE_BOUNDS, ORACLE_REGIMES, ORACLES, QUERIES  # noqa: F401

@@ -125,10 +125,34 @@ def main() -> int:
                 print(
                     f"[infeasible] {qname}: input {n_in} > {bound} ({note})"
                 )
+    # declared ENGINE disk bounds: plans that are cluster-scalable but
+    # exceed one node's shuffle disk past the bound (measured: the
+    # t=0.2 exact-Jaccard family ENOSPC'd a 56 GB blockmgr at sf1) —
+    # record the bound instead of re-filling the disk every sweep
+    try:
+        from feasibility_etl_spark.driver_queries import ENGINE_DISK_BOUNDS
+    except ImportError:
+        ENGINE_DISK_BOUNDS = {}
+    disk_bound: dict[str, str] = {}
+    for qname, (count_sql, bound, note) in ENGINE_DISK_BOUNDS.items():
+        n_in = con.execute(count_sql).fetchone()[0]
+        if n_in > bound:
+            disk_bound[qname] = note
     failures, passed, rows_only = [], 0, 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        if name in disk_bound:
+            rows_only += 1
+            print(f"[DISK-BOUND] {name}: {disk_bound[name]}", flush=True)
+            continue
+        # nudge the JVM so ContextCleaner reaps the PREVIOUS entry's dead
+        # shuffle files — a failed big query otherwise leaves its blockmgr
+        # spill behind (measured 56 GB) and starves the entries after it
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
         print(f"[run] {name}", flush=True)
         t0 = time.time()
         try:

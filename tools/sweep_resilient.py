@@ -32,7 +32,7 @@ import time
 
 CHECKER = os.path.join(os.path.dirname(__file__), "check_correctness.py")
 
-LINE_RE = re.compile(r"^\[(ok|FAIL|ROWS-ONLY|OOM-ORACLE)\] ([A-Za-z0-9_-]+):")
+LINE_RE = re.compile(r"^\[(ok|FAIL|ROWS-ONLY|OOM-ORACLE|DISK-BOUND)\] ([A-Za-z0-9_-]+):")
 RUN_RE = re.compile(r"^\[run\] ([A-Za-z0-9_-]+)$")
 
 
@@ -62,7 +62,8 @@ def run_chunk(sf_dir: str, names: list[str], env: dict) -> tuple[dict, int]:
                 secs = float(sm.group(1))
             outcomes[name] = {
                 "status": {"ok": "ok", "FAIL": "fail", "ROWS-ONLY": "rows_only",
-                           "OOM-ORACLE": "oracle_oom"}[status],
+                           "OOM-ORACLE": "oracle_oom",
+                           "DISK-BOUND": "disk_bound"}[status],
                 "detail": line.strip(),
                 "secs": secs,
             }
@@ -97,7 +98,7 @@ def main() -> int:
         with open(out_path) as f:
             for line in f:
                 rec = json.loads(line)
-                if rec["status"] in ("ok", "rows_only", "fail", "oom_skip", "oracle_oom"):
+                if rec["status"] in ("ok", "rows_only", "fail", "oom_skip", "oracle_oom", "disk_bound"):
                     done[rec["name"]] = rec
     todo = [n for n in names if n not in done]
     print(f"[sweep] {len(todo)} to run, {len(done)} already recorded -> {out_path}",
@@ -125,7 +126,7 @@ def main() -> int:
         chunk = todo[i : i + args.chunk]
         outcomes, rc = run_chunk(args.sf_dir, chunk, env)
         clean = [n for n in chunk if n in outcomes and
-                 outcomes[n]["status"] in ("ok", "rows_only", "fail", "oracle_oom")]
+                 outcomes[n]["status"] in ("ok", "rows_only", "fail", "oracle_oom", "disk_bound")]
         for n in clean:
             record(n, outcomes[n])
         if rc == 0 or len(clean) == len(chunk):
@@ -137,7 +138,7 @@ def main() -> int:
                        outcomes[n]["status"] == "killed_during")
         print(f"[sweep] chunk died (rc={rc}) on {suspect}; solo retry", flush=True)
         solo, solo_rc = run_chunk(args.sf_dir, [suspect], env)
-        if suspect in solo and solo[suspect]["status"] in ("ok", "rows_only", "fail", "oracle_oom"):
+        if suspect in solo and solo[suspect]["status"] in ("ok", "rows_only", "fail", "oracle_oom", "disk_bound"):
             record(suspect, solo[suspect])
         else:
             record(suspect, {
