@@ -649,8 +649,9 @@ ENGINE_DISK_BOUNDS: dict[str, tuple[str, int, str]] = {
     name: (
         "SELECT COUNT(*) FROM documents",
         60000,
-        "t=0.2 exact-Jaccard verify shuffle exceeds one-node disk past "
-        "~60k docs (cluster-scalable; MinHash is the designed low-t path)",
+        "exact-Jaccard verify shuffle exceeds one-node disk past ~60k "
+        "docs of this corpus shape (cluster-scalable; MinHash is the "
+        "designed low-threshold path)",
     )
     for name in (
         "DEDUP-NGRAM",
@@ -658,5 +659,13 @@ ENGINE_DISK_BOUNDS: dict[str, tuple[str, int, str]] = {
         "DEDUP-PRUNE",
         "DEDUP-PRUNE-BEST",
         "PIPE-CORPUS",
+        # PIPE-DOCS runs at t=0.6 and still measured 10.3e9 prefix
+        # candidates at sf1: the synthetic corpus has ~12k distinct
+        # tokens over 500k docs averaging 24 tokens, so every token is
+        # high-df and NO prefix (vocab << corpus) can discriminate —
+        # max prefix-df 8,800 in 33k-doc blocks. Prefix filtering needs
+        # vocab >> per-token df to bite; on natural text it does (rare
+        # words dominate), on this corpus shape nothing exact can.
+        "PIPE-DOCS",
     )
 }
