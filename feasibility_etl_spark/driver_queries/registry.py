@@ -565,6 +565,17 @@ ORACLE_REGIMES: dict[str, tuple[str, int, str]] = {
         65535,
         "KLL exact regime (rows <= k=65535)",
     ),
+    # SKETCH-KLL quantiles are order-statistic-exact while every
+    # per-event-type group fits the sketch's retention (k=65535 —
+    # sf0.1 has 30k rows/type); past it the compaction path estimates
+    # (~0.01% rank error, pinned in tests/test_sketches.py) and no SQL
+    # oracle can replay it. The sf1 scale dir has 300k rows/type.
+    "SKETCH-KLL": (
+        "SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM events "
+        "GROUP BY event_type)",
+        65535,
+        "KLL exact regime (rows/group <= k=65535)",
+    ),
     # Theta sketches retain every hash while the per-key distinct count
     # stays <= nominal entries k=4096 (lg_k=12, the Spark default); past
     # it the sketch samples (theta < 1) and intersections estimate
