@@ -641,6 +641,17 @@ ORACLE_COMPUTE_BOUNDS.update({
     )
     for name in ("TEXT-PROFILE", "TEXT-REPETITION", "TEXT-ROWS")
 })
+# DEDUP-SUBSTRING's oracle replays token-level span removal with
+# corpus-exploding gram CTEs — kernel-OOM-killed twice at the 500k-doc
+# dir (unmanaged list/regex allocations ignore memory_limit); the
+# ENGINE side is two linear shuffles and completes. Full-oracle at
+# sf0.01/sf0.1 stands; past the bound the sweep records the Spark row
+# count with the declared-infeasible oracle.
+ORACLE_COMPUTE_BOUNDS["DEDUP-SUBSTRING"] = (
+    "SELECT COUNT(*) FROM documents",
+    60000,
+    "token-span-replay oracle exceeds host memory past ~60k docs",
+)
 
 #: ENGINE-side declared bounds: entries whose SPARK plan is exact and
 #: cluster-scalable but exceeds ONE NODE's shuffle disk past the bound.
