@@ -764,21 +764,55 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error ann-recall: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "reps": BENCH_REPS,
-                "queries": timings,
-                "plan_metrics": plan_metrics,
-                "sf": sf,
-                **rates,
-                **recall_metrics,
-            }
-        )
-    )
+    # Output contract (round 7, VERDICT r6 item 1): the driver keeps only
+    # the LAST 2000 chars of stdout and parses the final line — round 6's
+    # headline was lost because plan_metrics rode inline and pushed the
+    # line's head out of the tail window. So: full diagnostics go to a
+    # repo file + an EARLIER stdout line; the FINAL line is a compact
+    # headline hard-capped well under the tail window.
+    detail = {
+        "metric": "bench_detail",
+        "value": total,
+        "unit": "sec",
+        "reps": BENCH_REPS,
+        "queries": timings,
+        "plan_metrics": plan_metrics,
+        "sf": sf,
+        **rates,
+        **recall_metrics,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"bench detail write failed: {e}", file=sys.stderr)
+    print(json.dumps(detail, separators=(",", ":")))
+
+    # streaming entries are excluded from the compact `queries` dict — the
+    # *_rows_per_sec keys carry them (same numbers, shorter encoding)
+    batch_timings = {
+        k: round(v, 2)
+        for k, v in timings.items()
+        if not (k.startswith(("stream-", "rest-")))
+    }
+    headline = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "reps": BENCH_REPS,
+        "sf": sf,
+        **rates,
+        **recall_metrics,
+        "queries": batch_timings,
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1800:  # hard guard: never outgrow the driver's tail
+        headline.pop("queries")
+        headline["queries_file"] = "BENCH_DETAIL.json"
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -1,7 +1,25 @@
 from __future__ import annotations
 
+import os
+
 from ._shared import DataFrame, F, SparkSession, _cents, _sum_cents_sql, bpe_ish_token_count, cosine_topk, cosine_topk_lsh, embedding_near_dups, fingerprint, ivf_topk, ivfpq_topk, lang_id, load, mean_word_length, multilevel_agg, pq_topk, punct_ratio, quality_score, salted_agg, salted_join, stopword_ratio, token_count
 from .views_dedup_corpus import _COS_SQL
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata (pyarrow, driver-side, no
+    Spark job) — for data-dependent plan-shape switches that must not
+    cost an action at query-construction time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 
@@ -37,7 +55,11 @@ def q_emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # recall than r=8/b=1 at every cos ≥ ~0.45, ~40× fewer candidates)
     # and hold k-means cells at ~1k vectors each. Below that the
     # historical shapes are kept so small-SF records stay comparable.
-    n = emb.count()
+    # The scale switch reads n from the parquet FOOTERS (driver-side
+    # metadata, microseconds) — every other builder is lazy, and an
+    # eager emb.count() action here landed inside bench's timed window
+    # and ran on every plan audit.
+    n = _parquet_rows(os.path.join(sf, "embeddings.parquet"))
     big = n > 50_000
     lsh = embedding_near_dups(
         emb, threshold=0.3, dim=64,

@@ -86,10 +86,39 @@ class LinearTextModel(NamedTuple):
     ``weights``: (bucket long, w_e9 long) — ≤ num_buckets rows, broadcast
     range by construction. ``consts``: ONE row (bias_e9 long,
     w_default_e9 long, num_buckets int, word_ngrams int) — the scoring
-    constants plus the feature-space shape scoring must reuse."""
+    constants plus the feature-space shape scoring must reuse.
+    ``num_buckets``/``word_ngrams`` ride as plain ints too (same values
+    as the consts row, set by the trainer) so scoring can resolve the
+    feature space LAZILY — no 1-row collect at plan-build time — and
+    fail fast on a caller-supplied mismatch instead of silently
+    re-hashing into a different space."""
 
     weights: DataFrame
     consts: DataFrame
+    num_buckets: int = 4096
+    word_ngrams: int = 2
+
+
+def _resolve_shape(
+    model_buckets: int,
+    model_ngrams: int,
+    num_buckets: int | None,
+    word_ngrams: int | None,
+) -> tuple[int, int]:
+    """The scoring feature space is the MODEL's; an explicit caller value
+    is only accepted when it agrees (mismatch = meaningless logits)."""
+    if num_buckets is not None and num_buckets != model_buckets:
+        raise ValueError(
+            f"num_buckets={num_buckets} disagrees with the model's "
+            f"training shape ({model_buckets}); scoring in a different "
+            "hashed feature space produces plausible-looking garbage"
+        )
+    if word_ngrams is not None and word_ngrams != model_ngrams:
+        raise ValueError(
+            f"word_ngrams={word_ngrams} disagrees with the model's "
+            f"training shape ({model_ngrams})"
+        )
+    return model_buckets, model_ngrams
 
 
 def hash_bucket(col: Column, num_buckets: int) -> Column:
@@ -211,7 +240,10 @@ def train_log_odds(
         F.lit(num_buckets).alias("num_buckets"),
         F.lit(word_ngrams).alias("word_ngrams"),
     )
-    return LinearTextModel(weights=weights, consts=consts)
+    return LinearTextModel(
+        weights=weights, consts=consts,
+        num_buckets=num_buckets, word_ngrams=word_ngrams,
+    )
 
 
 def classifier_score(
@@ -219,16 +251,21 @@ def classifier_score(
     model: LinearTextModel,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 4096,
-    word_ngrams: int = 2,
+    num_buckets: int | None = None,
+    word_ngrams: int | None = None,
 ) -> DataFrame:
     """Score every document: (id, n_feat, logit_e9, logit, pred).
 
-    ``num_buckets``/``word_ngrams`` MUST match training (they ride in
-    ``model.consts`` for audit; mismatched values silently re-hash into
-    a different feature space). Docs with no features score the bare
-    bias. ``logit_e9`` is the exact BIGINT nano-logit; ``logit`` the
-    derived double; ``pred`` true at logit >= 0 (sigmoid ≥ 0.5)."""
+    The feature space (``num_buckets``/``word_ngrams``) is read from
+    the MODEL; passing explicit values is allowed only when they agree
+    with training (a silent mismatch re-hashes into a different space
+    and produces meaningless logits — ValueError instead). Docs with no
+    features score the bare bias. ``logit_e9`` is the exact BIGINT
+    nano-logit; ``logit`` the derived double; ``pred`` true at
+    logit >= 0 (sigmoid ≥ 0.5)."""
+    num_buckets, word_ngrams = _resolve_shape(
+        model.num_buckets, model.word_ngrams, num_buckets, word_ngrams
+    )
     feats = _exploded(docs, text_col, id_col, word_ngrams, []).withColumn(
         "bucket", hash_bucket(F.col("f"), num_buckets)
     )
@@ -275,10 +312,13 @@ class RouterModel(NamedTuple):
     TRAINING-SEEN bucket per class, ≤ num_buckets × k rows → broadcast
     range for the small class counts routers serve (languages, domains,
     source registries). ``consts``: k rows (cls, bias_e9, w_def_e9) —
-    per-class prior and unseen-bucket weight."""
+    per-class prior and unseen-bucket weight. The feature-space shape
+    rides as plain ints (see :class:`LinearTextModel`)."""
 
     dense: DataFrame
     consts: DataFrame
+    num_buckets: int = 4096
+    word_ngrams: int = 2
 
 
 def train_router(
@@ -388,7 +428,10 @@ def train_router(
             .alias("w_e9"),
         )
     )
-    return RouterModel(dense=dense, consts=consts)
+    return RouterModel(
+        dense=dense, consts=consts,
+        num_buckets=num_buckets, word_ngrams=word_ngrams,
+    )
 
 
 def route_score(
@@ -396,8 +439,8 @@ def route_score(
     router: RouterModel,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 4096,
-    word_ngrams: int = 2,
+    num_buckets: int | None = None,
+    word_ngrams: int | None = None,
 ) -> DataFrame:
     """Route every document to its argmax class:
     (id, n_feat, cls, logit_e9, margin_e9).
@@ -414,7 +457,13 @@ def route_score(
     dense rows, so the per-(id, class) aggregate's occurrence count is
     the per-doc SEEN count for free, and the total feature count is
     analytic in the token count (Σ_n max(|tokens|−n+1, 0)) — no second
-    explode-and-count pass over the corpus."""
+    explode-and-count pass over the corpus.
+
+    Feature-space shape resolves from the ROUTER (explicit values must
+    agree with training — see :func:`classifier_score`)."""
+    num_buckets, word_ngrams = _resolve_shape(
+        router.num_buckets, router.word_ngrams, num_buckets, word_ngrams
+    )
     feats = _exploded(docs, text_col, id_col, word_ngrams, []).withColumn(
         "bucket", hash_bucket(F.col("f"), num_buckets)
     )

@@ -769,6 +769,17 @@ def group_cosine_pairs(
     """
     import pandas as pd
 
+    # the output id columns inherit the INPUT id type — a hardcoded
+    # `long` would silently truncate (or crash) non-int64 callers of
+    # this generic corpus_id API (shared with verify_cosine_pairs)
+    id_type = grouped.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"group_cosine_pairs requires an integral {id_col!r} column; "
+            f"got {id_type} (string/decimal ids would round-trip through "
+            "float64 in the numpy stage and corrupt)"
+        )
+
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
@@ -802,7 +813,7 @@ def group_cosine_pairs(
         )
 
     return grouped.groupBy(*group_cols).applyInPandas(
-        score, "id_a long, id_b long, cos_sim double"
+        score, f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
 
 
@@ -868,9 +879,15 @@ def embedding_near_dups(
             buckets, ["_band", "_bucket"], threshold,
             id_col=corpus_id, vec_col=corpus_vec,
         )
-        # a pair sharing buckets in several bands scores identically in
-        # each (same numpy math on the same vectors) -> distinct is exact
-        return pairs.distinct() if n_bands > 1 else pairs
+        # a pair sharing buckets in several bands re-scores in each; BLAS
+        # kernel selection varies with group/block shape, so the floats can
+        # differ in the last ULP — dedup on the ID KEY only (max is a
+        # tie-break over near-identical values), never distinct() on floats
+        if n_bands > 1:
+            pairs = pairs.groupBy("id_a", "id_b").agg(
+                F.max("cos_sim").alias("cos_sim")
+            )
+        return pairs
     a, c = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(

@@ -74,8 +74,8 @@ def quality_gate_batch(
     threshold_e9: int,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 4096,
-    word_ngrams: int = 2,
+    num_buckets: int | None = None,
+    word_ngrams: int | None = None,
 ) -> DataFrame:
     """One gating step: the subset of ``batch`` whose exact nano-logit
     under ``model`` is STRICTLY ABOVE ``threshold_e9`` — the same
@@ -99,8 +99,8 @@ def quality_gate_sink(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 4096,
-    word_ngrams: int = 2,
+    num_buckets: int | None = None,
+    word_ngrams: int | None = None,
     trigger_available_now: bool = True,
     shuffle_partitions: int | None = None,
     rejects_dir: str | None = None,
@@ -108,8 +108,9 @@ def quality_gate_sink(
     """Start the quality gate as a ``foreachBatch`` streaming query
     (tiers, layout and posture in the module docstring). ``model`` is a
     TRAINED :class:`LinearTextModel`; its frames are persisted here and
-    reused by every micro-batch. ``num_buckets``/``word_ngrams`` must
-    match training (they ride in ``model.consts`` for audit).
+    reused by every micro-batch. The feature space resolves from the
+    MODEL (explicit ``num_buckets``/``word_ngrams`` must agree with
+    training — ``classifier_score`` raises on a mismatch).
 
     ``rejects_dir``: opt-in quarantine (the E-ISOLATE pattern at the
     stream boundary) — each batch ALSO writes its rejected rows with a
@@ -117,7 +118,7 @@ def quality_gate_sink(
     replay-idempotent). Off by default: it costs one extra action per
     batch."""
     docs_dir = os.path.join(base_dir, "docs")
-    model = LinearTextModel(
+    model = model._replace(
         weights=model.weights.persist(), consts=model.consts.persist()
     )
 

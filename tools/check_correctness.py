@@ -172,9 +172,15 @@ def main() -> int:
                 # hash is order-insensitive so file order is irrelevant.
                 import glob as _glob
                 import shutil as _shutil
+                import tempfile as _tempfile
 
-                tmp_dir = f"/tmp/cc_spark_result/{name.replace('/', '_')}"
-                _shutil.rmtree(tmp_dir, ignore_errors=True)
+                # per-run private staging dir: a fixed /tmp path lets two
+                # concurrent sweeps (or one sweep against two SF dirs)
+                # clobber each other's staged results and hash the wrong
+                # engine output
+                tmp_dir = _tempfile.mkdtemp(
+                    prefix=f"cc_spark_{name.replace('/', '_')}_"
+                )
                 sdf.write.mode("overwrite").parquet(tmp_dir)
                 scols = list(sdf.columns)
                 parts = _glob.glob(f"{tmp_dir}/*.parquet")
