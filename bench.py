@@ -270,7 +270,13 @@ def run_sessionize_bench(spark, sf_dir: str) -> tuple[float, int]:
     sessions = sessionize_stream(stream, "key", "ts", gap_seconds=1800)
     from feasibility_etl_spark.streaming.conf import scoped_shuffle_partitions
 
-    with scoped_shuffle_partitions(spark, 8):
+    # width 20: round-7 sweep over state-store partition counts at bench SF
+    # (1500 keys/batch, 4 micro-batches) — 8→16.8k, 12→20.4k, 16→21.1k,
+    # 20→23.1k, 24→16.3k, 32→10.7k rows/s median-of-3. Below ~20 the
+    # per-partition Python worker batches are too coarse (parallelism-
+    # starved); above it the per-batch state-store commit fixed cost
+    # (delta files × partitions × 4 batches) wins. PERF-NOTES 30.
+    with scoped_shuffle_partitions(spark, 20):
         q = (
             sessions.writeStream.format("noop")
             .outputMode("append")
