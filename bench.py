@@ -420,18 +420,23 @@ def run_decontam_gate_bench(spark, sf_dir: str) -> tuple[float, int]:
 #: SIM-* query set). Set from measured values minus margin; a tier
 #: sliding under its floor is a RECALL REGRESSION and fails the ann
 #: entry (reported as -1) so it surfaces exactly like a perf one.
-#: Measured at sf0.1 in round 6 (deterministic — fixed seeds, fixed
-#: corpus): lsh 0.24, ivf 0.50, pq 0.38, ivfpq 0.18, bq 0.20,
-#: ivfbq 0.267. The corpus is mostly unclustered random vectors — the
-#: HARD case for every tier (the clustered-fixture tests pin the >0.9
-#: regime); floors sit a margin under measured.
+#: Round-7 serving defaults (measured at sf0.1, deterministic — fixed
+#: seeds, fixed corpus): lsh 0.60 (planes=8, multiprobe radius 3 — 36%
+#: scan), ivf 0.62 (nprobe=6), pq 0.68 (refine=16), ivfpq 0.64
+#: (nprobe=8, refine=32), bq 0.60 (Hamming shortlist + exact re-rank,
+#: refine=8 — SIM-BQRR), ivfbq 0.67 (nprobe=8, shortlist=120). The
+#: corpus is unclustered random 64-d vectors — the HARD case for every
+#: tier (the clustered-fixture tests pin the >0.9 regime); floors sit
+#: at the 0.5 quality bar, under every measured default. The
+#: recall-vs-scan-bytes trade per tier is published as ``ann_curve``
+#: in BENCH_DETAIL.json (run_ann_curve).
 ANN_RECALL_FLOORS = {
-    "lsh": 0.15,
-    "ivf": 0.40,
-    "pq": 0.28,
-    "ivfpq": 0.10,
-    "bq": 0.10,
-    "ivfbq": 0.15,
+    "lsh": 0.50,
+    "ivf": 0.50,
+    "pq": 0.55,
+    "ivfpq": 0.50,
+    "bq": 0.50,
+    "ivfbq": 0.50,
 }
 
 
@@ -441,12 +446,9 @@ def run_ann_recall(spark, sf_dir: str) -> dict[str, float]:
     regressions surface like perf ones (tests pin recall on CLUSTERED
     fixtures; this pins it on the actual bench corpus). The cosine
     tiers answer the 5-query SIM set; the Hamming tiers (bq/ivfbq)
-    answer the 3-query SIM-BQ set against the same cosine truth."""
-    from pyspark.sql import functions as F
-
+    answer the 3-query SIM-BQRR/SIM-IVFBQ sets against the same cosine
+    truth."""
     from feasibility_etl_spark.driver_queries import ALL_QUERIES
-    from feasibility_etl_spark.operators.similarity import ivfbq_topk
-    from feasibility_etl_spark.sources.catalog import load as cat_load
 
     def result_sets(df) -> dict[int, set[int]]:
         out: dict[int, set[int]] = {}
@@ -470,18 +472,128 @@ def run_ann_recall(spark, sf_dir: str) -> dict[str, float]:
         ("ivf", "SIM-IVF"),
         ("pq", "SIM-PQ"),
         ("ivfpq", "SIM-IVFPQ"),
+        # bq = the SERVING tier (Hamming shortlist + exact re-rank,
+        # SIM-BQRR); the un-reranked integer primitive stays SIM-BQ
+        ("bq", "SIM-BQRR"),
+        ("ivfbq", "SIM-IVFBQ"),
     ):
-        out[tier] = recall_on(truth.keys(), result_sets(ALL_QUERIES[qid](spark, sf_dir)))
-    out["bq"] = recall_on([0, 1, 2], result_sets(ALL_QUERIES["SIM-BQ"](spark, sf_dir)))
+        sets = result_sets(ALL_QUERIES[qid](spark, sf_dir))
+        qids = [0, 1, 2] if tier in ("bq", "ivfbq") else truth.keys()
+        out[tier] = recall_on(qids, sets)
+    return out
+
+
+def run_ann_curve(spark, sf_dir: str) -> dict[str, list[dict]]:
+    """The recall-vs-scan-bytes trade per ANN tier: 3 budget points per
+    tier, each with recall@10 vs brute-force truth and ``scan_frac`` —
+    the candidate-stage bytes read as a fraction of one full float64
+    corpus scan (analytic from the tier's geometry: LSH probes/2^planes;
+    IVF nprobe/n_cells; PQ/BQ code bytes over float bytes, plus the
+    re-rank rows). Deterministic (fixed seeds/corpus), so round-over-
+    round diffs are real regressions, not noise."""
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.driver_queries import ALL_QUERIES
+    from feasibility_etl_spark.operators.similarity import (
+        bq_rerank_topk,
+        cosine_topk_lsh,
+        ivf_topk,
+        ivfbq_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+    from feasibility_etl_spark.sources.catalog import load as cat_load
+
+    def result_sets(df) -> dict[int, set[int]]:
+        out: dict[int, set[int]] = {}
+        for r in df.select("query_id", "vec_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
     emb = cat_load(spark, sf_dir, "embeddings")
-    q3 = emb.where(F.col("vec_id") < 3).select(
+    n = emb.count()
+    if n > 20_000:  # brute-force truth + 18 ANN runs: bench-SF only
+        return {}
+    truth = result_sets(ALL_QUERIES["SIM-TOPK"](spark, sf_dir))
+    q5 = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    ivfbq = ivfbq_topk(
-        emb, q3, k=10, n_cells=16, nprobe=4, train_fraction=0.5, max_iter=8
-    )
-    out["ivfbq"] = recall_on([0, 1, 2], result_sets(ivfbq))
-    return out
+    q3 = q5.where(F.col("query_id") < 3)
+
+    def recall(df, qids) -> float:
+        s = result_sets(df)
+        per = [
+            len(s.get(q, set()) & truth[q]) / len(truth[q])
+            for q in qids
+            if q in truth
+        ]
+        return round(sum(per) / len(per), 3) if per else 0.0
+
+    from math import comb
+
+    k = 10
+    all_q = list(truth.keys())
+    curve: dict[str, list[dict]] = {t: [] for t in ANN_RECALL_FLOORS}
+    for mp in (1, 2, 3):
+        probes = sum(comb(8, r) for r in range(mp + 1))
+        curve["lsh"].append({
+            "cfg": f"planes=8,multiprobe={mp}",
+            "recall": recall(
+                cosine_topk_lsh(emb, q5, k=k, dim=64, n_planes=8, multiprobe=mp),
+                all_q,
+            ),
+            "scan_frac": round(probes / 256, 4),
+        })
+    for npb in (4, 6, 8):
+        curve["ivf"].append({
+            "cfg": f"n_cells=16,nprobe={npb}",
+            "recall": recall(
+                ivf_topk(emb, q5, k=k, n_cells=16, nprobe=npb,
+                         train_fraction=0.5, max_iter=8),
+                all_q,
+            ),
+            "scan_frac": round(npb / 16, 4),
+        })
+    for ref in (4, 8, 16):
+        curve["pq"].append({
+            "cfg": f"M=8,K=16,refine={ref}",
+            "recall": recall(
+                pq_topk(emb, q5, k=k, n_subspaces=8, n_codes=16,
+                        train_fraction=0.5, max_iter=4, refine=ref),
+                all_q,
+            ),
+            # 8 code bytes per vector vs 512 float64 bytes + re-rank rows
+            "scan_frac": round(8 / 512 + ref * k / n, 4),
+        })
+    for npb, ref in ((4, 4), (6, 16), (8, 32)):
+        curve["ivfpq"].append({
+            "cfg": f"n_cells=16,nprobe={npb},refine={ref}",
+            "recall": recall(
+                ivfpq_topk(emb, q5, k=k, n_cells=16, nprobe=npb, n_subspaces=8,
+                           n_codes=16, train_fraction=0.5, max_iter=4,
+                           refine=ref),
+                all_q,
+            ),
+            "scan_frac": round((npb / 16) * (8 / 512) + ref * k / n, 4),
+        })
+    for ref in (4, 8, 16):
+        curve["bq"].append({
+            "cfg": f"refine={ref}",
+            "recall": recall(bq_rerank_topk(emb, q3, k=k, refine=ref), [0, 1, 2]),
+            # 16 packed-long bytes per 64-d vector vs 512 float bytes
+            "scan_frac": round(16 / 512 + ref * k / n, 4),
+        })
+    for npb, sl in ((4, 40), (6, 80), (8, 120)):
+        curve["ivfbq"].append({
+            "cfg": f"n_cells=16,nprobe={npb},shortlist={sl}",
+            "recall": recall(
+                ivfbq_topk(emb, q3, k=k, n_cells=16, nprobe=npb, shortlist=sl,
+                           train_fraction=0.5, max_iter=8),
+                [0, 1, 2],
+            ),
+            "scan_frac": round((npb / 16) * (16 / 512) + sl / n, 4),
+        })
+    return curve
 
 
 def run_scd2_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
@@ -770,6 +882,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error ann-recall: {e}", file=sys.stderr)
 
+    # recall-vs-scan-bytes curve (detail-only; 3 budget points per tier)
+    ann_curve: dict[str, list] = {}
+    try:
+        ann_curve = run_ann_curve(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error ann-curve: {e}", file=sys.stderr)
+
     # Output contract (round 7, VERDICT r6 item 1): the driver keeps only
     # the LAST 2000 chars of stdout and parses the final line — round 6's
     # headline was lost because plan_metrics rode inline and pushed the
@@ -783,6 +902,7 @@ def main() -> None:
         "reps": BENCH_REPS,
         "queries": timings,
         "plan_metrics": plan_metrics,
+        "ann_curve": ann_curve,
         "sf": sf,
         **rates,
         **recall_metrics,

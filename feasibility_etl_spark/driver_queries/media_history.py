@@ -166,32 +166,36 @@ def q_sim_ann(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    lsh = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=6, multiprobe=1)
+    # round-7 serving defaults: every tier >=0.5 recall@10 on the bench
+    # corpus at its documented scan budget (bench.run_ann_curve publishes
+    # the recall-vs-scan-bytes trade; floors in bench.ANN_RECALL_FLOORS)
+    lsh = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=8, multiprobe=3)
     ivf = ivf_topk(
-        emb, queries, k=10, n_cells=16, nprobe=4, train_fraction=0.5, max_iter=8
+        emb, queries, k=10, n_cells=16, nprobe=6, train_fraction=0.5, max_iter=8
     )
     pq = pq_topk(
         emb, queries, k=10, n_subspaces=8, n_codes=16,
-        train_fraction=0.5, max_iter=4, refine=4,
+        train_fraction=0.5, max_iter=4, refine=16,
     )
     ivfpq = ivfpq_topk(
-        emb, queries, k=10, n_cells=16, nprobe=4, n_subspaces=8, n_codes=16,
-        train_fraction=0.5, max_iter=4, refine=4,
+        emb, queries, k=10, n_cells=16, nprobe=8, n_subspaces=8, n_codes=16,
+        train_fraction=0.5, max_iter=4, refine=32,
     )
-    from ..operators.similarity import ivfbq_topk
+    from ..operators.similarity import bq_rerank_topk, ivfbq_topk
 
     ivfbq = ivfbq_topk(
-        emb, queries, k=10, n_cells=16, nprobe=4, shortlist=40,
+        emb, queries, k=10, n_cells=16, nprobe=8, shortlist=120,
         train_fraction=0.5, max_iter=8,
     )
+    bqrr = bq_rerank_topk(emb, queries, k=10, refine=8)
     parts = [
         df.select(
             F.lit(method).alias("method"), "query_id", "vec_id", "cos_sim",
             F.col("rank").cast("long").alias("rank"),
         )
         for method, df in (
-            ("lsh", lsh), ("ivf", ivf), ("pq", pq), ("ivfpq", ivfpq),
-            ("ivfbq", ivfbq),
+            ("bqrr", bqrr), ("lsh", lsh), ("ivf", ivf), ("pq", pq),
+            ("ivfpq", ivfpq), ("ivfbq", ivfbq),
         )
     ]
     out = parts[0]

@@ -79,7 +79,7 @@ def q_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=6, multiprobe=1)
+    out = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=8, multiprobe=3)
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 
@@ -94,7 +94,7 @@ def q_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4, train_fraction=0.5, max_iter=8)
+    out = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=6, train_fraction=0.5, max_iter=8)
     return out.select(
         "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
@@ -109,8 +109,8 @@ def q_sim_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = ivfpq_topk(
-        emb, queries, k=10, n_cells=16, nprobe=4, n_subspaces=8, n_codes=16,
-        train_fraction=0.5, max_iter=4, refine=4,
+        emb, queries, k=10, n_cells=16, nprobe=8, n_subspaces=8, n_codes=16,
+        train_fraction=0.5, max_iter=4, refine=32,
     )
     return out.select(
         "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
@@ -128,7 +128,7 @@ def q_sim_pq(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = pq_topk(
         emb, queries, k=10, n_subspaces=8, n_codes=16,
-        train_fraction=0.5, max_iter=4, refine=4,
+        train_fraction=0.5, max_iter=4, refine=16,
     )
     return out.select(
         "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
@@ -151,7 +151,8 @@ def q_sim_ivfbq(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = ivfbq_topk(
-        emb, queries, k=10, n_cells=16, nprobe=4, train_fraction=0.5, max_iter=8
+        emb, queries, k=10, n_cells=16, nprobe=8, shortlist=120,
+        train_fraction=0.5, max_iter=8,
     )
     return out.select(
         "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
@@ -468,6 +469,57 @@ SELECT qid AS query_id, cid AS vec_id, hamming,
        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS BIGINT)
          AS rank
 FROM d QUALIFY rank <= 10
+"""
+
+
+def q_sim_bqrr(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-BQRR (granular singleton): the BQ SERVING tier — 1-bit Hamming
+    shortlist (k·refine=80 per query) + exact cosine re-rank. FULL oracle:
+    the sign quantizer is seedless and Hamming ties break on vec_id, so
+    the shortlist is engine-identical, and the cosine re-rank is the same
+    sequential double fold SIM-TOPK hash-matches. This is the tier
+    bench.run_ann_recall tracks as ``bq`` (recall@10 0.60 at bench SF vs
+    0.20 un-reranked; the Hamming stage still reads only packed longs —
+    32× fewer bytes than the float corpus — and full vectors are touched
+    for 80 rows per query)."""
+    from ..operators.similarity import bq_rerank_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return bq_rerank_topk(emb, q, k=10, refine=8).select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_SIM_BQRR = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+d AS (
+  SELECT q.qid, c.vec_id AS cid, c.embedding AS cv, q.qv,
+    CAST(len(list_filter(range(1, len(c.embedding) + 1),
+      i -> (CAST(c.embedding[i] AS DOUBLE) >= 0)
+           != (CAST(q.qv[i] AS DOUBLE) >= 0))) AS BIGINT) AS hamming
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.qid
+),
+short AS (
+  SELECT qid, cid, cv, qv FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) <= 80
+),
+scored AS (
+  SELECT qid, cid,
+    list_sum(list_transform(range(1, len(cv) + 1),
+      i -> CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+       i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+       i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))) AS cos_sim
+  FROM short
+)
+SELECT qid AS query_id, cid AS vec_id, cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= 10
 """
 
 

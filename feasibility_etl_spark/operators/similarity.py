@@ -129,24 +129,39 @@ def cosine_topk_lsh(
     """Approximate top-k: candidates share the query's LSH bucket, then exact
     cosine rank within the bucket. Recall is tunable via n_planes (fewer
     planes → bigger buckets → higher recall, more compute) and by
-    ``multiprobe``: with ``multiprobe=1`` each query also probes every
-    bucket at Hamming distance 1 from its own (sign flips on near-zero
-    plane dots are the dominant LSH miss) — the query side fans out
-    ``1 + n_planes`` rows, the corpus side is untouched, so the extra cost
-    is query-proportional, never corpus-proportional."""
+    ``multiprobe``: the PROBE RADIUS — each query also probes every bucket
+    within Hamming distance ``multiprobe`` of its own (sign flips on
+    near-zero plane dots are the dominant LSH miss). The query side fans
+    out Σ_{r≤radius} C(n_planes, r) rows, the corpus side is untouched, so
+    the extra cost is query-proportional, never corpus-proportional —
+    radius 2 at n_planes=8 probes 37 of 256 buckets (~14% of the corpus)
+    where radius 1 probes 9 (~3.5%)."""
+    from itertools import combinations
+
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.withColumn("_bucket", lsh_bucket(F.col(corpus_vec), planes))
     q = queries.withColumn("_bucket", lsh_bucket(F.col(query_vec), planes))
     if multiprobe:
+
+        def flip(positions: tuple[int, ...]):
+            parts, prev = [], 0
+            for p in positions:
+                if p > prev:
+                    parts.append(F.substring("_bucket", prev + 1, p - prev))
+                parts.append(
+                    F.when(
+                        F.substring("_bucket", p + 1, 1) == "1", F.lit("0")
+                    ).otherwise(F.lit("1"))
+                )
+                prev = p + 1
+            if prev < n_planes:
+                parts.append(F.substring("_bucket", prev + 1, n_planes - prev))
+            return F.concat(*parts) if len(parts) > 1 else parts[0]
+
         flips = [F.col("_bucket")] + [
-            F.concat(
-                F.substring("_bucket", 1, i),
-                F.when(F.substring("_bucket", i + 1, 1) == "1", F.lit("0")).otherwise(
-                    F.lit("1")
-                ),
-                F.substring("_bucket", i + 2, n_planes - i - 1),
-            )
-            for i in range(n_planes)
+            flip(pos)
+            for r in range(1, multiprobe + 1)
+            for pos in combinations(range(n_planes), r)
         ]
         q = q.withColumn("_bucket", F.explode(F.array(*flips)))
     scored = c.join(F.broadcast(q), "_bucket").select(
@@ -1168,6 +1183,56 @@ def hamming_topk(
     if exclude_self:
         scored = scored.where(F.col(query_id) != F.col(corpus_id))
     w = Window.partitionBy(query_id).orderBy(F.asc("hamming"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )
+
+
+def bq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """The BQ SERVING tier: 1-bit Hamming shortlist (``k·refine`` per
+    query via :func:`hamming_topk`) + exact cosine re-rank of the
+    shortlist → ``(query_id, vec_id, cos_sim, rank)``.
+
+    :func:`hamming_topk` alone is the integer-exact primitive (and the
+    full-oracle surface), but 64 sign bits order a random float corpus
+    only loosely — recall@10 ≈ 0.2 vs cosine truth at bench scale. The
+    re-rank recovers it (≥0.6 at refine=8 on the bench corpus) while
+    keeping the scan shape: the Hamming stage reads ONLY packed longs
+    (32× smaller than float32); full vectors are touched for k·refine
+    rows per query, attached by id join after the shortlist. Fully
+    deterministic given the corpus (sign quantizer + id tie-breaks), so
+    the composition stays SQL-replayable — the oracle takes the same
+    hamming-then-id-ordered shortlist and re-scores it."""
+    bqc = binary_quantize(corpus, vec_col=corpus_vec, out_col="_bq").select(
+        F.col(corpus_id), F.col("_bq")
+    )
+    bqq = binary_quantize(queries, vec_col=query_vec, out_col="_qbq").select(
+        F.col(query_id), F.col("_qbq")
+    )
+    shortlist = hamming_topk(
+        bqc, bqq, k=k * refine,
+        corpus_id=corpus_id, corpus_bq="_bq",
+        query_id=query_id, query_bq="_qbq",
+    ).select(query_id, corpus_id)
+    scored = (
+        shortlist.join(corpus.select(corpus_id, corpus_vec), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= k
     )

@@ -106,11 +106,13 @@ def test_lsh_multiprobe_improves_recall(spark):
         }
         return len(exact & a) / len(exact)
 
-    r0, r1 = recall(0), recall(1)
+    r0, r1, r2 = recall(0), recall(1), recall(2)
     # 14 planes → tiny buckets → exact-bucket probing misses neighbors whose
-    # signature differs by one borderline bit; 1-bit multiprobe recovers them
+    # signature differs by one borderline bit; 1-bit multiprobe recovers
+    # them, and radius 2 (all C(14,2) two-bit flips) is monotone on top
     assert r1 >= r0, (r0, r1)
     assert r1 > 0.9, (r0, r1)
+    assert r2 >= r1, (r1, r2)
 
 
 def test_quantize_int8_roundtrip_error_bound(spark):
@@ -389,6 +391,46 @@ def test_hamming_correlates_with_cosine(spark):
     )
     top = hamming_topk(bq, q, k=2).orderBy("rank").collect()
     assert top[0].vec_id == 1  # the perturbed twin ranks first
+
+
+def test_bq_rerank_topk_beats_pure_hamming(spark):
+    """The serving tier (Hamming shortlist + exact cosine re-rank) must
+    dominate the un-reranked 1-bit ordering vs brute-force cosine truth,
+    and its survivors must come from the Hamming shortlist."""
+    from feasibility_etl_spark.operators.similarity import (
+        binary_quantize,
+        bq_rerank_topk,
+        hamming_topk,
+    )
+
+    corpus = clustered_embeddings(spark, n_clusters=8, per_cluster=40, dim=16, seed=7)
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(corpus, queries, k=10).collect()}
+
+    rr_rows = bq_rerank_topk(corpus, queries, k=10, refine=8).collect()
+    rr = {(r.query_id, r.vec_id) for r in rr_rows}
+
+    bqc = binary_quantize(corpus)
+    bqq = binary_quantize(queries, vec_col="query_vec", out_col="query_bq")
+    ham = {
+        (r.query_id, r.vec_id)
+        for r in hamming_topk(
+            bqc, bqq.select("query_id", "query_bq"), k=10
+        ).collect()
+    }
+    shortlist = {
+        (r.query_id, r.vec_id)
+        for r in hamming_topk(
+            bqc, bqq.select("query_id", "query_bq"), k=80
+        ).collect()
+    }
+    recall_rr = len(exact & rr) / len(exact)
+    recall_ham = len(exact & ham) / len(exact)
+    assert recall_rr >= recall_ham, (recall_rr, recall_ham)
+    assert recall_rr > 0.8, recall_rr
+    assert rr <= shortlist  # re-rank only reorders the shortlist
 
 
 def test_ivfbq_recall_and_shortlist_containment(spark):
