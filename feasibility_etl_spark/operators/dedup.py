@@ -406,6 +406,16 @@ def near_dup_pairs(
     return verify_pairs(cands, df, text_col, id_col, threshold, shingle_n)
 
 
+#: Per-block Σ C(df,2) above which the candidate stage switches from the
+#: all-pairs token join to PPJoin prefix filtering. Measured (round 7,
+#: local[32]): a 2×10⁷-row codegen'd join clears in ~1-2 s — cheaper than
+#: the prefix path's extra (block,tok) aggregation + per-doc window — while
+#: the sf1 failure mode sat at Σ C(df,2) ≈ 10¹⁰ per block (PERF-NOTES 29),
+#: three decades above the cutoff. At cluster scale each block is one join
+#: key's task group, so the bound is per-task-group work, not per-node.
+ADAPTIVE_ALLPAIRS_MAX_PAIRS = 20_000_000
+
+
 def blocked_jaccard_pairs(
     df: DataFrame,
     block_cols: list[str],
@@ -413,9 +423,13 @@ def blocked_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.2,
     cache: "StageCache | None" = None,
+    allpairs_max_pairs: int = ADAPTIVE_ALLPAIRS_MAX_PAIRS,
 ) -> DataFrame:
     """Exact token-set Jaccard pairs within blocking groups — relationally,
-    with PREFIX FILTERING so common tokens never drive the candidate join.
+    ADAPTIVE per block: cheap blocks take the all-pairs token join, blocks
+    whose measured join cost explodes take PREFIX FILTERING, so common
+    tokens never drive the candidate join where it matters and small
+    blocks never pay the prefix machinery they don't need.
 
     The naive plan (self-join ALL exploded tokens on (block, token)) costs
     Σ_token df(token)² — quadratic in document frequency, so one stopword
@@ -446,6 +460,22 @@ def blocked_jaccard_pairs(
     prefix (more candidates, never a missed pair). threshold=0 degrades
     to indexing every token (the complete join).
 
+    ADAPTIVE routing (round 7 — reclaims the 1.5-1.9× the unconditional
+    prefix path cost at small SF while keeping the sf1 OOM→pass safety):
+    each block's exact all-pairs join cost ``Σ_tok C(df,2)`` is computed
+    IN-PLAN from the (block, token) df table the prefix path needs anyway
+    — no driver-side action, no plan-time count. Blocks at or under
+    ``allpairs_max_pairs`` route their tokens straight into the complete
+    all-pairs join (any J ≥ t > 0 pair shares a token — complete); blocks
+    above it pay the per-doc window + prefix join. A doc lives in exactly
+    one block, so the branches partition the corpus and their candidate
+    unions stay within-block. BOTH generators are complete and the exact
+    verify is authoritative, so the result is bit-identical to either
+    pure strategy. At 100 TB the corpus is a mix of long-tail small
+    blocks (all-pairs, no window shuffle) and a few huge ones (prefix,
+    bounded by Σ prefix-df²) — the adaptive split is per join key, which
+    is exactly the grain a cluster schedules.
+
     ``toks`` and ``sizes`` feed 4 and 3 plan branches respectively —
     Spark shares no common subplans, so they are persisted through a
     :class:`StageCache` (PERF-NOTES 23's kilobyte-persist lesson at
@@ -468,14 +498,51 @@ def blocked_jaccard_pairs(
         )
     )
     sizes = cache(toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok")))
-    # per-block document frequency -> rarest-first order -> PPJoin prefix
-    df_tok = toks.groupBy(*block_cols, "tok").agg(
-        F.count(F.lit(1)).alias("_df")
+    # per-block document frequency; its per-block Σ C(df,2) IS the exact
+    # all-pairs join cost, measured in-plan (grain: block — tiny)
+    df_tok = cache(
+        toks.groupBy(*block_cols, "tok").agg(F.count(F.lit(1)).alias("_df"))
     )
+    block_cost = df_tok.groupBy(*block_cols).agg(
+        F.sum(F.col("_df") * (F.col("_df") - 1) / 2).cast("long").alias("_cost")
+    )
+    # routing rides at BLOCK grain — one (cost) row per block, broadcast
+    # by hint (block count ≪ doc count by blocking's construction; a
+    # shuffle here would re-key the whole token table by a ~100-value
+    # block column — catastrophic skew), so the all-pairs branch never
+    # pays a (block,tok)-grain join for a _df column only the prefix
+    # branch reads
+    # NOT StageCached: both branch self-joins re-derive it from the
+    # cached toks with broadcast/reused-exchange joins — measured 4.0s vs
+    # 4.4s median at sf0.1 against persisting, and skipping the persist
+    # avoids materializing a corpus-scale token frame at big SF
+    tagged = toks.join(sizes, id_col).join(F.broadcast(block_cost), block_cols)
+
+    def pair_join(side: DataFrame) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        cond = (
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # size filter: J >= t implies t*|b| <= |a| and t*|a| <= |b|
+            & (F.col("a.n_tok") + 1e-9 >= F.lit(threshold) * F.col("b.n_tok"))
+            & (F.col("b.n_tok") + 1e-9 >= F.lit(threshold) * F.col("a.n_tok"))
+        )
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+
+    # cheap blocks: complete all-pairs token join, no window machinery
+    small = tagged.where(F.col("_cost") <= allpairs_max_pairs).select(
+        id_col, *block_cols, "tok", "n_tok"
+    )
+    # expensive blocks: attach per-token df -> rarest-first order ->
+    # PPJoin prefix (the (block,tok) join runs only on large-block rows)
     w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("tok").asc())
     ranked = (
-        toks.join(df_tok, [*block_cols, "tok"])
-        .join(sizes, id_col)
+        tagged.where(F.col("_cost") > allpairs_max_pairs)
+        .join(df_tok, [*block_cols, "tok"])
         .withColumn("_rn", F.row_number().over(w))
         .where(
             F.col("_rn")
@@ -483,23 +550,7 @@ def blocked_jaccard_pairs(
         )
         .select(id_col, *block_cols, "tok", "n_tok")
     )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    cond = (
-        (F.col("a.tok") == F.col("b.tok"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        # size filter: J >= t implies t*|b| <= |a| and t*|a| <= |b|
-        & (F.col("a.n_tok") + 1e-9 >= F.lit(threshold) * F.col("b.n_tok"))
-        & (F.col("b.n_tok") + 1e-9 >= F.lit(threshold) * F.col("a.n_tok"))
-    )
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    cand = (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = pair_join(small).unionByName(pair_join(ranked)).distinct()
     # exact verify: |A∩B| over candidate pairs only (id determines block)
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")
     tb = toks.select(F.col(id_col).alias("id_b"), "tok")

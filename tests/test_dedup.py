@@ -170,6 +170,49 @@ def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
     assert durable_df.count() == len(local)
 
 
+def test_adaptive_routing_strategies_agree(spark):
+    """The per-block adaptive candidate stage must produce the SAME exact
+    pair set whichever way blocks route: pure all-pairs (cutoff ∞), pure
+    prefix (cutoff 0), and a MIXED cutoff that provably splits the blocks
+    (some Σ C(df,2) above it, some below) — both generators are complete
+    and the verify is authoritative, so results are identical."""
+    from feasibility_etl_spark.operators.dedup import blocked_jaccard_pairs
+    from feasibility_etl_spark.operators.text import tokens as tok_fn
+
+    corpus = load(spark, SF0001, "documents").limit(400)
+
+    def pairs(cutoff):
+        return {
+            (r.id_a, r.id_b, round(r.jaccard_sim, 9))
+            for r in blocked_jaccard_pairs(
+                corpus, ["lang", "source"], threshold=0.2,
+                allpairs_max_pairs=cutoff,
+            ).collect()
+        }
+
+    # pick a cutoff strictly inside the observed block-cost range so the
+    # mixed run genuinely exercises BOTH branches
+    toks = corpus.select(
+        "doc_id", "lang", "source",
+        F.explode(F.array_distinct(tok_fn(F.lower(F.trim(F.col("text")))))).alias("t"),
+    )
+    costs = sorted(
+        r.c
+        for r in toks.groupBy("lang", "source", "t")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .groupBy("lang", "source")
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("c"))
+        .collect()
+    )
+    assert len(costs) >= 2 and costs[0] < costs[-1]
+    mid = (costs[0] + costs[-1]) // 2
+
+    all_pairs, prefix, mixed = pairs(10**18), pairs(0), pairs(mid)
+    assert all_pairs == prefix
+    assert mixed == all_pairs
+    assert all_pairs  # non-degenerate: the fixture yields real near-dups
+
+
 def test_prune_components_keeps_representatives_and_singletons(spark):
     from feasibility_etl_spark.operators.dedup import prune_components
 
