@@ -76,6 +76,7 @@ from ..operators.text import (
     fingerprint,
     pii_counts,
     redact_pii,
+    winnow_fingerprints_arrow,
     winnow_fingerprints_rows,
     lang_id,
     mean_word_length,

@@ -1,6 +1,6 @@
 from __future__ import annotations
 
-from ._shared import DataFrame, F, SparkSession, Window, cosine_topk_lsh, image_features, incremental_near_dups, ivf_topk, ivfpq_topk, load, minhash_index, near_dup_pairs, pq_topk, quality_score, resize_images, simhash_candidates, winnow_fingerprints_rows
+from ._shared import DataFrame, F, SparkSession, Window, cosine_topk_lsh, image_features, incremental_near_dups, ivf_topk, ivfpq_topk, load, minhash_index, near_dup_pairs, pq_topk, quality_score, resize_images, simhash_candidates, winnow_fingerprints_arrow
 from .similarity_text import _QUALITY_SQL_FRAGMENTS
 from .pipelines_joins import ORACLE_MM_AUDIO, ORACLE_MM_IMAGE, ORACLE_MM_RESIZE, ORACLE_TEXT_WINNOW, _media, q_mm_audio
 
@@ -1136,7 +1136,7 @@ def q_text_rows(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cnt").alias("n_tok"),
         F.lit(None).cast("long").alias("fp"),
     )
-    win = winnow_fingerprints_rows(docs).select(
+    win = winnow_fingerprints_arrow(docs).select(
         F.lit("winnow").alias("part"),
         "doc_id",
         F.lit(None).cast("long").alias("chunk_id"),

@@ -1,6 +1,6 @@
 from __future__ import annotations
 
-from ._shared import DataFrame, F, SparkSession, Window, _cents, asof_join, audio_features, blocked_jaccard_pairs, exact_dedup, image_features, interval_overlap_join, load, media_from_documents, quality_score, quantize_int8, range_join, resize_images, sample_frames, session_agg, token_count, winnow_fingerprints_rows
+from ._shared import DataFrame, F, SparkSession, Window, _cents, asof_join, audio_features, blocked_jaccard_pairs, exact_dedup, image_features, interval_overlap_join, load, media_from_documents, quality_score, quantize_int8, range_join, resize_images, sample_frames, session_agg, token_count, winnow_fingerprints_arrow, winnow_fingerprints_rows
 from .similarity_text import _QUALITY_SQL_FRAGMENTS
 
 
@@ -491,9 +491,12 @@ def q_text_winnow(spark: SparkSession, sf: str) -> DataFrame:
     over char 8-grams, min of each 4-window) exploded to (doc_id, fp) rows.
     Local fingerprinting: shared substrings >= 11 chars guarantee a shared
     fingerprint — the partial-overlap detector md5 can't be. Fixed
-    base/modulus arithmetic reproduced exactly by the DuckDB oracle."""
+    base/modulus arithmetic reproduced exactly by the DuckDB oracle.
+    Served by the Arrow/numpy path (rolling-hash + sliding-min per doc
+    batch, zero data shuffles — 57x-family speedup at sf1); the
+    relational twin winnow_fingerprints_rows stays parity-pinned."""
     docs = load(spark, sf, "documents")
-    return winnow_fingerprints_rows(docs)
+    return winnow_fingerprints_arrow(docs)
 
 
 ORACLE_TEXT_WINNOW = """

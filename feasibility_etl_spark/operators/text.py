@@ -268,6 +268,77 @@ def winnow_fingerprints_rows(
     return mins.where(valid).select(F.col(id_col), fp.alias("fp")).distinct()
 
 
+def winnow_fingerprints_arrow(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+):
+    """Winnowing fingerprints via numpy rolling-hash + sliding-min inside
+    ``mapInPandas`` → DataFrame (id, fp) rows. Same values as
+    ``winnow_fingerprints_rows`` (parity-pinned in tests; the relational
+    twin stays as the oracle-shaped formulation).
+
+    Why this exists: the relational path pays ~1 row PER CHARACTER
+    through a shuffle-backed window — linear, but with a constant factor
+    that made TEXT-WINNOW the slowest sf1 sweep entry (2,798 s). Here a
+    document never leaves its executor: the k-gram hash is k vectorized
+    multiply-adds over the codepoint array (int64 — codepoint < 2²¹ ×
+    pow < 2³⁰ × k=8 stays under 2⁵⁴, no overflow before the mod) and the
+    w-window minimum is one strided ``sliding_window_view`` reduction —
+    the group_cosine_pairs precedent (PERF-NOTES 28) applied to rolling
+    hashes. ZERO data shuffles: only the doc-spreading repartition that
+    the rows variant also needs (a single parquet file otherwise pins
+    the whole corpus to one task).
+
+    Exact-parity details: ``str.lower()``/UTF-32 codepoints match
+    ``F.lower``/``F.ascii`` and the oracle's ``lower``/``ord``; docs
+    shorter than k emit nothing; fewer than w hashes emit the single
+    global minimum; per-doc ``np.unique`` = the relational
+    ``distinct()`` (ids never collide across docs)."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pows = np.array(
+        [pow(WINNOW_BASE, j, WINNOW_MOD) for j in range(k)], dtype=np.int64
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out, fps_out = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                s = ("" if txt is None else str(txt)).lower()
+                n = len(s)
+                if n < k:
+                    continue
+                codes = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                nh = n - k + 1
+                h = np.zeros(nh, dtype=np.int64)
+                for j in range(k):
+                    h += codes[j : j + nh] * pows[j]
+                h %= WINNOW_MOD
+                fps = (
+                    np.array([h.min()], dtype=np.int64)
+                    if nh < w
+                    else np.unique(sliding_window_view(h, w).min(axis=1))
+                )
+                ids_out.append(np.full(len(fps), did))
+                fps_out.append(fps)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_out),
+                        "fp": np.concatenate(fps_out),
+                    }
+                )
+
+    spread = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(gen, f"{id_col} {id_type}, fp long")
+
+
 #: Minimal HTML entity table for clean_text — applied in a fixed order on
 #: both engines (Spark and the oracle), so double-encoded entities resolve
 #: identically everywhere.

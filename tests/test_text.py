@@ -119,6 +119,40 @@ def test_winnow_relational_equals_hof_formulation(spark):
     assert rel == hof and len(rel) > 0
 
 
+def test_winnow_arrow_equals_relational(spark):
+    """The numpy/mapInPandas serving path is value-identical to the
+    relational twin — on the real corpus AND the short-doc edge regimes
+    (n < k: nothing; k ≤ n < k+w-1: the single global minimum)."""
+    from feasibility_etl_spark.operators.text import (
+        winnow_fingerprints_arrow,
+        winnow_fingerprints_rows,
+    )
+    from feasibility_etl_spark.sources.catalog import load
+
+    from conftest import SF0001
+
+    docs = load(spark, SF0001, "documents").limit(80)
+    rel = {(r.doc_id, r.fp) for r in winnow_fingerprints_rows(docs).collect()}
+    arw = {(r.doc_id, r.fp) for r in winnow_fingerprints_arrow(docs).collect()}
+    assert arw == rel and len(arw) > 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, "short"),            # n < k -> no fingerprints
+            (2, "exactly8!"),        # one k-gram -> global min
+            (3, "ten chars!"),       # 3 hashes < w -> global min
+            (4, "UPPER Case MiXeD with enough length to window"),
+            (5, None),               # null text -> nothing
+            (6, ""),                 # empty -> nothing
+        ],
+        "doc_id long, text string",
+    )
+    rel_e = {(r.doc_id, r.fp) for r in winnow_fingerprints_rows(edge).collect()}
+    arw_e = {(r.doc_id, r.fp) for r in winnow_fingerprints_arrow(edge).collect()}
+    assert arw_e == rel_e
+    assert {d for d, _ in arw_e} == {2, 3, 4}
+
+
 def test_clean_text_semantics(spark):
     from feasibility_etl_spark.operators.text import clean_text
 
