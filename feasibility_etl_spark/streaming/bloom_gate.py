@@ -568,8 +568,10 @@ def exact_dedup_gate_sink(
             _t0 = _dbg_now()
             survivors.write.mode("overwrite").parquet(batch_dir)
             _dbg(f"gate b{batch_id} write", _t0)
+            _t0 = _dbg_now()
             suspect_rows = obs_sus.get["sus"]
             accepted = [fp for fp in obs_acc.get["fps"] if fp is not None]
+            _dbg(f"gate b{batch_id} obs-get", _t0)
 
             # resolve suspects driver-side: first arrival per fp, then
             # membership via the dict (entries tagged < batch_id only —
@@ -612,6 +614,7 @@ def exact_dedup_gate_sink(
                 _append_rows_pyarrow(
                     batch_dir, new_suspects, survivors.schema, batch.columns
                 )
+            _t0 = _dbg_now()
             mstate["has_state"] = True
             _remember(accepted, batch_id)
             _remember((r["_fp"] for r in new_suspects), batch_id)
@@ -621,7 +624,10 @@ def exact_dedup_gate_sink(
             _py_set_bits(
                 merged, (r["_fp"] for r in new_suspects), m_bits, n_hashes
             )
+            _dbg(f"gate b{batch_id} py-bits", _t0)
+            _t0 = _dbg_now()
             _write_bloom_words(spark, bloom_dir, batch_id, merged)
+            _dbg(f"gate b{batch_id} bloom-commit", _t0)
             bloom_cache["batch_id"] = batch_id
             bloom_cache["words"] = merged
             bloom_cache["packed"] = _pack_bytes(merged)

@@ -165,6 +165,17 @@ def main() -> None:
         # bounded-weight-table claim broke
         "cls_score": lambda d: _cls_score(d),
         "cls_route": lambda d: _cls_route(d),
+        # the round-7 adaptive candidate stage (per-block in-plan cost
+        # routing): probed at threshold 0.9 so the CANDIDATE machinery —
+        # the part that changed — carries the work while the verify pair
+        # expansion (a declared single-node disk bound at t=0.2 past 60k
+        # docs, PERF-NOTES 29) stays probe-sized. At N× every block
+        # crosses the Σ C(df,2) cutoff and routes to the prefix branch.
+        "dedup_ngram_adaptive": lambda d: dedup.blocked_jaccard_pairs(
+            d, ["lang", "source"], threshold=0.9
+        ),
+        # round-7 vectorized winnowing (numpy rolling hash, mapInPandas)
+        "text_winnow": lambda d: text.winnow_fingerprints_arrow(d),
     }
     fact_ops = {
         "worklog_rollup": lambda d: worklog_rollup_relational(
