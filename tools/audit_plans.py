@@ -63,6 +63,10 @@ from feasibility_etl_spark.session import build_session  # noqa: E402
 #: inherits it via its dsir_* columns.
 CARTESIAN_OK = {
     "SIM-TOPK", "SIM-IVF", "SIM-PQ", "SIM-IVFPQ", "SIM-ANN", "SIM-BQ",
+    # SIM-BQRR (round-7): hamming_topk's ≤3-query broadcast crossed onto
+    # the packed-code scan (SIM-BQ's exact allowlisted shape) + the same
+    # queries-side attach in the cosine re-rank — never corpus×corpus.
+    "SIM-BQRR",
     # SIM-IVFBQ (round-6 granular singleton): the same ≤5-query-vector
     # broadcast attach as its SIM siblings — query table crossed onto
     # the probed cells, never corpus×corpus.
@@ -112,7 +116,15 @@ PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL",
              "PIPE-CORPUS",
              # Unicode normalization: Spark has no ICU Column function;
              # Arrow-batched unicodedata is the sanctioned codec tier
-             "TEXT-NORMALIZE"}
+             "TEXT-NORMALIZE",
+             # EMB-NEARDUP: group_cosine_pairs — the sanctioned per-group
+             # BLAS pair scorer (PERF-NOTES 28, 57× over the interpreted
+             # HOF fold at sf1); applyInPandas per (band, bucket) group.
+             "EMB-NEARDUP",
+             # TEXT-WINNOW (round-7): numpy rolling-hash + sliding-min in
+             # mapInPandas (PERF-NOTES 32, 231× at sf1); the relational
+             # twin stays the oracle-shaped formulation.
+             "TEXT-WINNOW"}
 
 
 def audit(name: str, plan: str) -> tuple[list[str], list[str]]:

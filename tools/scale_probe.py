@@ -165,17 +165,41 @@ def main() -> None:
         # bounded-weight-table claim broke
         "cls_score": lambda d: _cls_score(d),
         "cls_route": lambda d: _cls_route(d),
-        # the round-7 adaptive candidate stage (per-block in-plan cost
-        # routing): probed at threshold 0.9 so the CANDIDATE machinery —
-        # the part that changed — carries the work while the verify pair
-        # expansion (a declared single-node disk bound at t=0.2 past 60k
-        # docs, PERF-NOTES 29) stays probe-sized. At N× every block
-        # crosses the Σ C(df,2) cutoff and routes to the prefix branch.
-        "dedup_ngram_adaptive": lambda d: dedup.blocked_jaccard_pairs(
-            d, ["lang", "source"], threshold=0.9
-        ),
         # round-7 vectorized winnowing (numpy rolling hash, mapInPandas)
         "text_winnow": lambda d: text.winnow_fingerprints_arrow(d),
+    }
+    # the round-7 adaptive exact-Jaccard candidate stage probes on a
+    # SALTED replica corpus: plain replicate() makes every doc N identical
+    # copies, so any J≥t op is quadratic BY CONSTRUCTION (C(N,2) true
+    # pairs per doc — the probe would measure the corpus, not the
+    # operator). Prefixing each token with the replica id makes the N
+    # replicas disjoint token universes: the scaled corpus is exactly N
+    # independent copies of the base workload, the shape a growing real
+    # corpus has. Base gets the same transform at salt=0 so both sides
+    # pay identical tokenize/concat costs.
+    def _salt_tokens(d: DataFrame, salt) -> DataFrame:
+        return d.withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    text.tokens("text"),
+                    lambda t: F.concat(salt.cast("string"), F.lit("_"), t),
+                ),
+            ),
+        )
+
+    sim_ops = {
+        "dedup_ngram_adaptive": (
+            lambda: dedup.blocked_jaccard_pairs(
+                _salt_tokens(docs1, F.lit(0)), ["lang", "source"], threshold=0.2
+            ),
+            lambda: dedup.blocked_jaccard_pairs(
+                _salt_tokens(docsN, F.col("doc_id") % factor),
+                ["lang", "source"],
+                threshold=0.2,
+            ),
+        ),
     }
     fact_ops = {
         "worklog_rollup": lambda d: worklog_rollup_relational(
@@ -231,6 +255,18 @@ def main() -> None:
         pair = []
         run(lambda: fn(docs1), "base", pair)
         run(lambda: fn(docsN), "scaled", pair)
+        t1, tn = pair[0][1], pair[1][1]
+        print(json.dumps({
+            "op": name, "factor": factor, "t_base": round(t1, 2),
+            "t_scaled": round(tn, 2), "ratio": round(tn / t1, 2),
+            "per_row_ratio": round(tn / t1 / factor, 3),
+        }))
+    for name, (base_fn, scaled_fn) in sim_ops.items():
+        if only and name not in only:
+            continue
+        pair = []
+        run(base_fn, "base", pair)
+        run(scaled_fn, "scaled", pair)
         t1, tn = pair[0][1], pair[1][1]
         print(json.dumps({
             "op": name, "factor": factor, "t_base": round(t1, 2),
