@@ -860,21 +860,35 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 
 def q_e_gate(spark: SparkSession, sf: str) -> DataFrame:
     """E-GATE: the quality gate report (etl.js:249-278): counts before/after
-    a pruning step + loss%% + pass flag at the reference's 20%% threshold."""
+    a pruning step + loss%% + pass flag at the reference's 20%% threshold.
+
+    LAZY single-scan formulation (round 7): the report is one conditional
+    aggregation — the previous two eager ``.count()`` actions at
+    query-construction time scanned orders twice and ran inside bench's
+    timed window on every plan audit. Same IEEE double arithmetic as
+    ``quality.gates.loss_report`` (abs((after−before)/abs(before))·100),
+    so values hash-match the unchanged oracle. The driver-side
+    ``assert_loss_below`` abort API keeps its own eager semantics —
+    aborting IS an action."""
     orders = load(spark, sf, "orders")
-    pruned = orders.where(F.col("o_orderstatus") != "P")
-    before, after = orders.count(), pruned.count()
-    loss = loss_report(before, after)
-    passed = 1 if loss < 20.0 else 0
-    schema = T.StructType(
-        [
-            T.StructField("n_before", T.LongType()),
-            T.StructField("n_after", T.LongType()),
-            T.StructField("loss_pct", T.DoubleType()),
-            T.StructField("passed", T.IntegerType()),
-        ]
+    loss = F.abs(
+        (F.col("n_after") - F.col("n_before"))
+        / F.abs(F.col("n_before").cast("double"))
+        * F.lit(100.0)
     )
-    return spark.createDataFrame([(before, after, loss, passed)], schema)
+    return (
+        orders.agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.count(F.when(F.col("o_orderstatus") != "P", 1))
+            .cast("long")
+            .alias("n_after"),
+        )
+        .withColumn("loss_pct", loss)
+        .withColumn(
+            "passed",
+            F.when(F.col("loss_pct") < 20.0, F.lit(1)).otherwise(F.lit(0)).cast("int"),
+        )
+    )
 
 
 ORACLE_E_GATE = """
@@ -898,12 +912,16 @@ def q_e_isolate(spark: SparkSession, sf: str) -> DataFrame:
     orders = load(spark, sf, "orders").withColumn(
         "required_field", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
     )
-    ok, bad = validate_not_null(orders, ["required_field"])
-    return spark.createDataFrame(
-        [(ok.count(), bad.count())],
-        T.StructType(
-            [T.StructField("n_ok", T.LongType()), T.StructField("n_rejected", T.LongType())]
-        ),
+    # LAZY single-scan report (round 7): validate_not_null's split frames
+    # stay the write-path API; the COUNT report is one conditional agg
+    # instead of two eager .count() actions at query-construction time
+    return orders.agg(
+        F.count(F.when(F.col("required_field").isNotNull(), 1))
+        .cast("long")
+        .alias("n_ok"),
+        F.count(F.when(F.col("required_field").isNull(), 1))
+        .cast("long")
+        .alias("n_rejected"),
     )
 
 
