@@ -1066,10 +1066,16 @@ def fuzzy_pairs(
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("s_a", "s_b").alias("dist"),
+            # THRESHOLDED levenshtein (Spark ≥3.5): the banded algorithm
+            # touches ~len·(2k+1) cells instead of the full len² matrix
+            # and returns −1 past the threshold — at max_dist=2 on
+            # ~280-char docs that is ~50× less per-pair work, and every
+            # KEPT row's value equals the exact distance, so the oracle
+            # (full levenshtein + the same ≤ max_dist filter) is
+            # unchanged.
+            F.levenshtein("s_a", "s_b", int(max_dist)).alias("dist"),
         )
         .where(
-            (F.col("dist") <= max_dist)
-            & (F.lit(include_exact) | (F.col("dist") >= 1))
+            (F.col("dist") >= (0 if include_exact else 1))
         )
     )
