@@ -50,11 +50,18 @@ MAX_EXCHANGES = {
                           # join reuses the agg's (key, bucket) keying
     "SCD2-APPLY": 5,      # shared-key windows + current-join + close agg + union
     "DEDUP-EXACT": 1,     # fingerprint groupBy only
-    "DEDUP-NGRAM": 8,     # prefix-filtered (round 6, PERF-NOTES 25):
-                          # sizes agg + per-block df agg + doc-ordered
-                          # window + prefix self-join + candidate
-                          # distinct + 2 verify joins + final size join;
-                          # toks/sizes persist, so count by plan_id
+    "DEDUP-NGRAM": 13,    # ADAPTIVE candidate stage (round 7, PERF-NOTES
+                          # 31): the round-6 prefix plan (8 — sizes agg +
+                          # per-block df agg + doc window + prefix
+                          # self-join + candidate distinct + 2 verify
+                          # joins + final size join) + the block-cost agg
+                          # and the all-pairs BRANCH of the union (its
+                          # own self-join exchanges). Exactly one branch
+                          # carries rows per block at runtime; AQE no-ops
+                          # the empty side's exchanges, so the static
+                          # count grows but the executed shuffle bytes
+                          # don't. toks/sizes/df_tok persist → plan_id
+                          # count
     "DEDUP-MINHASH": 3,   # sig agg + banded self-join + verify
     "DEDUP-PRUNE": 2,     # final labels join + anti-join (loop rounds checkpointed)
     "DEDUP-SUBSTRING": 3, # gram agg + doc-keyed window (the rebuild agg and
@@ -103,10 +110,13 @@ MAX_EXCHANGES = {
                           # (all lang-cardinality, broadcast back) + the
                           # entry's presentation orderBy
     "MM-IMAGE": 0,        # mapInPandas decode, no shuffle
-    "PIPE-DOCS": 11,      # multi-op pipeline entry (dedup + quality +
-                          # prefix-filtered near-dup prune + embedding
-                          # join); s2/toks/sizes persist (21 exchanges
-                          # uncached), so count by plan_id
+    "PIPE-DOCS": 16,      # multi-op pipeline entry (dedup + quality +
+                          # ADAPTIVE near-dup prune + embedding join);
+                          # +5 over round 6 = the candidate stage's
+                          # block-cost agg + all-pairs union branch
+                          # (see DEDUP-NGRAM — AQE no-ops the empty
+                          # branch at runtime); s2/toks/sizes persist,
+                          # so count by plan_id
     "PIPE-EVENTS": 1,
     "SKETCH-HLL": 2,      # build agg + merge agg
     "SKETCH-THETA": 2,    # per-key sketch agg + sketch-side pairing
