@@ -1068,11 +1068,14 @@ def fuzzy_pairs(
             "id_b",
             # THRESHOLDED levenshtein (Spark ≥3.5): the banded algorithm
             # touches ~len·(2k+1) cells instead of the full len² matrix
-            # and returns −1 past the threshold — at max_dist=2 on
-            # ~280-char docs that is ~50× less per-pair work, and every
-            # KEPT row's value equals the exact distance, so the oracle
-            # (full levenshtein + the same ≤ max_dist filter) is
-            # unchanged.
+            # and returns −1 past the threshold; every KEPT row's value
+            # equals the exact distance, so the oracle (full levenshtein
+            # + the same ≤ max_dist filter) is unchanged. Measured at the
+            # sf1 dir: wall time is UNCHANGED (991 s vs 916 s on a ~1.2×
+            # slower host) — the blocked join's pair shuffle dominates,
+            # not the DP — but the per-pair cell count drops ~50× at
+            # max_dist=2, which is the term that grows with document
+            # length at production scale.
             F.levenshtein("s_a", "s_b", int(max_dist)).alias("dist"),
         )
         .where(
