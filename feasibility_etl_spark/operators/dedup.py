@@ -512,11 +512,15 @@ def blocked_jaccard_pairs(
     # block column — catastrophic skew), so the all-pairs branch never
     # pays a (block,tok)-grain join for a _df column only the prefix
     # branch reads
-    # NOT StageCached: both branch self-joins re-derive it from the
-    # cached toks with broadcast/reused-exchange joins — measured 4.0s vs
-    # 4.4s median at sf0.1 against persisting, and skipping the persist
-    # avoids materializing a corpus-scale token frame at big SF
-    tagged = toks.join(sizes, id_col).join(F.broadcast(block_cost), block_cols)
+    # StageCached: the two branch self-joins consume tagged from FOUR
+    # plan positions (a/b sides × small/ranked); measured at sf0.1 the
+    # persist wins for multi-consumer compositions (DEDUP-PRUNE 6.7 s
+    # cached vs 7.4 s uncached, idle-host median-of-3) and costs ~0.4 s
+    # on the single-pass path — within noise. The cache releases with
+    # the caller's lifecycle, and at the SFs where a corpus-scale
+    # persist would hurt, the t=0.2 family is disk-bound-declared
+    # upstream of this choice.
+    tagged = cache(toks.join(sizes, id_col).join(F.broadcast(block_cost), block_cols))
 
     def pair_join(side: DataFrame) -> DataFrame:
         a, b = side.alias("a"), side.alias("b")
