@@ -157,6 +157,19 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            if name not in oracles and name not in infeasible:
+                # rows-only entry: only the COUNT is recorded — never
+                # materialize the rows (the r6 sf1 sweep spent 19 min
+                # "on" DEDUP-MINHASH shipping its 27M candidate rows to
+                # the driver for a count; the engine produced them in
+                # 22 s)
+                n_rows_only = sdf.count()
+                rows_only += 1
+                print(
+                    f"[ROWS-ONLY] {name}: {n_rows_only} rows "
+                    f"({time.time()-t0:.1f}s)"
+                )
+                continue
             if os.environ.get("SPARK_GRAFT_STREAM_COLLECT") == "1":
                 # big-SF sweeps: collectToPython materializes the whole
                 # result in the driver JVM heap first — TEXT-ROWS at the
