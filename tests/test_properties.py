@@ -377,3 +377,101 @@ def test_substring_dedup_matches_python_model(spark, texts):
     }
     want = _py_substring_dedup(rows, k)
     assert got == want
+
+
+def _py_winnow(text: str, k: int = 8, w: int = 4) -> set[int]:
+    """Direct Python model of SWA winnowing with the engine's constants
+    (text.py WINNOW_BASE/WINNOW_MOD, rolling hash Σ code·B^j mod M)."""
+    B, M = 31, 1_000_000_007
+    s = text.lower()
+    if len(s) < k:
+        return set()
+    pows = [pow(B, j, M) for j in range(k)]
+    hashes = [
+        sum(ord(s[i + j]) * pows[j] for j in range(k)) % M
+        for i in range(len(s) - k + 1)
+    ]
+    if len(hashes) < w:
+        return {min(hashes)}
+    return {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
+
+
+_uni_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    min_size=0,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(st.lists(_uni_text, min_size=1, max_size=10))
+def test_winnow_arrow_rows_and_python_model_agree(spark, texts):
+    """The round-7 numpy serving path, the relational twin, and a direct
+    Python model of SWA winnowing produce the same (doc, fp) set over
+    arbitrary unicode — including sub-k docs, sub-window docs, and
+    non-ASCII codepoints (the UTF-32 vs F.ascii parity surface)."""
+    from feasibility_etl_spark.operators.text import (
+        winnow_fingerprints_arrow,
+        winnow_fingerprints_rows,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rel = {(r.doc_id, r.fp) for r in winnow_fingerprints_rows(df).collect()}
+    arw = {(r.doc_id, r.fp) for r in winnow_fingerprints_arrow(df).collect()}
+    want = {(i, fp) for i, t in rows for fp in _py_winnow(t)}
+    assert arw == rel == want
+
+
+def _py_blocked_jaccard(rows, threshold: float):
+    """Direct model: exact token-set Jaccard within (lang, source) blocks."""
+    out = set()
+    sets = {i: set(t.lower().split()) for i, _l, _s, t in rows}
+    for ai, al, as_, _ in rows:
+        for bi, bl, bs, _ in rows:
+            if ai >= bi or al != bl or as_ != bs:
+                continue
+            a, b = sets[ai], sets[bi]
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if j >= threshold:
+                out.add((ai, bi, round(j, 9)))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.sampled_from(["web", "book"]),
+            st.lists(_word, min_size=0, max_size=8).map(" ".join),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([0.2, 0.5]),
+)
+def test_adaptive_jaccard_matches_python_model_at_every_cutoff(
+    spark, docs, threshold
+):
+    """The round-7 adaptive candidate stage is EXACT whatever the routing:
+    pure all-pairs (cutoff ∞), pure prefix (cutoff 0), and a mid cutoff
+    all reproduce a direct Python model of within-block token-set Jaccard
+    on arbitrary corpora (empty docs, duplicate texts, singleton blocks)."""
+    from feasibility_etl_spark.operators.dedup import blocked_jaccard_pairs
+
+    rows = [(i, l, s, t) for i, (l, s, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    want = _py_blocked_jaccard(rows, threshold)
+    for cutoff in (0, 2, 10**18):
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard_sim, 9))
+            for r in blocked_jaccard_pairs(
+                df, ["lang", "source"], threshold=threshold,
+                allpairs_max_pairs=cutoff,
+            ).collect()
+        }
+        assert got == want, f"cutoff={cutoff}"
