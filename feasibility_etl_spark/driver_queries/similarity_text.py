@@ -19,6 +19,14 @@ def _parquet_rows(path: str) -> int:
         if os.path.isdir(path)
         else [path]
     )
+    if not files:
+        # an empty glob means the layout assumption broke (non-local
+        # path, renamed parts) — returning 0 here would SILENTLY flip
+        # data-dependent plan shapes to their small-corpus branch
+        raise FileNotFoundError(
+            f"no parquet part files found under {path!r}; cannot size "
+            "the table for the plan-shape switch"
+        )
     return sum(pq.read_metadata(f).num_rows for f in files)
 
 

@@ -91,12 +91,51 @@ class LinearTextModel(NamedTuple):
     as the consts row, set by the trainer) so scoring can resolve the
     feature space LAZILY — no 1-row collect at plan-build time — and
     fail fast on a caller-supplied mismatch instead of silently
-    re-hashing into a different space."""
+    re-hashing into a different space.
+
+    REHYDRATION: a model rebuilt from persisted frames must come through
+    :meth:`from_frames`, which reads the true training shape out of the
+    consts row — constructing the tuple directly from loaded frames
+    leaves the ints at their defaults and silently scores in the wrong
+    hashed feature space when training used a non-default shape."""
 
     weights: DataFrame
     consts: DataFrame
     num_buckets: int = 4096
     word_ngrams: int = 2
+
+    @classmethod
+    def from_frames(cls, weights: DataFrame, consts: DataFrame):
+        """Rehydrate from persisted (weights, consts) frames, populating
+        the feature-space ints from the consts row (ONE driver-side
+        collect of a 1-row frame — load time, not plan-build time)."""
+        return cls(
+            weights=weights,
+            consts=consts,
+            **_shape_from_consts(consts),
+        )
+
+
+def _shape_from_consts(consts: DataFrame) -> dict:
+    """Training shape out of a persisted consts frame (the authoritative
+    record — the trainer stamps num_buckets/word_ngrams into every row).
+    Raises when the frame predates the shape columns or is empty: a
+    guessed default is exactly the silent feature-space mismatch this
+    loader exists to prevent."""
+    if not {"num_buckets", "word_ngrams"} <= set(consts.columns):
+        raise ValueError(
+            "consts frame carries no num_buckets/word_ngrams columns — "
+            "retrain, or construct the model with the training shape "
+            "passed explicitly"
+        )
+    rows = consts.select("num_buckets", "word_ngrams").limit(1).collect()
+    if not rows:
+        raise ValueError("consts frame is empty; cannot resolve the "
+                         "training feature-space shape")
+    return {
+        "num_buckets": int(rows[0]["num_buckets"]),
+        "word_ngrams": int(rows[0]["word_ngrams"]),
+    }
 
 
 def _resolve_shape(
@@ -311,14 +350,23 @@ class RouterModel(NamedTuple):
     ``dense``: (bucket long, cls string, w_e9 long) — one weight per
     TRAINING-SEEN bucket per class, ≤ num_buckets × k rows → broadcast
     range for the small class counts routers serve (languages, domains,
-    source registries). ``consts``: k rows (cls, bias_e9, w_def_e9) —
-    per-class prior and unseen-bucket weight. The feature-space shape
-    rides as plain ints (see :class:`LinearTextModel`)."""
+    source registries). ``consts``: k rows (cls, bias_e9, w_def_e9,
+    num_buckets, word_ngrams) — per-class prior, unseen-bucket weight,
+    and the training feature-space shape stamped into every row. The
+    shape rides as plain ints too (see :class:`LinearTextModel`);
+    rehydrate persisted frames through :meth:`from_frames`."""
 
     dense: DataFrame
     consts: DataFrame
     num_buckets: int = 4096
     word_ngrams: int = 2
+
+    @classmethod
+    def from_frames(cls, dense: DataFrame, consts: DataFrame):
+        """Rehydrate from persisted (dense, consts) frames, populating
+        the feature-space ints from the consts rows (k-row frame, one
+        driver-side collect at load time)."""
+        return cls(dense=dense, consts=consts, **_shape_from_consts(consts))
 
 
 def train_router(
@@ -400,6 +448,8 @@ def train_router(
         )
         .cast("long")
         .alias("w_def_e9"),
+        F.lit(num_buckets).alias("num_buckets"),
+        F.lit(word_ngrams).alias("word_ngrams"),
     )
     # dense grid: every training-seen bucket × every class, missing
     # (bucket, class) pairs scoring cnt=0 through the same formula —
@@ -482,7 +532,9 @@ def route_score(
     )
     grid = (
         docs.select(id_col, n_feat.cast("long").alias("n_feat"))
-        .crossJoin(F.broadcast(router.consts))
+        .crossJoin(
+            F.broadcast(router.consts.select("cls", "bias_e9", "w_def_e9"))
+        )
         .join(known, [id_col, "cls"], "left")
         .select(
             id_col,

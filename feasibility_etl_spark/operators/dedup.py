@@ -415,6 +415,16 @@ def near_dup_pairs(
 #: key's task group, so the bound is per-task-group work, not per-node.
 ADAPTIVE_ALLPAIRS_MAX_PAIRS = 20_000_000
 
+#: Block-count bound for broadcasting the per-block routing table. One
+#: (block_cols…, cost-long) row per block ≈ tens of bytes, so 2M rows is
+#: ~100 MB on the driver — comfortably under a default 1 GiB driver but
+#: far above any sane blocking key (the repo's (lang, source) callers
+#: produce ~10²). Past the bound the routing table joins WITHOUT the
+#: hint and AQE picks the strategy from runtime stats — slower, but a
+#: caller who blocks on a near-unique key gets a working shuffle join
+#: instead of a driver OOM.
+MAX_BROADCAST_BLOCKS = 2_000_000
+
 
 def blocked_jaccard_pairs(
     df: DataFrame,
@@ -463,8 +473,12 @@ def blocked_jaccard_pairs(
     ADAPTIVE routing (round 7 — reclaims the 1.5-1.9× the unconditional
     prefix path cost at small SF while keeping the sf1 OOM→pass safety):
     each block's exact all-pairs join cost ``Σ_tok C(df,2)`` is computed
-    IN-PLAN from the (block, token) df table the prefix path needs anyway
-    — no driver-side action, no plan-time count. Blocks at or under
+    IN-PLAN from the (block, token) df table the prefix path needs anyway.
+    (Round 8: ONE bounded driver-side count over the block-grain routing
+    table gates its broadcast hint — see MAX_BROADCAST_BLOCKS — so this
+    builder is no longer fully lazy; the count materializes the
+    StageCached token stages the query's first action needed anyway.)
+    Blocks at or under
     ``allpairs_max_pairs`` route their tokens straight into the complete
     all-pairs join (any J ≥ t > 0 pair shares a token — complete); blocks
     above it pay the per-doc window + prefix join. A doc lives in exactly
@@ -506,12 +520,23 @@ def blocked_jaccard_pairs(
     block_cost = df_tok.groupBy(*block_cols).agg(
         F.sum(F.col("_df") * (F.col("_df") - 1) / 2).cast("long").alias("_cost")
     )
-    # routing rides at BLOCK grain — one (cost) row per block, broadcast
-    # by hint (block count ≪ doc count by blocking's construction; a
-    # shuffle here would re-key the whole token table by a ~100-value
-    # block column — catastrophic skew), so the all-pairs branch never
+    # routing rides at BLOCK grain — one (cost) row per block. Broadcast
+    # is the right strategy when block count ≪ doc count (blocking's
+    # construction for the repo's (lang, source) callers; a shuffle here
+    # would re-key the whole token table by a ~100-value block column —
+    # catastrophic skew), but block_cols are CALLER-controlled: blocking
+    # on a near-unique key makes this aggregate corpus-sized and the
+    # unconditional hint a driver/executor OOM. So the bound is
+    # MEASURED, not assumed: a limit-bounded count over block_cost
+    # (df_tok is StageCached — the work is the query's own first
+    # materialization, not an extra pass) gates the hint; past
+    # MAX_BROADCAST_BLOCKS the routing table joins unhinted and AQE
+    # picks the strategy from runtime stats. The all-pairs branch never
     # pays a (block,tok)-grain join for a _df column only the prefix
-    # branch reads
+    # branch reads.
+    n_blocks = block_cost.limit(MAX_BROADCAST_BLOCKS + 1).count()
+    if n_blocks <= MAX_BROADCAST_BLOCKS:
+        block_cost = F.broadcast(block_cost)
     # StageCached: the two branch self-joins consume tagged from FOUR
     # plan positions (a/b sides × small/ranked); measured at sf0.1 the
     # persist wins for multi-consumer compositions (DEDUP-PRUNE 6.7 s
@@ -520,7 +545,7 @@ def blocked_jaccard_pairs(
     # the caller's lifecycle, and at the SFs where a corpus-scale
     # persist would hurt, the t=0.2 family is disk-bound-declared
     # upstream of this choice.
-    tagged = cache(toks.join(sizes, id_col).join(F.broadcast(block_cost), block_cols))
+    tagged = cache(toks.join(sizes, id_col).join(block_cost, block_cols))
 
     def pair_join(side: DataFrame) -> DataFrame:
         a, b = side.alias("a"), side.alias("b")

@@ -310,8 +310,15 @@ def winnow_fingerprints_arrow(
                 n = len(s)
                 if n < k:
                     continue
+                # surrogatepass: a lone surrogate (possible via
+                # createDataFrame from raw Python strings; impossible
+                # through parquet/Arrow, which enforce valid UTF-8)
+                # encodes as its own codepoint instead of raising and
+                # failing the whole job — matching ord()/F.ascii
+                # semantics of "codepoint of the char as stored"
                 codes = np.frombuffer(
-                    s.encode("utf-32-le"), dtype=np.uint32
+                    s.encode("utf-32-le", errors="surrogatepass"),
+                    dtype=np.uint32,
                 ).astype(np.int64)
                 nh = n - k + 1
                 h = np.zeros(nh, dtype=np.int64)

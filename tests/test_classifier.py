@@ -341,3 +341,57 @@ def test_router_null_class_excluded_from_training(spark, route_df):
     dense, *_ = _py_router(no_null, num_buckets=4096)
     got = {(r["bucket"], r["cls"]): r["w_e9"] for r in router.dense.collect()}
     assert set(got) == set(dense)
+
+
+# ------------------------------------------------- persisted-frame rehydration
+
+
+def test_from_frames_restores_nondefault_shape(spark, fixture_df, tmp_path):
+    """Round-8 ADVICE fix: a model rehydrated from persisted frames via
+    from_frames scores in the TRAINING feature space even when that
+    shape is non-default — constructing the tuple directly would leave
+    the ints at 4096/2 and silently re-hash."""
+    from feasibility_etl_spark.operators.classifier import LinearTextModel
+
+    model = train_log_odds(fixture_df, "label", num_buckets=B, word_ngrams=1)
+    wp, cp = str(tmp_path / "w"), str(tmp_path / "c")
+    model.weights.write.parquet(wp)
+    model.consts.write.parquet(cp)
+    loaded = LinearTextModel.from_frames(
+        spark.read.parquet(wp), spark.read.parquet(cp)
+    )
+    assert loaded.num_buckets == B and loaded.word_ngrams == 1
+    want = {r["doc_id"]: r["logit_e9"]
+            for r in classifier_score(fixture_df, model).collect()}
+    got = {r["doc_id"]: r["logit_e9"]
+           for r in classifier_score(fixture_df, loaded).collect()}
+    assert got == want
+
+
+def test_router_from_frames_restores_shape(spark, route_df, tmp_path):
+    from feasibility_etl_spark.operators.classifier import RouterModel
+
+    router = train_router(route_df, "lang", num_buckets=B, word_ngrams=1)
+    dp, cp = str(tmp_path / "d"), str(tmp_path / "c")
+    router.dense.write.parquet(dp)
+    router.consts.write.parquet(cp)
+    loaded = RouterModel.from_frames(
+        spark.read.parquet(dp), spark.read.parquet(cp)
+    )
+    assert loaded.num_buckets == B and loaded.word_ngrams == 1
+    want = {r["doc_id"]: (r["cls"], r["logit_e9"])
+            for r in route_score(route_df, router).collect()}
+    got = {r["doc_id"]: (r["cls"], r["logit_e9"])
+           for r in route_score(route_df, loaded).collect()}
+    assert got == want
+
+
+def test_from_frames_rejects_shapeless_consts(spark, fixture_df):
+    """A consts frame that predates the shape columns must fail loudly,
+    not default to 4096/2."""
+    from feasibility_etl_spark.operators.classifier import LinearTextModel
+
+    model = train_log_odds(fixture_df, "label", num_buckets=B)
+    legacy = model.consts.select("bias_e9", "w_default_e9")
+    with pytest.raises(ValueError, match="num_buckets"):
+        LinearTextModel.from_frames(model.weights, legacy)

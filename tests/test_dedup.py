@@ -73,6 +73,29 @@ def test_blocked_jaccard_matches_set_math(spark):
     assert out[(1, 2)] == 1.0
 
 
+def test_blocked_jaccard_unhinted_fallback_same_result(spark, monkeypatch):
+    """Round-8 ADVICE fix: past MAX_BROADCAST_BLOCKS the routing table
+    joins WITHOUT the broadcast hint (AQE decides) instead of
+    broadcasting an unbounded per-block aggregate. Forcing the bound to
+    0 exercises the fallback branch; results must be bit-identical."""
+    from feasibility_etl_spark.operators import dedup as dedup_mod
+
+    hinted = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in blocked_jaccard_pairs(
+            docs(spark), ["lang", "source"], threshold=0.1
+        ).collect()
+    }
+    monkeypatch.setattr(dedup_mod, "MAX_BROADCAST_BLOCKS", 0)
+    unhinted = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in blocked_jaccard_pairs(
+            docs(spark), ["lang", "source"], threshold=0.1
+        ).collect()
+    }
+    assert unhinted == hinted and hinted
+
+
 def test_simhash_buckets_exact_dups(spark):
     cands = {(r.id_a, r.id_b) for r in simhash_candidates(docs(spark)).collect()}
     assert (1, 2) in cands  # identical text → identical signature → all bands match

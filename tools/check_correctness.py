@@ -157,18 +157,26 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            if name not in oracles and name not in infeasible:
-                # rows-only entry: only the COUNT is recorded — never
-                # materialize the rows (the r6 sf1 sweep spent 19 min
-                # "on" DEDUP-MINHASH shipping its 27M candidate rows to
-                # the driver for a count; the engine produced them in
-                # 22 s)
+            if name not in oracles:
+                # rows-only entry (no oracle, or the oracle was dropped
+                # as declared-infeasible above): only the COUNT is
+                # recorded — never materialize the rows (the r6 sf1
+                # sweep spent 19 min "on" DEDUP-MINHASH shipping its
+                # 27M candidate rows to the driver for a count; the
+                # engine produced them in 22 s)
                 n_rows_only = sdf.count()
                 rows_only += 1
-                print(
-                    f"[ROWS-ONLY] {name}: {n_rows_only} rows "
-                    f"({time.time()-t0:.1f}s)"
-                )
+                if name in infeasible:
+                    print(
+                        f"[OOM-ORACLE] {name}: {n_rows_only} spark rows "
+                        f"({time.time()-t0:.1f}s); declared infeasible "
+                        f"bound: {infeasible[name]}"
+                    )
+                else:
+                    print(
+                        f"[ROWS-ONLY] {name}: {n_rows_only} rows "
+                        f"({time.time()-t0:.1f}s)"
+                    )
                 continue
             if os.environ.get("SPARK_GRAFT_STREAM_COLLECT") == "1":
                 # big-SF sweeps: collectToPython materializes the whole
@@ -222,19 +230,6 @@ def main() -> int:
             failures.append((name, f"SPARK ERROR: {type(e).__name__}: {root}"))
             print(f"[FAIL] {name}: spark error: {root}")
             sys.stderr.write(f"[FAIL-DETAIL] {name}:\n{msg}\n")
-            continue
-        if name not in oracles:
-            if name in infeasible:
-                rows_only += 1
-                print(
-                    f"[OOM-ORACLE] {name}: {len(srows)} spark rows "
-                    f"({time.time()-t0:.1f}s); declared infeasible bound: "
-                    f"{infeasible[name]}"
-                )
-                continue
-            status = "ROWS-ONLY"
-            rows_only += 1
-            print(f"[{status}] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
             cur = con.execute(oracles[name])
