@@ -117,20 +117,45 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def run_query_med(spark, name: str, sf_dir: str, tracker=None) -> float:
-    """Median of BENCH_REPS; the LAST rep (warm caches, steady plan) is
-    the one whose job metrics land in the tracker."""
+def run_query_med(
+    spark, name: str, sf_dir: str, tracker=None
+) -> tuple[float, list[float]]:
+    """(median, per-rep raw times) of BENCH_REPS; the LAST rep (warm
+    caches, steady plan) is the one whose job metrics land in the
+    tracker. The raw reps ride to BENCH_DETAIL so a poisoned single rep
+    (host drift, GC pause) is distinguishable from a real regression —
+    the r7 corpus-dsir record was a 20× outlier nothing could explain
+    because only the median survived."""
     reps = [run_query(spark, name, sf_dir) for _ in range(BENCH_REPS - 1)]
     reps.append(run_query(spark, name, sf_dir, tracker=tracker))
-    return _median(reps)
+    return _median(reps), [round(r, 3) for r in reps]
 
 
-def run_stream_med(fn, spark, sf_dir: str) -> tuple[float, int]:
+def run_stream_med(fn, spark, sf_dir: str) -> tuple[float, int, list[float]]:
     """Median-of-reps for the streaming entries (each rep is a full
-    stage→stream→drain cycle; row count is constant across reps)."""
+    stage→stream→drain cycle; row count is constant across reps).
+    Returns (median_sec, rows, per-rep raw secs)."""
     runs = [fn(spark, sf_dir) for _ in range(BENCH_REPS)]
     sec = _median([s for s, _ in runs])
-    return sec, runs[0][1]
+    return sec, runs[0][1], [round(s, 3) for s, _ in runs]
+
+
+def isolate_entry(spark) -> None:
+    """Inter-entry isolation (round 8, VERDICT r7 item 1b): a poisoned
+    predecessor must not inflate its successor. Python gc.collect()
+    fires the StageCache weakref finalizers (unpersisting any cached
+    stages whose owning result frame just went unreachable),
+    clearCache() drops anything still pinned, and a JVM System.gc()
+    nudges ContextCleaner to reap dead shuffle files and broadcast
+    blocks between entries. Runs OUTSIDE every timed window."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — isolation must never fail the bench
+        pass
 
 
 def run_stream_bench(spark, sf_dir: str) -> tuple[float, int]:
@@ -388,7 +413,10 @@ def run_exact_gate_10x_bench(spark, sf_dir: str) -> tuple[float, int]:
 #: is the bloom probe + CollectMetrics in the write plan and ~0.1 s/batch
 #: of driver bookkeeping, breakdown in PERF-NOTES 33). 0.65 flags a
 #: structural regression (a new per-batch job/index scan drops the ratio
-#: to ~0.5) without tripping on noise.
+#: to ~0.5) without tripping on noise. Round 8: gate and floor reps are
+#: INTERLEAVED (g f g f …) and the recorded ratio is the median of the
+#: per-pair ratios, so a drifting host inflates both sides of every
+#: pair equally and the bar measures the gate, not the weather.
 EXACT_GATE_FLOOR_FRACTION = 0.65
 
 
@@ -877,11 +905,13 @@ def main() -> None:
 
     tracker = JobMetricsTracker(spark)
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
+        isolate_entry(spark)
         try:
-            timings[name.lower()] = round(
-                run_query_med(spark, name, sf_dir, tracker=tracker), 3
-            )
+            med, reps = run_query_med(spark, name, sf_dir, tracker=tracker)
+            timings[name.lower()] = round(med, 3)
+            rep_times[name.lower()] = reps
         except Exception as e:  # noqa: BLE001
             timings[name.lower()] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
@@ -911,12 +941,7 @@ def main() -> None:
             run_dedup_gate_10x_bench,
             "stream_dedup_gate_10x_rows_per_sec",
         ),
-        ("stream-exact-gate", run_exact_gate_bench, "stream_exact_gate_rows_per_sec"),
-        (
-            "stream-exact-gate-floor",
-            run_exact_gate_floor_bench,
-            "stream_exact_gate_floor_rows_per_sec",
-        ),
+        ("stream-exact-gate", None, "stream_exact_gate_rows_per_sec"),
         (
             "stream-exact-gate-10x",
             run_exact_gate_10x_bench,
@@ -929,28 +954,61 @@ def main() -> None:
             "stream_decontam_gate_rows_per_sec",
         ),
     ]
-    rates: dict[str, int | None] = {}
+    rates: dict[str, int | float | None] = {}
     for entry_name, fn, rate_key in stream_entries:
+        isolate_entry(spark)
+        if entry_name == "stream-exact-gate":
+            # INTERLEAVED gate/floor measurement (VERDICT r7 item 1c):
+            # each gate rep is immediately followed by a floor rep, so
+            # every per-pair ratio compares two runs seconds apart under
+            # the same ambient conditions — host drift that poisons a
+            # whole block of reps (the r7 record's 0.634-vs-0.687 split
+            # between driver and builder runs) cancels out of the ratio.
+            # The health metric is the MEDIAN PER-PAIR RATIO, not the
+            # ratio of independently-measured medians.
+            try:
+                g_runs, f_runs = [], []
+                for _ in range(BENCH_REPS):
+                    g_runs.append(run_exact_gate_bench(spark, sf_dir))
+                    f_runs.append(run_exact_gate_floor_bench(spark, sf_dir))
+                g_sec = _median([s for s, _ in g_runs])
+                f_sec = _median([s for s, _ in f_runs])
+                g_n, f_n = g_runs[0][1], f_runs[0][1]
+                timings["stream-exact-gate"] = round(g_sec, 3)
+                timings["stream-exact-gate-floor"] = round(f_sec, 3)
+                rep_times["stream-exact-gate"] = [round(s, 3) for s, _ in g_runs]
+                rep_times["stream-exact-gate-floor"] = [
+                    round(s, 3) for s, _ in f_runs
+                ]
+                rates["stream_exact_gate_rows_per_sec"] = round(g_n / g_sec)
+                rates["stream_exact_gate_floor_rows_per_sec"] = round(
+                    f_n / f_sec
+                )
+                ratios = [
+                    (g_n / gs) / (f_n / fs)
+                    for (gs, _), (fs, _) in zip(g_runs, f_runs)
+                ]
+                vs_floor = round(_median(ratios), 3)
+                rates["stream_exact_gate_vs_floor"] = vs_floor
+                if vs_floor < EXACT_GATE_FLOOR_FRACTION:
+                    print(
+                        f"bench exact-gate below floor bar: {vs_floor} < "
+                        f"{EXACT_GATE_FLOOR_FRACTION} (median per-pair "
+                        f"ratio, {BENCH_REPS} interleaved pairs)",
+                        file=sys.stderr,
+                    )
+            except Exception as e:  # noqa: BLE001
+                print(f"bench error stream-exact-gate: {e}", file=sys.stderr)
+            continue
         sec, n = -1.0, 0
         try:
-            sec, n = run_stream_med(fn, spark, sf_dir)
+            sec, n, reps = run_stream_med(fn, spark, sf_dir)
             sec = round(sec, 3)
+            rep_times[entry_name] = reps
         except Exception as e:  # noqa: BLE001
             print(f"bench error {entry_name}: {e}", file=sys.stderr)
         timings[entry_name] = sec
         rates[rate_key] = round(n / sec) if sec > 0 else None
-    # floor-relative exact-gate health (PERF-NOTES 33): the bar is
-    # EXACT_GATE_FLOOR_FRACTION of the measured harness floor
-    gate = rates.get("stream_exact_gate_rows_per_sec")
-    floor = rates.get("stream_exact_gate_floor_rows_per_sec")
-    if gate and floor:
-        rates["stream_exact_gate_vs_floor"] = round(gate / floor, 3)
-        if gate < EXACT_GATE_FLOOR_FRACTION * floor:
-            print(
-                f"bench exact-gate below floor bar: {gate} < "
-                f"{EXACT_GATE_FLOOR_FRACTION} x {floor}",
-                file=sys.stderr,
-            )
 
     # ANN recall@10 vs brute-force truth — deterministic (fixed seeds +
     # corpus), so one rep; floors pin each tier (ANN_RECALL_FLOORS)
@@ -987,6 +1045,7 @@ def main() -> None:
         "unit": "sec",
         "reps": BENCH_REPS,
         "queries": timings,
+        "rep_times": rep_times,
         "plan_metrics": plan_metrics,
         "ann_curve": ann_curve,
         "sf": sf,
