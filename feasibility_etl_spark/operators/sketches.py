@@ -389,6 +389,17 @@ def bloom_build(
     shuffle carries at most ``m_bits/32`` rows per key, never the data),
     and the dense word array assembles from the sparse survivors. An empty
     input yields the all-zeros filter.
+
+    Dense assembly is SEGMENTED (round 8): the round-7 shape
+    collect_list'd + array_sort'd all ``m_bits/32`` word structs on ONE
+    task, a term the profile measured LINEAR IN M on a single thread
+    (0.8 s at 2^18 → 9.3 s at 2^28, tools/profile_bloom_bigeval.py) —
+    and the ~10 bits/gram sizing contract ties m to the eval-set size,
+    so big blocklists paid it. Now words group into 4096-word segments
+    first: each segment sorts its own structs in a PARALLEL task, and
+    the final per-key task only sorts ``m/32/4096`` (segment, array)
+    pairs and flattens — the serial tail drops from O(m log m) struct
+    sort to an O(m) array concat.
     """
     if m_bits & (m_bits - 1):
         raise ValueError("m_bits must be a power of two")
@@ -409,10 +420,11 @@ def bloom_build(
         .agg(F.bit_or("_m").alias("_word"))
     )
     # dense assembly: union an all-zeros word table so every index exists,
-    # then sort-and-strip — NOT element_at over a map inside a transform,
-    # whose interpreted per-slot map lookup is O(words) (O(words²) per
-    # filter; measured ~3s of the build at 8K words)
+    # then segment-sort-and-strip — NOT element_at over a map inside a
+    # transform, whose interpreted per-slot map lookup is O(words)
+    # (O(words²) per filter; measured ~3s of the build at 8K words)
     n_words = m_bits // 32
+    seg_bits = 12  # 4096 words (16 KB) per segment task
     zeros = df.sparkSession.range(n_words).select(
         F.col("id").alias("_w"), F.lit(0).cast("long").alias("_word")
     )
@@ -424,16 +436,29 @@ def bloom_build(
         .groupBy(*keys, "_w")
         .agg(F.bit_or("_word").alias("_word"))
     )
-    packed = F.array_sort(
-        F.collect_list(F.struct(F.col("_w"), F.col("_word")))
-    ).alias("_ws")
-    agged = (
-        dense_words.groupBy(*keys).agg(packed) if keys else dense_words.agg(packed)
+    segs = (
+        dense_words.withColumn("_s", F.shiftright(F.col("_w"), seg_bits))
+        .groupBy(*keys, "_s")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_w"), F.col("_word")))
+            ).alias("_sw")
+        )
+        .select(
+            *keys,
+            "_s",
+            F.transform(F.col("_sw"), lambda s: s.getField("_word")).alias(
+                "_seg"
+            ),
+        )
     )
-    return agged.select(
-        *keys,
-        F.transform(F.col("_ws"), lambda s: s.getField("_word")).alias(bloom_col),
-    )
+    packed = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_s"), F.col("_seg")))),
+            lambda s: s.getField("_seg"),
+        )
+    ).alias(bloom_col)
+    return segs.groupBy(*keys).agg(packed) if keys else segs.agg(packed)
 
 
 def bloom_merge(
