@@ -31,7 +31,7 @@ def q_pipe_docs(spark: SparkSession, sf: str) -> DataFrame:
     # through one cache whose lifetime is the returned frame's
     s2 = shared(s1.where(quality_score("text") >= 0.5))
     pairs = blocked_jaccard_pairs(s2, ["lang", "source"], threshold=0.6,
-                                  cache=shared)
+                                  cache=shared, broadcast_routing=True)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     s3 = s2.join(losers, "doc_id", "left_anti")
     has_emb = emb.select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("_he"))
@@ -676,7 +676,7 @@ def q_pipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
     d3 = shared(exact_dedup(d2))
     pairs = blocked_jaccard_pairs(d3, ["lang", "source"], threshold=0.2,
-                                  cache=shared)
+                                  cache=shared, broadcast_routing=True)
     d4 = prune_components(d3, pairs)
     d5 = shared(bloom_decontaminate(d4, raw.where(F.col("doc_id") % 97 == 0)))
     w = shared(dsir_weights(d5, raw.where(F.col("doc_id") % 101 == 0)))

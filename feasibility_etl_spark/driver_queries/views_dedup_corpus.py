@@ -373,7 +373,8 @@ def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     per-pair array intersects), with a full SQL oracle (MinHash candidates
     are checked rows-only)."""
     return blocked_jaccard_pairs(
-        load(spark, sf, "documents"), ["lang", "source"], threshold=0.2
+        load(spark, sf, "documents"), ["lang", "source"], threshold=0.2,
+        broadcast_routing=True,  # (lang, source): ~10^2 blocks by construction
     )
 
 
@@ -436,7 +437,8 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     n-gram pairs so the DuckDB oracle can recompute the same graph with a
     recursive CTE + min-over-reachable-set."""
     pairs = blocked_jaccard_pairs(
-        load(spark, sf, "documents"), ["lang", "source"], threshold=0.2
+        load(spark, sf, "documents"), ["lang", "source"], threshold=0.2,
+        broadcast_routing=True,  # (lang, source): ~10^2 blocks by construction
     )
     return connected_components(pairs)
 
@@ -474,7 +476,8 @@ def q_dedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     component, unpaired docs untouched). Composes blocked n-gram pairs →
     connected components → anti-join, all with DuckDB-recomputable math."""
     docs = load(spark, sf, "documents")
-    pairs = blocked_jaccard_pairs(docs, ["lang", "source"], threshold=0.2)
+    pairs = blocked_jaccard_pairs(docs, ["lang", "source"], threshold=0.2,
+                                  broadcast_routing=True)
     return prune_components(docs, pairs).select("doc_id", "lang", "source")
 
 
@@ -516,7 +519,8 @@ def q_dedup_prune_best(spark: SparkSession, sf: str) -> DataFrame:
     oracle: the same recursive component search plus a per-component
     argmax window."""
     docs = load(spark, sf, "documents")
-    pairs = blocked_jaccard_pairs(docs, ["lang", "source"], threshold=0.2)
+    pairs = blocked_jaccard_pairs(docs, ["lang", "source"], threshold=0.2,
+                                  broadcast_routing=True)
     return prune_components(docs, pairs, score_col="n_chars").select(
         "doc_id", "lang", "source", "n_chars"
     )

@@ -434,6 +434,7 @@ def blocked_jaccard_pairs(
     threshold: float = 0.2,
     cache: "StageCache | None" = None,
     allpairs_max_pairs: int = ADAPTIVE_ALLPAIRS_MAX_PAIRS,
+    broadcast_routing: bool | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard pairs within blocking groups — relationally,
     ADAPTIVE per block: cheap blocks take the all-pairs token join, blocks
@@ -527,15 +528,23 @@ def blocked_jaccard_pairs(
     # catastrophic skew), but block_cols are CALLER-controlled: blocking
     # on a near-unique key makes this aggregate corpus-sized and the
     # unconditional hint a driver/executor OOM. So the bound is
-    # MEASURED, not assumed: a limit-bounded count over block_cost
-    # (df_tok is StageCached — the work is the query's own first
-    # materialization, not an extra pass) gates the hint; past
-    # MAX_BROADCAST_BLOCKS the routing table joins unhinted and AQE
-    # picks the strategy from runtime stats. The all-pairs branch never
-    # pays a (block,tok)-grain join for a _df column only the prefix
-    # branch reads.
-    n_blocks = block_cost.limit(MAX_BROADCAST_BLOCKS + 1).count()
-    if n_blocks <= MAX_BROADCAST_BLOCKS:
+    # MEASURED, not assumed — unless the caller settles it:
+    # ``broadcast_routing=True`` asserts "my block key is low-
+    # cardinality" (the repo's own (lang, source) callers — skips the
+    # measuring job and keeps the builder fully lazy), ``False`` never
+    # hints, and the ``None`` default runs a limit-bounded count over
+    # block_cost (df_tok is StageCached — the work is the query's own
+    # first materialization, not an extra pass) and hints only under
+    # MAX_BROADCAST_BLOCKS; past it the routing table joins unhinted
+    # and AQE picks the strategy from runtime stats. The all-pairs
+    # branch never pays a (block,tok)-grain join for a _df column only
+    # the prefix branch reads.
+    if broadcast_routing is None:
+        broadcast_routing = (
+            block_cost.limit(MAX_BROADCAST_BLOCKS + 1).count()
+            <= MAX_BROADCAST_BLOCKS
+        )
+    if broadcast_routing:
         block_cost = F.broadcast(block_cost)
     # StageCached: the two branch self-joins consume tagged from FOUR
     # plan positions (a/b sides × small/ranked); measured at sf0.1 the
