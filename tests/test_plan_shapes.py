@@ -81,9 +81,12 @@ MAX_EXCHANGES = {
                           # gram stream shuffles as (id, md5) pairs only)
                           # + the entry's presentation orderBy
     "CORPUS-DECONTAM": 2, # gram explode + semi-join (eval side broadcast)
-    "CORPUS-DECONTAM-BLOOM": 6,  # exact's 2 (eval-gram distinct +
+    "CORPUS-DECONTAM-BLOOM": 7,  # exact's 2 (eval-gram distinct +
                           # contaminated distinct) + the bloom build's aggs
-                          # (word bit_or, dense union agg, 1-row pack) — all
+                          # (word bit_or, dense union agg, round-8 segment
+                          # agg — the PARALLEL per-segment sort that replaced
+                          # the single-task m/32-struct sort, PERF-NOTES 36 —
+                          # and 1-row pack) — all
                           # eval-scale; the corpus gram stream meets only a
                           # broadcast filter + broadcast semi-join (pinned
                           # below)
