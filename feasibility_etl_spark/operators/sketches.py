@@ -546,11 +546,20 @@ def bloom_decontaminate(
     probes per gram, CSE intact — NOT a higher-order-function lambda,
     which evaluates interpreted without CSE and measured 3x slower), and
     only the surviving suspects (true hits + ~1e-4 false positives at
-    benchmark-sized eval sets) reach the exact string semi-join, whose
-    broadcast is now suspect-sized. No false negatives ⇒ every truly
-    contaminated gram survives the prefilter ⇒ output == exact output,
-    with exactness never resting on md5 collision-freedom (the final
-    join compares gram STRINGS).
+    benchmark-sized eval sets) reach the exact string semi-join. No
+    false negatives ⇒ every truly contaminated gram survives the
+    prefilter ⇒ output == exact output, with exactness never resting on
+    md5 collision-freedom (the final join compares gram STRINGS).
+
+    The exact semi-join carries NO broadcast hint (round 8): its build
+    side is the FULL eval gram relation — the very table whose
+    broadcast-stops-fitting cliff this operator exists to dodge — so a
+    static hint would reintroduce the cliff for the verify stage once
+    the blocklist outgrows executor memory. Both join inputs here are
+    modest (suspects ≈ true hits + FPR·corpus; eval grams ≈ blocklist),
+    so AQE broadcasts from runtime stats while eval is small and falls
+    back to a suspect-sized shuffle join when it is not — the decision
+    rides the data, not an assumption.
     """
     from .dedup import shingles
 
@@ -566,7 +575,7 @@ def bloom_decontaminate(
         .drop("bloom")
     )
     contaminated = (
-        suspects.join(F.broadcast(eval_grams), "_g", "left_semi")
+        suspects.join(eval_grams, "_g", "left_semi")
         .select(id_col)
         .distinct()
     )
