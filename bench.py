@@ -428,6 +428,21 @@ def run_exact_gate_10x_bench(spark, sf_dir: str) -> tuple[float, int]:
 #: comfortably below 0.60 — so detection power is unchanged.
 EXACT_GATE_FLOOR_FRACTION = 0.60
 
+#: The SAME bar for the BLOCKWISE methodology (tools/gate_floor.py:
+#: gate and floor measured as independent block medians, NOT
+#: interleaved pairs). 0.60 above was re-calibrated specifically for
+#: the interleaved per-pair-ratio instrument, whose pairing cancels
+#: host drift; a blockwise ratio keeps the drift term, but that term
+#: INFLATES noise rather than excusing regressions — so the blockwise
+#: bar stays at the pre-r8 0.65 (its calibration, PERF-NOTES 33) and
+#: any blockwise reading below it warrants an interleaved re-measure
+#: before being treated as a regression. Bar-change discipline for
+#: BOTH constants: see COVERAGE.md "Bar-change rule" (a bar may only
+#: move alongside the measured healthy-code distribution AND the
+#: regression-class signature, with the old bar's verdict on the
+#: current record stated — PERF-NOTES 39 is the template).
+EXACT_GATE_FLOOR_FRACTION_BLOCKWISE = 0.65
+
 
 def run_exact_gate_floor_bench(spark, sf_dir: str) -> tuple[float, int]:
     """The exact gate's harness floor: the SAME 4-trigger stream shape as
@@ -997,6 +1012,16 @@ def main() -> None:
             # between driver and builder runs) cancels out of the ratio.
             # The health metric is the MEDIAN PER-PAIR RATIO, not the
             # ratio of independently-measured medians.
+            #
+            # Pre-seed the failure sentinels (r8 ADVICE): an exception
+            # anywhere in the interleaved block must leave the same
+            # -1.0/None failure shape every other stream entry records,
+            # or round-over-round record diffing loses the marker.
+            timings["stream-exact-gate"] = -1.0
+            timings["stream-exact-gate-floor"] = -1.0
+            rates["stream_exact_gate_rows_per_sec"] = None
+            rates["stream_exact_gate_floor_rows_per_sec"] = None
+            rates["stream_exact_gate_vs_floor"] = None
             try:
                 # one UNTIMED warm-up pair: the first gate rep carries
                 # the family's cold costs (checkpoint dir creation, state

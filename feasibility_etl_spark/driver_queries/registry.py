@@ -654,6 +654,27 @@ ORACLE_COMPUTE_BOUNDS["DEDUP-SUBSTRING"] = (
     60000,
     "token-span-replay oracle exceeds host memory past ~60k docs",
 )
+# Discovered during the r8 sf1 sweep (recorded ad hoc there; declared
+# up front since r9 per the r8 verdict): BPE-ENCODE's oracle replays
+# iterative pair-merge over a per-doc token CTE and TEXT-TFIDF's
+# replays the (doc, term) tf/df/rank chain — both exceeded DuckDB's
+# 64 GB memory_limit at the 500k-doc dir while the ENGINE sides
+# completed (BPE 500k rows; tfidf shuffles (doc, term) pairs only).
+# Full-oracle stands at sf0.01/sf0.1 (≤5k docs).
+ORACLE_COMPUTE_BOUNDS.update({
+    "BPE-ENCODE": (
+        "SELECT COUNT(*) FROM documents",
+        60000,
+        "iterative pair-merge replay exceeds 64 GB DuckDB limit past "
+        "~60k docs (measured OOM at 500k, r8 sweep)",
+    ),
+    "TEXT-TFIDF": (
+        "SELECT COUNT(*) FROM documents",
+        60000,
+        "(doc, term) tf/df/rank replay exceeds 64 GB DuckDB limit past "
+        "~60k docs (measured OOM at 500k, r8 sweep)",
+    ),
+})
 
 #: ENGINE-side declared bounds: entries whose SPARK plan is exact and
 #: cluster-scalable but exceeds ONE NODE's shuffle disk past the bound.

@@ -477,8 +477,26 @@ def blocked_jaccard_pairs(
     IN-PLAN from the (block, token) df table the prefix path needs anyway.
     (Round 8: ONE bounded driver-side count over the block-grain routing
     table gates its broadcast hint — see MAX_BROADCAST_BLOCKS — so this
-    builder is no longer fully lazy; the count materializes the
-    StageCached token stages the query's first action needed anyway.)
+    builder is no longer fully lazy under the default. Round 9: the
+    routing table itself is StageCached, so that count IS the query's
+    first materialization — the persists it populates, toks/df_tok/
+    block_cost, are exactly the stages the first action needed; the r8
+    shape re-aggregated df_tok a second time and cost ×100 per-row
+    0.22 → 0.367, PERF-NOTES 38/40.)
+
+    Parameters of note:
+
+    - ``broadcast_routing`` — ``None`` (default) RUNS A SPARK JOB AT
+      PLAN-CONSTRUCTION TIME (a ``limit(MAX_BROADCAST_BLOCKS+1).count()``
+      over the StageCached routing table) to decide the broadcast hint;
+      callers building plans lazily must pass ``True`` (asserts a
+      low-cardinality block key; fully lazy, hint applied) or ``False``
+      (fully lazy, never hints — AQE decides from runtime stats). If
+      the measuring job fails, a self-managed cache releases its
+      persists before the error propagates.
+    - ``cache`` — pass a composition-owned :class:`StageCache` to tie
+      persist lifetimes to the outer pipeline; otherwise a self-managed
+      cache releases when the returned frame becomes unreachable.
     Blocks at or under
     ``allpairs_max_pairs`` route their tokens straight into the complete
     all-pairs join (any J ≥ t > 0 pair shares a token — complete); blocks
@@ -518,8 +536,12 @@ def blocked_jaccard_pairs(
     df_tok = cache(
         toks.groupBy(*block_cols, "tok").agg(F.count(F.lit(1)).alias("_df"))
     )
-    block_cost = df_tok.groupBy(*block_cols).agg(
-        F.sum(F.col("_df") * (F.col("_df") - 1) / 2).cast("long").alias("_cost")
+    block_cost = cache(
+        df_tok.groupBy(*block_cols).agg(
+            F.sum(F.col("_df") * (F.col("_df") - 1) / 2)
+            .cast("long")
+            .alias("_cost")
+        )
     )
     # routing rides at BLOCK grain — one (cost) row per block. Broadcast
     # is the right strategy when block count ≪ doc count (blocking's
@@ -533,17 +555,31 @@ def blocked_jaccard_pairs(
     # cardinality" (the repo's own (lang, source) callers — skips the
     # measuring job and keeps the builder fully lazy), ``False`` never
     # hints, and the ``None`` default runs a limit-bounded count over
-    # block_cost (df_tok is StageCached — the work is the query's own
-    # first materialization, not an extra pass) and hints only under
+    # the StageCached block_cost (the count populates the same persist
+    # the tagged join reads — the query's own first materialization,
+    # not an extra aggregation; r9, PERF-NOTES 40) and hints only under
     # MAX_BROADCAST_BLOCKS; past it the routing table joins unhinted
     # and AQE picks the strategy from runtime stats. The all-pairs
     # branch never pays a (block,tok)-grain join for a _df column only
     # the prefix branch reads.
     if broadcast_routing is None:
-        broadcast_routing = (
-            block_cost.limit(MAX_BROADCAST_BLOCKS + 1).count()
-            <= MAX_BROADCAST_BLOCKS
-        )
+        # The measuring job rides the query's OWN first materialization
+        # (r8 verdict item 2): block_cost is StageCached just above, so
+        # the limit-bounded count populates the very persist the tagged
+        # join reads — the r8 shape re-aggregated df_tok a second time
+        # for the count (measured: ×100 per-row ratio 0.22 → 0.367,
+        # PERF-NOTES 38); this shape pays the aggregation once. If the
+        # count itself fails, a self-managed cache must not strand its
+        # persists (r8 ADVICE): release before re-raising.
+        try:
+            broadcast_routing = (
+                block_cost.limit(MAX_BROADCAST_BLOCKS + 1).count()
+                <= MAX_BROADCAST_BLOCKS
+            )
+        except BaseException:
+            if own_cache:
+                cache.release()
+            raise
     if broadcast_routing:
         block_cost = F.broadcast(block_cost)
     # StageCached: the two branch self-joins consume tagged from FOUR

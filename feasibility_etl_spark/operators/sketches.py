@@ -468,22 +468,46 @@ def bloom_merge(
 ) -> DataFrame:
     """OR shard-built filters up to coarser ``keys`` (per-day → all-time)
     without re-scanning the data — word-aligned posexplode + per-index
-    ``bit_or``, dense order restored by sorting on the word index. All
-    inputs must share ``m_bits`` (same array length)."""
+    ``bit_or``, dense order restored by the same SEGMENTED
+    sort-then-flatten shape as ``bloom_build`` (r8 ADVICE: the previous
+    single-task ``collect_list + array_sort`` over all m/32 words was
+    exactly the linear-in-m serial tail PERF-NOTES 36 measured at 9.3 s
+    for m=2^28 and removed from the build — merging shard filters at
+    large m must not re-pay it). Word indices group into 4096-word
+    segments sorted in parallel; the final per-key task only sorts the
+    (segment, array) pairs and flattens. All inputs must share
+    ``m_bits`` (same array length — inputs are dense, so every segment
+    is complete and no zero-fill union is needed)."""
     keys = keys or []
+    seg_bits = 12  # 4096 words (16 KB) per segment task, as bloom_build
     words = (
         df.select(*keys, F.posexplode(bloom_col).alias("_i", "_v"))
         .groupBy(*keys, "_i")
         .agg(F.bit_or("_v").alias("_word"))
     )
-    packed = F.array_sort(
-        F.collect_list(F.struct(F.col("_i"), F.col("_word")))
-    ).alias("_ws")
-    agged = words.groupBy(*keys).agg(packed) if keys else words.agg(packed)
-    return agged.select(
-        *keys,
-        F.transform(F.col("_ws"), lambda s: s.getField("_word")).alias(bloom_col),
+    segs = (
+        words.withColumn("_s", F.shiftright(F.col("_i"), seg_bits))
+        .groupBy(*keys, "_s")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_i"), F.col("_word")))
+            ).alias("_iw")
+        )
+        .select(
+            *keys,
+            "_s",
+            F.transform(F.col("_iw"), lambda s: s.getField("_word")).alias(
+                "_seg"
+            ),
+        )
     )
+    packed = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_s"), F.col("_seg")))),
+            lambda s: s.getField("_seg"),
+        )
+    ).alias(bloom_col)
+    return segs.groupBy(*keys).agg(packed) if keys else segs.agg(packed)
 
 
 def bloom_maybe_contains(

@@ -87,9 +87,16 @@ MAX_EXCHANGES = {
                           # agg — the PARALLEL per-segment sort that replaced
                           # the single-task m/32-struct sort, PERF-NOTES 36 —
                           # and 1-row pack) — all
-                          # eval-scale; the corpus gram stream meets only a
-                          # broadcast filter + broadcast semi-join (pinned
-                          # below)
+                          # eval-scale; the corpus gram stream meets a
+                          # broadcast bloom filter + the exact-verify
+                          # semi-join, whose strategy is AQE/stats-DECIDED
+                          # since r8 (the static eval-grams hint was
+                          # removed — sketches.py:578): compile-time stats
+                          # pick broadcast at test SFs, and a stats flip
+                          # to SMJ (+2 exchanges) would TRIP this budget
+                          # rather than any pinned broadcast assertion —
+                          # that trip is the intended signal to re-audit,
+                          # not a license to bump the number
     "SIM-TOPK": 1,        # TakeOrderedAndProject merge
     "SIM-BQ": 1,          # per-query rank window; queries broadcast,
                           # hamming is in-row XOR+popcount

@@ -16,8 +16,11 @@ as a file stream, Trigger.AvailableNow, shuffle_partitions=1):
                       dataflow with ZERO membership state, bloom io, or
                       index maintenance.
 
-The exact gate cannot beat tier 3; its bar is defined as
-``EXACT_GATE_FLOOR_FRACTION × tier3`` (see bench.py). Prints one JSON
+The exact gate cannot beat tier 3; this tool's bar is
+``EXACT_GATE_FLOOR_FRACTION_BLOCKWISE × tier3`` (see bench.py — the
+0.65 calibrated for block-median measurement, NOT the 0.60 bench.py
+applies to its interleaved per-pair-ratio instrument, whose pairing
+cancels the host drift this blockwise method keeps). Prints one JSON
 line with all three rates and the derived bar.
 
 Usage: python tools/gate_floor.py [reps]
@@ -110,9 +113,13 @@ def main() -> None:
         result[f"{tier}_sec"] = round(med, 3)
         result[f"{tier}_rows_per_sec"] = round(n_rows / med)
     floor = result["semantics_rows_per_sec"]
+    # blockwise methodology (independent tier medians, no interleaving)
+    # -> the blockwise bar, NOT the interleaved-pair fraction bench.py
+    # applies to its paired instrument (see the two constants' comments)
     result["bar_rows_per_sec"] = round(
-        bench.EXACT_GATE_FLOOR_FRACTION * floor
+        bench.EXACT_GATE_FLOOR_FRACTION_BLOCKWISE * floor
     )
+    result["floor_fraction"] = bench.EXACT_GATE_FLOOR_FRACTION_BLOCKWISE
     print(json.dumps(result))
     spark.stop()
 
