@@ -141,10 +141,14 @@ def q_dedup_candidates(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("simhash").alias("method"), "id_a", "id_b",
         F.lit(None).cast("double").alias("score"),
     )
+    # small_increment=False: half-corpus increment (backfill shape) — the
+    # micro-batch broadcast hints OOM past ~100k docs; AQE still
+    # broadcasts at runtime when small (PERF-NOTES 44)
     inc = incremental_near_dups(
         docs.where("doc_id % 2 = 1"),
         minhash_index(docs.where("doc_id % 2 = 0")),
         threshold=0.5,
+        small_increment=False,
     ).select(
         F.lit("incremental").alias("method"), "id_a", "id_b",
         F.col("est_jaccard").alias("score"),

@@ -312,10 +312,17 @@ def q_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
     """DEDUP-INCR granular: odd-id increment served against the even-id
     minhash index (rows-only: xxhash signatures)."""
     docs = load(spark, sf, "documents")
+    # small_increment=False: this entry's "increment" is HALF THE CORPUS
+    # (a backfill shape, not a micro-batch), so the serve path's static
+    # broadcast hints are wrong here — at the sf1 dir the exploded
+    # candidate set alone is ~25M rows and the hint OOMs the driver
+    # (caught by BENCH_SF1_r09; PERF-NOTES 44). Batch mode keeps AQE, so
+    # small-SF runs still broadcast at runtime when it actually fits.
     return incremental_near_dups(
         docs.where("doc_id % 2 = 1"),
         minhash_index(docs.where("doc_id % 2 = 0")),
         threshold=0.5,
+        small_increment=False,
     ).orderBy("id_a", "id_b")
 
 
