@@ -687,6 +687,19 @@ def run_ann_curve(spark, sf_dir: str) -> dict[str, list[dict]]:
             ),
             "scan_frac": round(probes / 256, 4),
         })
+    # query-directed probing (Lv et al. 2007): flips subsets of the 5
+    # lowest-|margin| planes — 32 probes vs radius-2's blind 37 — so the
+    # curve tracks both probing strategies round-over-round (the SIM-LSH-QD
+    # granular entry is the same config)
+    curve["lsh"].append({
+        "cfg": "planes=8,probe_lowmargin=5",
+        "recall": recall(
+            cosine_topk_lsh(emb, q5, k=k, dim=64, n_planes=8,
+                            probe_lowmargin=5),
+            all_q,
+        ),
+        "scan_frac": round(32 / 256, 4),
+    })
     for npb in (4, 6, 8):
         curve["ivf"].append({
             "cfg": f"n_cells=16,nprobe={npb}",

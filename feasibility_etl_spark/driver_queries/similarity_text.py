@@ -91,6 +91,22 @@ def q_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 
+def q_sim_lsh_qd(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-LSH-QD: query-directed multi-probe LSH top-k (Lv et al., VLDB
+    2007) — each query flips every subset of its 5 lowest-|margin| planes
+    (32 probes of 256 buckets = 12.5% of the key space) instead of blind
+    Hamming-radius probing. Rows-only check (hyperplane internals have no
+    SQL twin); recall vs brute force and vs radius probing at equal probe
+    budget is asserted in tests, and the sf1 serving curve carries the
+    qd=8/12-plane point (tools/ann_curve_sf1.py)."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=8, probe_lowmargin=5)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ----------------------------------------------------------- text analysis
 
 def q_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:

@@ -115,6 +115,47 @@ def test_lsh_multiprobe_improves_recall(spark):
     assert r2 >= r1, (r1, r2)
 
 
+def test_lsh_querydirected_probing(spark):
+    import pytest
+
+    corpus = clustered_embeddings(spark, n_clusters=8, per_cluster=40, dim=16, seed=11)
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(corpus, queries, k=10).collect()}
+
+    def recall(**kw):
+        a = {
+            (r.query_id, r.vec_id)
+            for r in cosine_topk_lsh(
+                corpus, queries, k=10, dim=16, n_planes=14, **kw
+            ).collect()
+        }
+        return len(exact & a) / len(exact)
+
+    # probe_lowmargin=0 is the plain exact-bucket path (identical sets,
+    # because probe 0's bit expression mirrors lsh_bucket exactly)
+    assert recall(probe_lowmargin=0) == recall()
+    # q=4 probes 16 of 2^14 buckets (0.1% of the key space) yet targets the
+    # borderline planes, so it must beat Hamming radius 1 (15 probes of the
+    # BLIND kind) and come close to radius 2's 106-probe recall
+    r_qd4 = recall(probe_lowmargin=4)
+    r_mp1 = recall(multiprobe=1)
+    r_mp2 = recall(multiprobe=2)
+    assert r_qd4 >= r_mp1, (r_qd4, r_mp1)
+    assert r_qd4 >= r_mp2 - 0.05, (r_qd4, r_mp2)
+    assert r_qd4 > 0.9, r_qd4
+    # monotone in q: more low-margin flips only add probes
+    assert recall(probe_lowmargin=5) >= r_qd4 - 1e-9
+    # guard rails: modes are exclusive; q can't exceed the plane count
+    with pytest.raises(ValueError):
+        cosine_topk_lsh(corpus, queries, dim=16, n_planes=14,
+                        multiprobe=1, probe_lowmargin=2)
+    with pytest.raises(ValueError):
+        cosine_topk_lsh(corpus, queries, dim=16, n_planes=14,
+                        probe_lowmargin=15)
+
+
 def test_quantize_int8_roundtrip_error_bound(spark):
     from feasibility_etl_spark.operators.similarity import quantize_int8
     from feasibility_etl_spark.sources.catalog import load
