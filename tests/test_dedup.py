@@ -594,3 +594,48 @@ def test_blocked_jaccard_prefix_filter_matches_bruteforce(spark):
         assert set(got) == set(want), (t, set(want) - set(got), set(got) - set(want))
         for k, v in want.items():
             assert abs(got[k] - v) < 1e-12
+
+
+def test_tune_minhash_bands_scurve_optimum():
+    """The tuner's pick must (a) be an exact divisor pair, (b) reproduce
+    the repo's default 32/8 geometry at its design threshold 0.5, (c) be
+    the true argmin over an independently-integrated error, and (d) move
+    rows-per-band monotonically with the threshold (steeper S-curve
+    further right)."""
+    import numpy as np
+    import pytest
+
+    from feasibility_etl_spark.operators.dedup import tune_minhash_bands
+
+    def true_err(b, r, t, wfp=1.0, wfn=1.0):
+        s = np.linspace(0.0005, 0.9995, 1000)
+        p = 1.0 - (1.0 - s**r) ** b
+        return (wfp * p[s < t].sum() + wfn * (1 - p[s >= t]).sum()) / 1000
+
+    for t, n in ((0.3, 32), (0.5, 32), (0.5, 128), (0.8, 32), (0.8, 64)):
+        b, r = tune_minhash_bands(t, n)
+        assert b * r == n, (t, n, b, r)
+        exhaustive = min(
+            ((true_err(n // rr, rr, t), n // rr, rr) for rr in range(1, n + 1) if n % rr == 0),
+        )
+        assert (b, r) == (exhaustive[1], exhaustive[2]), (t, n, b, r, exhaustive)
+
+    # the repo's own default geometry falls out at its design threshold
+    assert tune_minhash_bands(0.5, 32) == (8, 4)
+
+    # monotone: a higher threshold never wants FEWER rows per band
+    prev_r = 0
+    for t in (0.1, 0.3, 0.5, 0.7, 0.9):
+        _, r = tune_minhash_bands(t, 64)
+        assert r >= prev_r, (t, r, prev_r)
+        prev_r = r
+
+    # fp_weight pressure pushes toward a steeper curve (rows up or equal)
+    _, r_bal = tune_minhash_bands(0.5, 64)
+    _, r_fp = tune_minhash_bands(0.5, 64, fp_weight=5.0)
+    assert r_fp >= r_bal
+
+    with pytest.raises(ValueError):
+        tune_minhash_bands(0.0)
+    with pytest.raises(ValueError):
+        tune_minhash_bands(1.0)

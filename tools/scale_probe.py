@@ -28,7 +28,10 @@ from feasibility_etl_spark.operators.aggregates import worklog_rollup_relational
 from feasibility_etl_spark.quality.gates import filter_by_quantile  # noqa: E402
 from feasibility_etl_spark.session import build_session  # noqa: E402
 from feasibility_etl_spark.sources.catalog import load  # noqa: E402
-from feasibility_etl_spark.operators.similarity import emb_centroids  # noqa: E402
+from feasibility_etl_spark.operators.similarity import (  # noqa: E402
+    cosine_topk_lsh,
+    emb_centroids,
+)
 from feasibility_etl_spark.writer.merge import merge_upsert  # noqa: E402
 from feasibility_etl_spark.writer.scd2 import scd2_apply  # noqa: E402
 from feasibility_etl_spark.operators.search import bm25_scores  # noqa: E402
@@ -214,6 +217,20 @@ def main() -> None:
     embN = replicate(emb1, "vec_id", factor)
     emb_ops = {
         "emb_centroids": lambda d: emb_centroids(d, "label"),
+        # query-directed LSH serving: 5 fixed queries against a corpus
+        # that scales — cost must track corpus x scan_frac (query side
+        # fans out 32 probes regardless of corpus size)
+        "cosine_lsh_qd": lambda d: cosine_topk_lsh(
+            d,
+            emb1.where(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ),
+            k=10,
+            dim=64,
+            n_planes=8,
+            probe_lowmargin=5,
+        ),
     }
 
     def hll_rollup(d: DataFrame) -> DataFrame:
