@@ -9,8 +9,11 @@ factor 100 over sf0.1's 5k docs = 500k rows over 4 triggers = 125k
 docs/batch — and reports rows/s alongside the floor tiers so the
 crossover claim is measured, not extrapolated.
 
-Usage: python tools/profile_gate_100x.py [factor] [reps]
-Prints one JSON line.
+Usage: python tools/profile_gate_100x.py [factor] [reps] [shuffle_partitions]
+Prints one JSON line. The third arg (default 8, the bench recipe's width)
+exists to measure the probe-bound regime's claim that throughput scales
+with the shuffle width (the md5-probe + first-occurrence window is
+key-parallel) — run 8 vs 32 at the same factor and compare rows/s.
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ from feasibility_etl_spark.streaming.bloom_gate import (  # noqa: E402
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    width = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     spark = build_session("profile-gate-100x")
@@ -74,7 +78,7 @@ def main() -> None:
         )
         t0 = time.time()
         q = exact_dedup_gate_sink(
-            stream, out, ckpt, m_bits=m_bits, shuffle_partitions=8
+            stream, out, ckpt, m_bits=m_bits, shuffle_partitions=width
         )
         q.awaitTermination()
         sec = time.time() - t0
@@ -92,6 +96,7 @@ def main() -> None:
         "n_rows": n_rows,
         "docs_per_batch": n_rows // 4,
         "m_bits_log2": m_bits.bit_length() - 1,
+        "shuffle_partitions": width,
         "reps": reps,
         "rep_secs": secs,
         "median_sec": med,
