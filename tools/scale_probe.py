@@ -75,6 +75,26 @@ def _cls_route(d: DataFrame) -> DataFrame:
     return release_when_unreachable(route_score(d, router), shared)
 
 
+#: Ops whose x100 per-row ratio is EXPECTED to sit near 1.0 rather than
+#: under it — the probe's sub-linearity bar does not apply to them, and
+#: their record lines carry regime="linear_by_design" so sweeps and the
+#: round record grade them on t_scaled stability instead of the ratio
+#: (the ORACLE_REGIMES pre-declaration pattern, applied to the engine
+#: side). Rationale per op; measured history in PERF-NOTES 48.
+LINEAR_BY_DESIGN = {
+    "bloom_decontam_bigeval": (
+        "eval grams scale WITH the corpus and the filter is sized per "
+        "contract (~10 bits/gram): build is per-eval-gram, probe is "
+        "per-corpus-gram, exact verify joins two x100 relations - every "
+        "term is linear in the scaled input BY DESIGN, so per-row ratio "
+        "asymptotes to ~1.0 as t_base's fixed costs (the m=2^26 dense "
+        "assembly) amortize; day-to-day t_base drift flips the ratio "
+        "across 1.0 with NO change in t_scaled (r8: 5.29->493.2s = "
+        "0.933; r9: 3.95->470.4s = 1.19 - the scaled side got FASTER)"
+    ),
+}
+
+
 def replicate(df: DataFrame, id_col: str, factor: int) -> DataFrame:
     """N× the frame with distinct ids: id' = id * factor + replica."""
     replicas = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_r")
@@ -273,11 +293,14 @@ def main() -> None:
         run(lambda: fn(docs1), "base", pair)
         run(lambda: fn(docsN), "scaled", pair)
         t1, tn = pair[0][1], pair[1][1]
-        print(json.dumps({
+        rec = {
             "op": name, "factor": factor, "t_base": round(t1, 2),
             "t_scaled": round(tn, 2), "ratio": round(tn / t1, 2),
             "per_row_ratio": round(tn / t1 / factor, 3),
-        }))
+        }
+        if name in LINEAR_BY_DESIGN:
+            rec["regime"] = "linear_by_design"
+        print(json.dumps(rec))
     for name, (base_fn, scaled_fn) in sim_ops.items():
         if only and name not in only:
             continue
