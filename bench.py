@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from feasibility_etl_spark.driver_queries import ALL_QUERIES  # noqa: E402
 from feasibility_etl_spark.flagship import flagship  # noqa: E402
 from feasibility_etl_spark.session import build_session  # noqa: E402
@@ -957,6 +959,28 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench warm-up skipped: {e}", file=sys.stderr)
 
+    # HOST-SPEED ANCHOR (round 9, PERF-NOTES 49): a fixed synthetic
+    # CPU+shuffle plan (2e8-row codegen'd modulo groupBy over 32
+    # partitions) timed after warm-up, reps=3 median. The anchor has no
+    # engine code in it, so across rounds it moves ONLY with the host —
+    # this round measured the same engine at 93.7/114.1/99.3 s across
+    # sessions (PERF-NOTES 47: interleaved A/B proved zero code change),
+    # and record readers previously had no way to see that from the
+    # record itself. Divide headline by anchor before comparing rounds;
+    # within-record per-query comparisons never needed it.
+    def _anchor_once() -> float:
+        t0 = time.time()
+        spark.range(1_000_000_000).select(
+            (F.col("id") % 9973).alias("k"), "id"
+        ).groupBy("k").agg(F.sum("id").alias("s")).select(
+            F.sum("s")
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    _anchor_once()  # untimed: the anchor plan's own codegen warm-up
+    anchor_reps = [_anchor_once() for _ in range(3)]
+    host_anchor = sorted(anchor_reps)[1]
+
     # per-query job metrics (records/bytes in, shuffle read/write,
     # executor time) from the warm final rep — the scale-posture
     # evidence: a timing can look fine while shuffle bytes quietly grow
@@ -1122,6 +1146,8 @@ def main() -> None:
         "reps": BENCH_REPS,
         "queries": timings,
         "rep_times": rep_times,
+        "host_anchor_sec": host_anchor,
+        "host_anchor_reps": anchor_reps,
         "plan_metrics": plan_metrics,
         "ann_curve": ann_curve,
         "sf": sf,
@@ -1150,6 +1176,7 @@ def main() -> None:
         "unit": "sec",
         "reps": BENCH_REPS,
         "sf": sf,
+        "host_anchor_sec": host_anchor,
         **rates,
         **recall_metrics,
         "queries": batch_timings,
