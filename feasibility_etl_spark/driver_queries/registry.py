@@ -682,6 +682,17 @@ ORACLE_COMPUTE_BOUNDS.update({
         "(doc, term) tf/df/rank replay exceeds 64 GB DuckDB limit past "
         "~60k docs (measured OOM at 500k, r8 sweep)",
     ),
+    # WP-ENCODE sat just under the wall in the r8 sweep (213.6 s ok at
+    # 500k docs) and crossed it in the r9 sweep on the same code — the
+    # greedy longest-match-first replay's peak is within host noise of
+    # the 64 GB limit, so the honest declaration is the same bound as
+    # its BPE sibling rather than a coin-flip record each round.
+    "WP-ENCODE": (
+        "SELECT COUNT(*) FROM documents",
+        60000,
+        "greedy longest-match replay peaks within noise of the 64 GB "
+        "DuckDB limit past ~60k docs (ok r8, OOM r9 at 500k)",
+    ),
 })
 
 #: ENGINE-side declared bounds: entries whose SPARK plan is exact and
