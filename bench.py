@@ -657,7 +657,7 @@ def run_ann_curve(spark, sf_dir: str) -> dict[str, list[dict]]:
 
     emb = cat_load(spark, sf_dir, "embeddings")
     n = emb.count()
-    if n > 20_000:  # brute-force truth + 18 ANN runs: bench-SF only
+    if n > 20_000:  # brute-force truth + a battery of ANN runs: bench-SF only
         return {}
     truth = result_sets(ALL_QUERIES["SIM-TOPK"](spark, sf_dir))
     q5 = emb.where(F.col("vec_id") < 5).select(
@@ -960,7 +960,7 @@ def main() -> None:
         print(f"bench warm-up skipped: {e}", file=sys.stderr)
 
     # HOST-SPEED ANCHOR (round 9, PERF-NOTES 49): a fixed synthetic
-    # CPU+shuffle plan (2e8-row codegen'd modulo groupBy over 32
+    # CPU+shuffle plan (1e9-row codegen'd modulo groupBy over 32
     # partitions) timed after warm-up, reps=3 median. The anchor has no
     # engine code in it, so across rounds it moves ONLY with the host —
     # this round measured the same engine at 93.7/114.1/99.3 s across

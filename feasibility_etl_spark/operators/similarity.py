@@ -97,6 +97,13 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+#: Hard cap on query-directed probe depth: 2**q probe signatures are
+#: materialized as driver-built expressions, so q is a PLAN-SIZE knob,
+#: not a data knob. 2^10 = 1024 probes is already far past any sane
+#: recall budget (the measured sf1 curve uses q ≤ 8).
+_PROBE_LOWMARGIN_MAX = 10
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
@@ -147,7 +154,11 @@ def cosine_topk_lsh(
     probing's Σ C(n_planes, r): at n_planes=12, q=6 probes 64 buckets
     (1.6% of the key space) where Hamming radius 3 probes 299 (7.3%) —
     and the 64 are the HIGH-PROBABILITY ones, so recall at equal budget
-    is strictly better whenever margins are informative. All plane dots,
+    is typically better when margins are informative (measured on the
+    sf1 uniform-random curve: qd=8 0.68 recall @ 6.3% scan vs radius=3
+    0.64 @ 7.3%; qd=7 0.60 @ 3.1% — same recall tier at 43% of the
+    scan. On clustered data the gap widens — see
+    tests/test_similarity.py lsh_querydirected). All plane dots,
     the margin sort, and the 2**q perturbed signatures are built-in
     expressions per QUERY row (the corpus side never re-hashes), so the
     extra cost is query-proportional and whole-stage-codegen'd."""
@@ -161,6 +172,19 @@ def cosine_topk_lsh(
     if probe_lowmargin > n_planes:
         raise ValueError(
             f"probe_lowmargin={probe_lowmargin} exceeds n_planes={n_planes}"
+        )
+    # the probe set is built DRIVER-SIDE as 2**q literal expressions
+    # (one perturbed-signature concat per flip mask); past ~2^10 the
+    # plan tree itself — not the data — dominates: analysis/codegen over
+    # tens of thousands of nested transform/concat_ws expressions. Fail
+    # fast instead of hanging plan construction.
+    if probe_lowmargin > _PROBE_LOWMARGIN_MAX:
+        raise ValueError(
+            f"probe_lowmargin={probe_lowmargin} builds 2**q="
+            f"{1 << probe_lowmargin} probe expressions driver-side; the cap "
+            f"is {_PROBE_LOWMARGIN_MAX} ({1 << _PROBE_LOWMARGIN_MAX} probes). "
+            "Probing more buckets than that means the bucket geometry is "
+            "wrong — lower n_planes instead."
         )
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.withColumn("_bucket", lsh_bucket(F.col(corpus_vec), planes))

@@ -154,6 +154,12 @@ def test_lsh_querydirected_probing(spark):
     with pytest.raises(ValueError):
         cosine_topk_lsh(corpus, queries, dim=16, n_planes=14,
                         probe_lowmargin=15)
+    # plan-size cap: q ≤ 10 even when n_planes admits more — 2**q probe
+    # expressions are built driver-side, so q=14 would hang plan
+    # construction rather than fail; the guard makes it a clean error
+    with pytest.raises(ValueError, match="driver-side"):
+        cosine_topk_lsh(corpus, queries, dim=16, n_planes=14,
+                        probe_lowmargin=11)
 
 
 def test_quantize_int8_roundtrip_error_bound(spark):
