@@ -987,6 +987,15 @@ def est_jaccard(sig_a: Column, sig_b: Column) -> Column:
     return agree.cast("double") / F.size(sig_a).cast("double")
 
 
+#: Auto-mode bound for hinting the increment broadcast-sized when AQE is
+#: off: 100k docs → banded frame ≈ docs × bands(8) rows of (id, band,
+#: band_hash) ≈ 32 MB, sig frame ≈ docs × (num_hashes+bands) × 8 B ≈
+#: 32 MB — both comfortably executor- and driver-heap-safe, an order of
+#: magnitude under the ~0.9 GB half-corpus broadcast that OOMed the r9
+#: sf1 bench (PERF-NOTES 44).
+AUTO_SMALL_INCREMENT_MAX_DOCS = 100_000
+
+
 def incremental_near_dups(
     new_docs: DataFrame,
     index: DataFrame,
@@ -998,7 +1007,7 @@ def incremental_near_dups(
     shingle_n: int = 3,
     new_index: DataFrame | None = None,
     dedupe: bool = True,
-    small_increment: bool = True,
+    small_increment: bool | None = None,
     tag_new: bool = False,
 ) -> DataFrame:
     """Near-dup pairs for an increment WITHOUT recomputing the corpus —
@@ -1050,12 +1059,44 @@ def incremental_near_dups(
     back to shuffle plans that degrade gracefully — and in batch mode
     AQE still broadcasts at runtime whenever the increment turns out
     small enough.
+
+    ``small_increment=None`` (the default) is broadcast-safe BY
+    CONSTRUCTION — the r9 sf1 bench proved the old ``True`` default's
+    failure mode (a half-corpus increment pinned ~0.9 GB onto the driver
+    and OOMed, PERF-NOTES 44), and trusting every caller to know that
+    contract is a footgun. Auto resolution: with AQE enabled the static
+    hints are simply dropped — AQE promotes the joins to broadcast at
+    runtime from MEASURED increment stats, which is strictly safer than
+    a compile-time pin. With AQE disabled (no runtime re-plan exists to
+    save the join), the increment is counted through a pushed-down
+    ``limit(bound+1)`` — one bounded job, it never scans past
+    ``AUTO_SMALL_INCREMENT_MAX_DOCS+1`` ids — and the hints apply only
+    under the bound. Callers that KNOW their increment (the streaming
+    gate's micro-batches) keep passing an explicit ``True`` and skip
+    the probe job entirely.
     """
     new_idx = (
         new_index
         if new_index is not None
         else minhash_index(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
     )
+    if small_increment is None:
+        aqe = (
+            str(
+                new_docs.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+            ).lower()
+            == "true"
+        )
+        if aqe:
+            small_increment = False
+        else:
+            # count whichever increment frame is cheapest: a prebuilt
+            # index is one row per doc (and gate callers persist it); raw
+            # docs count via a column-pruned id scan. limit() caps the
+            # probe at bound+1 rows either way.
+            probe = new_index if new_index is not None else new_docs.select(id_col)
+            n = probe.limit(AUTO_SMALL_INCREMENT_MAX_DOCS + 1).count()
+            small_increment = n <= AUTO_SMALL_INCREMENT_MAX_DOCS
     hint = F.broadcast if small_increment else (lambda df: df)
 
     def banded(ix: DataFrame) -> DataFrame:

@@ -444,6 +444,73 @@ class TestIncrementalBackfillMode:
         assert fast == slow and len(fast) > 0
 
 
+class TestIncrementalAutoBroadcastSafety:
+    """small_increment=None (the default) must be broadcast-safe BY
+    CONSTRUCTION: the r9 sf1 bench OOMed on exactly the old default —
+    a half-corpus increment with no caller hint pinned ~0.9 GB onto the
+    driver (PERF-NOTES 44). Auto mode never statically hints under AQE
+    (runtime stats decide), and under AQE-off it hints only below a
+    measured increment bound."""
+
+    def _frames(self, spark):
+        docs = load(spark, SF0001, "documents")
+        old = docs.where("doc_id % 2 = 0")
+        new = docs.where("doc_id % 2 = 1")
+        return new, minhash_index(old)
+
+    def test_r9_oom_shape_default_args_no_static_hint(self, spark):
+        # the exact r9 OOM scenario: half-corpus increment, DEFAULT args.
+        # With AQE on (the session default) the plan must carry no
+        # compile-time broadcast pin — AQE promotes from measured sizes.
+        new, idx = self._frames(spark)
+        out = incremental_near_dups(new, idx)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in plan and "broadcast" not in plan
+
+    def test_default_matches_explicit_modes(self, spark):
+        new, idx = self._frames(spark)
+
+        def pairs(**kw):
+            return {
+                (r.id_a, r.id_b, r.est_jaccard)
+                for r in incremental_near_dups(
+                    new, idx, threshold=None, **kw
+                ).collect()
+            }
+
+        auto = pairs()
+        assert auto == pairs(small_increment=True)
+        assert auto == pairs(small_increment=False)
+        assert len(auto) > 0
+
+    def test_aqe_off_small_increment_gets_the_hint(self, spark):
+        # foreachBatch shape: AQE off, increment under the bound — the
+        # serve-path hints must come back (no runtime re-plan will)
+        new, idx = self._frames(spark)
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = incremental_near_dups(new, idx)
+            plan = out._jdf.queryExecution().optimizedPlan().toString()
+            assert "broadcast" in plan
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    def test_aqe_off_large_increment_does_not_hint(self, spark, monkeypatch):
+        from feasibility_etl_spark.operators import dedup as dedup_mod
+
+        new, idx = self._frames(spark)
+        monkeypatch.setattr(dedup_mod, "AUTO_SMALL_INCREMENT_MAX_DOCS", 3)
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = incremental_near_dups(new, idx)
+            plan = out._jdf.queryExecution().optimizedPlan().toString()
+            assert "ResolvedHint" not in plan and "broadcast" not in plan
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 class TestSubstringDedup:
     SPAN = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
 
