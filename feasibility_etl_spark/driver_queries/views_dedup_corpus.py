@@ -408,6 +408,88 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_candidates(load(spark, sf, "documents")).orderBy("id_a", "id_b")
 
 
+def _sqrt_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic, oracle-expressible bucket frame for the hot-bucket
+    cap entries: band_hash = floor(sqrt(doc_id)), so bucket k holds ids
+    [k², (k+1)²) — sizes 2k+1 grow without bound, which means a FIXED cap
+    exercises both keep (small k) and drop (large k) at EVERY SF. IEEE
+    sqrt is correctly rounded (exact on perfect squares < 2^52) and FLOOR
+    runs before the cast per the repo's oracle-parity rules."""
+    return load(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.lit(0).alias("band"),
+        F.floor(F.sqrt(F.col("doc_id").cast("double"))).cast("long").alias(
+            "band_hash"
+        ),
+    )
+
+
+def q_dedup_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-CAPPED: hot-bucket-cap semantics FULL-oracle (VERDICT r9
+    item 2). Runs :func:`capped_bucket_pairs` — the exact pairing core
+    ``minhash_candidates(max_bucket_size=...)`` uses — over deterministic
+    sqrt buckets instead of seeded xxhash64 bands, so DuckDB can replay
+    the cap bit-for-bit (the seeded-band variant stays rows-only like
+    every xxhash entry)."""
+    from ..operators.dedup import capped_bucket_pairs
+
+    return capped_bucket_pairs(
+        _sqrt_banded(spark, sf), "id", max_bucket_size=40
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_CAPPED = """
+WITH banded AS (
+  SELECT doc_id AS id, 0 AS band,
+         CAST(FLOOR(SQRT(CAST(doc_id AS DOUBLE))) AS BIGINT) AS band_hash
+  FROM documents
+), sized AS (
+  SELECT id, band, band_hash,
+         COUNT(*) OVER (PARTITION BY band, band_hash) AS bn
+  FROM banded
+), kept AS (
+  SELECT id, band, band_hash FROM sized WHERE bn <= 40
+)
+SELECT a.id AS id_a, b.id AS id_b
+FROM kept a JOIN kept b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+"""
+
+
+def q_dedup_capped_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-CAPPED-AUDIT: the no-silent-caps surface — every bucket the
+    DEDUP-CAPPED cap drops, with member count and un-emitted pair mass.
+    FULL-oracle over the same deterministic sqrt buckets."""
+    from ..operators.dedup import hot_buckets
+
+    return hot_buckets(_sqrt_banded(spark, sf), 40).orderBy("band", "band_hash")
+
+
+ORACLE_DEDUP_CAPPED_AUDIT = """
+WITH banded AS (
+  SELECT doc_id AS id, 0 AS band,
+         CAST(FLOOR(SQRT(CAST(doc_id AS DOUBLE))) AS BIGINT) AS band_hash
+  FROM documents
+)
+SELECT band, band_hash, COUNT(*) AS bucket_size,
+       (COUNT(*) * (COUNT(*) - 1)) // 2 AS n_dropped_pairs
+FROM banded GROUP BY band, band_hash
+HAVING COUNT(*) > 40
+"""
+
+
+def q_dedup_minhash_comp(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-MINHASH-COMP: component-grain LSH output (rows-only —
+    xxhash64 bands, like DEDUP-MINHASH). Star edges keep the grain
+    linear in bucket size, so this is the scale path for clique-heavy
+    corpora where DEDUP-MINHASH's pair grain goes quadratic
+    (PERF-NOTES 43). Pinned equal to connected components over the pair
+    grain in tests/test_dedup.py."""
+    from ..operators.dedup import minhash_components
+
+    return minhash_components(load(spark, sf, "documents")).orderBy("doc_id")
+
+
 # ------------------------------------------------------- similarity search
 
 _COS_SQL = """

@@ -355,22 +355,19 @@ def minhash_signatures(
     )
 
 
-def minhash_candidates(
+def _minhash_banded(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) sharing ≥1 minhash band.
-
-    rows/band = num_hashes/bands; with 32 hashes in 8 bands the bucket
-    probability is ``1-(1-j^4)^8`` — steep around Jaccard ~0.5. Each doc
-    explodes into ``bands`` (band, band_hash) rows; the self-join key is
-    (band, band_hash), so co-grouped data is bucket-local and the shuffle
-    carries bucket-sized groups, never the corpus cross-product.
-    """
+    """The exploded LSH bucket frame ``(id_col, band, band_hash)`` — one
+    row per (doc, band), band_hash = xxhash64 over the band's minhash
+    slice. Shared by candidate pairing, the hot-bucket audit, and the
+    component-grain path (identical values to minhash_index's
+    ``band_hashes`` column — same xxhash64 over the same columns)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_hashes = [
@@ -379,24 +376,190 @@ def minhash_candidates(
         ).alias(f"b{b}")
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *band_hashes).select(
+    return sig.select(id_col, *band_hashes).select(
         id_col, F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)])).alias(
             "band", "band_hash"
         )
     )
+
+
+def capped_bucket_pairs(
+    banded: DataFrame,
+    id_col: str = "id",
+    max_bucket_size: int | None = None,
+    bucket_cols: tuple[str, ...] = ("band", "band_hash"),
+) -> DataFrame:
+    """Distinct pairs (id_a < id_b) co-resident in ≥1 bucket, with the
+    standard MMDS hot-bucket skip: buckets holding more than
+    ``max_bucket_size`` members are dropped WHOLE before pairing.
+
+    This is the pairing core of :func:`minhash_candidates`, exposed over
+    ANY ``(id, bucket...)`` frame so the cap semantics are checkable
+    against a SQL oracle on deterministic (non-seeded-hash) buckets —
+    the granular DEDUP-CAPPED entry does exactly that.
+
+    Why cap: pair output is Σ C(bucket,2) — quadratic in the largest
+    bucket. A boilerplate clique (100k copies of a cookie banner) puts
+    100k docs in one bucket per band and the pair grain explodes even
+    though the ANSWER (one dup group) is tiny. Dropping hot buckets
+    bounds output at ``Σ C(cap,2)`` per bucket; a pair lost to one hot
+    bucket still surfaces through any of its other, cooler bands. The
+    cap is deterministic (a pure size predicate, no sampling) and NEVER
+    silent — audit the dropped mass with :func:`hot_buckets` over the
+    same frame (clique-heavy corpora should prefer the component-grain
+    output, :func:`minhash_components`, which is linear in bucket size
+    and needs no cap at all).
+
+    Plan shape: the size predicate is a count over a window keyed on
+    ``bucket_cols`` — the same partitioning the self-join needs, so the
+    filter rides the join's own exchange rather than adding one.
+    """
+    if max_bucket_size is not None:
+        w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in bucket_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def hot_buckets(
+    banded: DataFrame,
+    max_bucket_size: int,
+    bucket_cols: tuple[str, ...] = ("band", "band_hash"),
+) -> DataFrame:
+    """The no-silent-caps audit for :func:`capped_bucket_pairs`: every
+    bucket the cap drops, with its member count and the pair mass that
+    was NOT emitted (``C(bucket_size, 2)``). One groupBy over the banded
+    frame — hot buckets are few by definition, so the result is tiny."""
+    return (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket_size)
+        .withColumn(
+            "n_dropped_pairs",
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long"),
+        )
+    )
+
+
+def bucket_star_edges(
+    banded: DataFrame,
+    id_col: str = "id",
+    bucket_cols: tuple[str, ...] = ("band", "band_hash"),
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Per-bucket STAR edges ``(bucket_min_id → member)`` instead of the
+    full within-bucket clique: ``bucket_size - 1`` edges per bucket where
+    pairing emits ``C(bucket_size, 2)``. Connectivity is identical — every
+    member reaches every other through the bucket minimum — so connected
+    components over star edges equal components over clique pairs, at
+    LINEAR (not quadratic) edge grain. The escape hatch for clique-heavy
+    corpora where the pair GRAIN explodes even though the component
+    ANSWER is small (a 100k-copy boilerplate bucket emits 99,999 star
+    edges vs ~5×10⁹ pairs). One window pass keyed on ``bucket_cols``
+    computes the bucket min (and the optional cap's size predicate —
+    same window, no extra shuffle)."""
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+    out = banded.withColumn("_min", F.min(id_col).over(w))
+    if max_bucket_size is not None:
+        out = (
+            out.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    return (
+        out.where(F.col(id_col) != F.col("_min"))
+        .select(F.col("_min").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) sharing ≥1 minhash band.
+
+    rows/band = num_hashes/bands; with 32 hashes in 8 bands the bucket
+    probability is ``1-(1-j^4)^8`` — steep around Jaccard ~0.5. Each doc
+    explodes into ``bands`` (band, band_hash) rows; the self-join key is
+    (band, band_hash), so co-grouped data is bucket-local and the shuffle
+    carries bucket-sized groups, never the corpus cross-product.
+
+    ``max_bucket_size``: the hot-bucket cap (see
+    :func:`capped_bucket_pairs` for semantics and the scale rationale;
+    :func:`minhash_hot_buckets` for the dropped-mass audit). Default None
+    preserves the uncapped candidate set; clique-heavy corpora
+    (boilerplate replicas) should either cap or switch to
+    :func:`minhash_components`.
+    """
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return capped_bucket_pairs(banded, id_col, max_bucket_size)
+
+
+def minhash_hot_buckets(
+    df: DataFrame,
+    max_bucket_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dropped-mass audit for ``minhash_candidates(...,
+    max_bucket_size=...)``: the (band, band_hash) buckets the cap
+    excludes, each with ``bucket_size`` and the un-emitted pair count."""
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return hot_buckets(banded, max_bucket_size)
+
+
+def minhash_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Component-grain LSH output: ``(doc_id, component_id)`` for every
+    doc sharing ≥1 minhash band with another — the same groups
+    ``connected_components(minhash_candidates(df))`` yields (pinned by
+    test), WITHOUT ever materializing the within-bucket pair cliques.
+
+    Edges are per-bucket stars (:func:`bucket_star_edges`), so the edge
+    grain is ≤ docs × bands regardless of corpus clique structure — the
+    designed path for boilerplate-heavy crawls where DEDUP-MINHASH's
+    pair grain goes quadratic (PERF-NOTES 43: 27.29M true pairs from
+    100-replica cliques at sf1; as components that's ≤ 4M star edges).
+    Note this is the BANDING graph's components (no exact-Jaccard verify
+    — banding false positives merge groups); for verified semantics run
+    :func:`near_dup_pairs` → :func:`connected_components` on corpora
+    where the pair grain is affordable."""
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    edges = bucket_star_edges(banded, id_col, max_bucket_size=max_bucket_size)
+    return connected_components(
+        edges, max_iterations=max_iterations, checkpoint_dir=checkpoint_dir
     )
 
 

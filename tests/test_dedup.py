@@ -444,6 +444,100 @@ class TestIncrementalBackfillMode:
         assert fast == slow and len(fast) > 0
 
 
+class TestHotBucketCapAndComponents:
+    """The boilerplate-clique fixture (VERDICT r9 item 2): banded LSH's
+    pair output goes quadratic on replica cliques even when the answer
+    (one dup group) is tiny. The cap bounds pair output deterministically
+    with an auditable dropped-mass surface; the component-grain mode is
+    linear in bucket size and needs no cap at all."""
+
+    N_CLIQUE = 60
+
+    def _corpus(self, spark):
+        # one 60-replica boilerplate clique + 6 distinct docs, 3 of which
+        # form a small near-dup pair cluster of their own
+        rows = [(i, "cookie notice please accept our terms of service today")
+                for i in range(self.N_CLIQUE)]
+        rows += [
+            (100, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+            (101, "alpha bravo charlie delta echo foxtrot golf hotel juliet"),
+            (102, "alpha bravo charlie delta echo foxtrot golf hotel kilo"),
+            (200, "completely different text about quantum chromodynamics"),
+            (201, "unrelated prose concerning medieval agriculture methods"),
+            (202, "a third standalone document on tidal energy extraction"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cap_drops_hot_buckets_keeps_cool_ones(self, spark):
+        from feasibility_etl_spark.operators.dedup import (
+            minhash_candidates,
+            minhash_hot_buckets,
+        )
+
+        df = self._corpus(spark)
+        uncapped = minhash_candidates(df)
+        n_unc = uncapped.count()
+        # the clique contributes C(60,2) = 1770 pairs
+        assert n_unc >= 1770
+        capped = minhash_candidates(df, max_bucket_size=10).collect()
+        ids = {i for r in capped for i in (r.id_a, r.id_b)}
+        # clique pairs are gone (its buckets hold 60 > 10 members in
+        # every band); the small 100/101/102 cluster must survive
+        assert not any(i < self.N_CLIQUE for i in ids)
+        assert {(r.id_a, r.id_b) for r in capped} >= {(100, 101), (100, 102), (101, 102)}
+        # determinism: a pure size predicate, not sampling
+        again = {(r.id_a, r.id_b) for r in minhash_candidates(
+            df, max_bucket_size=10).collect()}
+        assert again == {(r.id_a, r.id_b) for r in capped}
+        # the audit names exactly the dropped buckets with their pair mass
+        audit = minhash_hot_buckets(df, max_bucket_size=10).collect()
+        assert len(audit) >= 8  # the clique is hot in all 8 bands
+        assert all(r.bucket_size == self.N_CLIQUE for r in audit
+                   if r.bucket_size > 50)
+        clique_rows = [r for r in audit if r.bucket_size == self.N_CLIQUE]
+        assert all(r.n_dropped_pairs == 1770 for r in clique_rows)
+        assert len(clique_rows) == 8
+
+    def test_star_edges_are_linear_in_bucket_size(self, spark):
+        from feasibility_etl_spark.operators.dedup import (
+            _minhash_banded,
+            bucket_star_edges,
+        )
+
+        df = self._corpus(spark)
+        banded = _minhash_banded(df, "text", "doc_id", 32, 8, 3)
+        edges = bucket_star_edges(banded, "doc_id")
+        # the clique's star grain: 59 distinct edges (identical docs share
+        # identical buckets in EVERY band, min is doc 0 everywhere) vs
+        # 1770 pairs; total edges ≤ docs × bands by construction
+        n_edges = edges.count()
+        n_banded = banded.count()
+        assert n_edges <= n_banded  # linear bound
+        clique_edges = edges.where("id_a < 60 and id_b < 60").count()
+        assert clique_edges == self.N_CLIQUE - 1
+
+    def test_components_match_pair_grain_components(self, spark):
+        from feasibility_etl_spark.operators.dedup import (
+            connected_components,
+            minhash_candidates,
+            minhash_components,
+        )
+
+        df = self._corpus(spark)
+        via_pairs = {
+            (r.doc_id, r.component_id)
+            for r in connected_components(minhash_candidates(df)).collect()
+        }
+        via_stars = {
+            (r.doc_id, r.component_id)
+            for r in minhash_components(df).collect()
+        }
+        assert via_stars == via_pairs and len(via_stars) > 0
+        # the clique collapses to one component labeled by its min id
+        labels = dict(via_stars)
+        assert all(labels[i] == 0 for i in range(self.N_CLIQUE))
+
+
 class TestIncrementalAutoBroadcastSafety:
     """small_increment=None (the default) must be broadcast-safe BY
     CONSTRUCTION: the r9 sf1 bench OOMed on exactly the old default —
