@@ -119,6 +119,37 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+#: The host anchor's nominal seconds — pinned to the value recorded the
+#: round the anchor was introduced (BENCH_r09 host_anchor_sec = 1.035),
+#: so normalized values are comparable across ALL rounds that carry an
+#: anchor. Normalized time = raw × (nominal / measured anchor): on a
+#: host-day 10% slower than r9's the anchor reads ~1.14 and every
+#: normalized timing shrinks by the same 10% the host inflated it —
+#: round-over-round regression triage on normalized ratios cancels host
+#: drift instead of re-deriving it from PERF-NOTES each round (r9's 8
+#: phantom regressions, all host-band, would have self-cleared).
+ANCHOR_NOMINAL_SEC = 1.035
+
+
+def normalize_by_anchor(
+    timings: dict[str, float],
+    host_anchor: float,
+    nominal: float = ANCHOR_NOMINAL_SEC,
+) -> dict[str, float]:
+    """Anchor-normalized copy of a {query: seconds} dict.
+
+    Error sentinels (<= 0, e.g. the -1.0 a failed query records) pass
+    through unscaled; a missing/invalid anchor returns {} so readers
+    can't mistake unnormalized values for normalized ones."""
+    if not host_anchor or host_anchor <= 0:
+        return {}
+    k = nominal / host_anchor
+    return {
+        q: (round(t * k, 3) if isinstance(t, (int, float)) and t > 0 else t)
+        for q, t in timings.items()
+    }
+
+
 def run_query_med(
     spark, name: str, sf_dir: str, tracker=None
 ) -> tuple[float, list[float]]:
@@ -628,6 +659,40 @@ def run_ann_recall(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_pipe_corpus_stage_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Per-stage wall-time attribution for PIPE-CORPUS (VERDICT r9 item
+    6): every stage boundary is persisted and driven to a noop sink in
+    chain order, so stage k's timing measures computing k FROM ITS
+    MATERIALIZED PREDECESSOR — a composition regression now names its
+    stage. The boundaries come from the same builder the composed entry
+    runs (pipe_corpus_stage_frames — single source of truth). The
+    stage-sum is expected to sit NEAR the composed PIPE-CORPUS timing
+    (each stage runs once either way); a large gap means the composition
+    itself regressed (lost cache reuse, re-executed subtree)."""
+    from feasibility_etl_spark.driver_queries.pipelines_joins import (
+        pipe_corpus_stage_frames,
+    )
+
+    stages, shared = pipe_corpus_stage_frames(spark, sf_dir)
+    persisted = []
+    out: dict[str, float] = {}
+    try:
+        for name, df in stages:
+            df = df.persist()
+            persisted.append(df)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+    finally:
+        for df in persisted:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001
+                pass
+        shared.release()
+    return out
+
+
 def run_ann_curve(spark, sf_dir: str) -> dict[str, list[dict]]:
     """The recall-vs-scan-bytes trade per ANN tier: 3 budget points per
     tier, each with recall@10 vs brute-force truth and ``scan_frac`` —
@@ -1133,6 +1198,27 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error ann-curve: {e}", file=sys.stderr)
 
+    # PIPE-CORPUS per-stage attribution (detail-only): stage-sum should
+    # sit near the composed timing — warn loudly when it doesn't, since
+    # that means the composition re-executes a subtree or lost a persist
+    pipe_stages: dict[str, float] = {}
+    try:
+        isolate_entry(spark)
+        pipe_stages = run_pipe_corpus_stage_bench(spark, sf_dir)
+        composed = timings.get("pipe-corpus", -1.0)
+        stage_sum = round(sum(pipe_stages.values()), 3)
+        pipe_stages["_stage_sum"] = stage_sum
+        pipe_stages["_composed"] = composed
+        if composed > 0 and not (0.4 <= stage_sum / composed <= 2.5):
+            print(
+                f"bench pipe-corpus composition drift: stage sum {stage_sum}s "
+                f"vs composed {composed}s — a stage lost cache reuse or the "
+                "composed plan re-executes a subtree",
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error pipe-corpus-stages: {e}", file=sys.stderr)
+
     # Output contract (round 7, VERDICT r6 item 1): the driver keeps only
     # the LAST 2000 chars of stdout and parses the final line — round 6's
     # headline was lost because plan_metrics rode inline and pushed the
@@ -1148,8 +1234,16 @@ def main() -> None:
         "rep_times": rep_times,
         "host_anchor_sec": host_anchor,
         "host_anchor_reps": anchor_reps,
+        # anchor-normalized values (raw × nominal/anchor): USE these for
+        # round-over-round regression triage; raw stays the ground truth
+        "anchor_nominal_sec": ANCHOR_NOMINAL_SEC,
+        "value_normalized": round(total * ANCHOR_NOMINAL_SEC / host_anchor, 3)
+        if host_anchor > 0
+        else None,
+        "queries_normalized": normalize_by_anchor(timings, host_anchor),
         "plan_metrics": plan_metrics,
         "ann_curve": ann_curve,
+        "pipe_corpus_stage_sec": pipe_stages,
         "sf": sf,
         **rates,
         **recall_metrics,
@@ -1177,6 +1271,10 @@ def main() -> None:
         "reps": BENCH_REPS,
         "sf": sf,
         "host_anchor_sec": host_anchor,
+        "anchor_nominal_sec": ANCHOR_NOMINAL_SEC,
+        "value_normalized": round(total * ANCHOR_NOMINAL_SEC / host_anchor, 3)
+        if host_anchor > 0
+        else None,
         **rates,
         **recall_metrics,
         "queries": batch_timings,

@@ -646,12 +646,37 @@ def q_pipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
     weight table (4096 rows) and the KLL threshold attach by broadcast;
     BPE is one Arrow-batched mapInPandas over the final survivors.
     """
+    from ..plans.compose import release_when_unreachable
+
+    stages, shared = pipe_corpus_stage_frames(spark, sf)
+    return release_when_unreachable(stages[-1][1], shared)
+
+
+def pipe_corpus_stage_frames(spark: SparkSession, sf: str):
+    """The PIPE-CORPUS DAG with its stage boundaries exposed: an ordered
+    ``[(stage_name, DataFrame), ...]`` (the last frame IS the composed
+    result — q_pipe_corpus returns exactly it) plus the StageCache whose
+    release the caller owns. Single source of truth for the chain;
+    bench.py times each boundary from its persisted predecessor so a
+    composition regression names its STAGE instead of re-deriving the
+    attribution from plans (VERDICT r9 item 6).
+
+    Stage outputs that downstream stages reference MORE THAN ONCE go
+    through the StageCache: Spark does not share common subplans
+    across references (the documented exchange-reuse lesson), so an
+    uncached chain this deep re-executes the line-dedup + gate
+    subtree per reference — measured 39 s -> 8 s at sf0.01. The DAG
+    stays lazy; these are post-gate, survivor-sized frames, not the
+    corpus. Lifecycle: released when the composed frame becomes
+    unreachable (driver-contract mode — the caller owns the actions),
+    so nothing stays cached once the result is dropped.
+    """
     from ..operators.bpe import DEMO_MERGES, bpe_encode
     from ..operators.corpus import dsir_weights, pack_shards
     from ..operators.dedup import line_dedup, prune_components
     from ..operators.sketches import bloom_decontaminate, threshold_filter
     from ..operators.text import lang_id
-    from ..plans.compose import StageCache, release_when_unreachable
+    from ..plans.compose import StageCache
     from .views_dedup_corpus import _structured_docs
 
     raw = load(spark, sf, "documents")
@@ -661,15 +686,6 @@ def q_pipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "text")
         .join(meta, "doc_id")
     )
-    # Stage outputs that downstream stages reference MORE THAN ONCE go
-    # through the StageCache: Spark does not share common subplans
-    # across references (the documented exchange-reuse lesson), so an
-    # uncached chain this deep re-executes the line-dedup + gate
-    # subtree per reference — measured 39 s -> 8 s at sf0.01. The DAG
-    # stays lazy; these are post-gate, survivor-sized frames, not the
-    # corpus. Lifecycle: released when the returned frame becomes
-    # unreachable (driver-contract mode — the caller owns the actions),
-    # so nothing stays cached once the result is dropped.
     shared = StageCache()
     d2 = shared(
         d1.where((quality_score("text") >= 0.45) & (lang_id("text") != "und"))
@@ -697,7 +713,16 @@ def q_pipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "lang", "source", "n_tok", "shard_id", "logw_e9",
         "n_bpe_tok", "bpe_text",
     )
-    return release_when_unreachable(out, shared)
+    return [
+        ("line_dedup", d1),
+        ("quality_lang_gates", d2),
+        ("exact_dedup", d3),
+        ("near_dup_prune", d4),
+        ("decontam", d5),
+        ("dsir_gate", d6),
+        ("pack_shards", d7),
+        ("bpe_encode", out),
+    ], shared
 
 
 def _oracle_pipe_corpus() -> str:
