@@ -124,6 +124,42 @@ def q_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_sim_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-IVF-APPEND: the index-maintenance serve path (VERDICT r9 item
+    5) — train + build on the even-id half, ivf_append the odd-id half
+    (map-only assignment at the frozen centroids, no retrain), then
+    serve from the grown index; the one-row staleness signal unions in
+    as part='staleness'. Rows-only like every k-means entry; served ==
+    rebuilt-at-same-centroids is pinned in tests/test_similarity.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import ivf_append, ivf_build, ivf_search, ivf_staleness
+
+    emb = load(spark, sf, "embeddings")
+    path = os.path.join(tempfile.gettempdir(), "feasibility_etl_spark_ivf_append")
+    shutil.rmtree(path, ignore_errors=True)  # append is not idempotent
+    ivf_build(emb.where(F.col("vec_id") % 2 == 0), path, n_cells=16, seed=42,
+              train_fraction=0.5, max_iter=8)
+    ivf_append(spark, path, emb.where(F.col("vec_id") % 2 == 1))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    served = ivf_search(spark, path, queries, k=10, nprobe=6).select(
+        F.lit("topk").alias("part"), "query_id", "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    stale = ivf_staleness(spark, path).select(
+        F.lit("staleness").alias("part"),
+        F.col("n_cells").cast("long").alias("query_id"),
+        F.col("n_vectors").alias("vec_id"),
+        F.when(F.col("recluster_recommended"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("rank"),
+    )
+    return served.unionByName(stale).orderBy("part", "query_id", "rank")
+
+
 def q_sim_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """SIM-IVFPQ: fused IVF-PQ top-k — coarse k-means cells + per-cell
     residual PQ codes in one index (rows-only; recall vs standalone PQ at a

@@ -467,6 +467,109 @@ def ivf_search(
     )
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell assignment as a PURE MAP — zero shuffle.
+
+    ``centroids`` is the driver-side list of ``(cell, centroid)`` (tiny
+    by construction: n_cells rows); the argmin is one ``array_min`` over
+    per-cell ``(dist², cell)`` structs, so struct ordering gives the
+    euclidean argmin with lowest-cell tie-break — the same (dist², cell)
+    order the serve path's probe ranking uses. New vectors therefore
+    assign without a KMeans model object, without a join, and without a
+    window shuffle: the scale path for appending a daily drop to a
+    billion-vector index is a map over the drop alone."""
+    pairs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+            F.lit(int(cell)).alias("c"),
+        )
+        for cell, c in centroids
+    ]
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.array_min(F.array(*pairs))["c"].alias("_cell")
+    )
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Append new vectors to an :func:`ivf_build` index WITHOUT
+    retraining (VERDICT r9 item 5): assign each to its nearest existing
+    centroid (:func:`assign_cells` — map-only over the increment) and
+    append into the cell-partitioned assigned table. Subsequent
+    :func:`ivf_search` calls serve old ∪ new identically to an index
+    whose assignment ran over the full corpus at the SAME centroids
+    (pinned in tests) — recall for the appended vectors is governed by
+    how well the frozen centroids still fit them; watch
+    :func:`ivf_staleness` and re-run :func:`ivf_build` when it trips.
+
+    Idempotency caveat: parquet ``append`` is not transactional — a
+    replayed append duplicates rows. Daily-drop pipelines should write
+    each drop under a jobs-own subdir or dedupe on ``corpus_id`` at
+    serve time if replays are possible."""
+    cents = [
+        (r["_cell"], list(r["_centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    assign_cells(new_vectors, cents, corpus_id, corpus_vec).write.mode(
+        "append"
+    ).partitionBy("_cell").parquet(f"{path}/assigned")
+
+
+def ivf_staleness(spark, path: str, imbalance_threshold: float = 4.0) -> DataFrame:
+    """Staleness signal for an appended-to IVF index: one row of
+    cell-population stats. Appends never move centroids, so drift shows
+    up as CELL IMBALANCE — vectors piling into the few cells nearest the
+    new distribution — which degrades both recall (true neighbors
+    straddle overfull cells' boundaries) and probe cost (nprobe cells no
+    longer bound scan fraction). ``recluster_recommended`` trips when
+    max/mean population exceeds ``imbalance_threshold`` or any trained
+    cell has gone empty; the remedy is an offline :func:`ivf_build`
+    re-run. Cost: one column-pruned aggregate over the assigned table's
+    partition column."""
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    stats = (
+        spark.read.parquet(f"{path}/assigned")
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_nonempty_cells"),
+            F.max("n").alias("max_cell"),
+            (F.sum("n") / F.count(F.lit(1))).alias("mean_cell"),
+        )
+    )
+    return stats.select(
+        F.lit(n_cells).alias("n_cells"),
+        "n_vectors",
+        "n_nonempty_cells",
+        "max_cell",
+        F.round("mean_cell", 3).alias("mean_cell"),
+        F.round(F.col("max_cell") / F.col("mean_cell"), 3).alias("imbalance"),
+        (
+            (F.col("max_cell") / F.col("mean_cell") > imbalance_threshold)
+            | (F.col("n_nonempty_cells") < F.lit(n_cells))
+        ).alias("recluster_recommended"),
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     n_subspaces: int = 8,

@@ -298,6 +298,76 @@ def test_ivf_build_search_matches_inline_and_prunes_partitions(spark, tmp_path):
     assert again.count() == served.count()
 
 
+def test_ivf_append_serves_like_rebuild_at_same_centroids(spark, tmp_path):
+    from feasibility_etl_spark.operators.similarity import (
+        assign_cells,
+        ivf_append,
+        ivf_build,
+        ivf_search,
+    )
+
+    corpus = clustered_embeddings(spark)  # dim 16, 8 clusters x 40
+    first = corpus.where(F.col("vec_id") % 2 == 0)
+    drop = corpus.where(F.col("vec_id") % 2 == 1)
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "idx")
+    ivf_build(first, path, n_cells=8, seed=5)
+    ivf_append(spark, path, drop)
+    served = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_search(spark, path, queries, k=10, nprobe=2).collect()
+    )
+    # rebuild the assigned table from scratch at the SAME frozen
+    # centroids (full-corpus map-only assignment) — serving must match
+    cents = [
+        (r["_cell"], list(r["_centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    path2 = str(tmp_path / "idx_rebuilt")
+    spark.read.parquet(f"{path}/centroids").write.parquet(f"{path2}/centroids")
+    assign_cells(corpus, cents).write.partitionBy("_cell").parquet(
+        f"{path2}/assigned"
+    )
+    rebuilt = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_search(spark, path2, queries, k=10, nprobe=2).collect()
+    )
+    assert served == rebuilt and len(served) > 0
+    # append-heavy recall floor: half the corpus arrived post-training,
+    # yet the frozen centroids still fit (clustered data) — recall vs
+    # brute force stays high
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(corpus, queries, k=10).collect()}
+    got = {(q, v) for q, v, _ in served}
+    assert len(exact & got) / len(exact) > 0.9
+
+
+def test_ivf_staleness_signal(spark, tmp_path):
+    from feasibility_etl_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_staleness,
+    )
+
+    corpus = clustered_embeddings(spark)
+    path = str(tmp_path / "idx")
+    ivf_build(corpus, path, n_cells=8, seed=5)
+    healthy = ivf_staleness(spark, path).collect()[0]
+    assert healthy.n_cells == 8 and not healthy.recluster_recommended
+    # an append-heavy skew: pile 5x the corpus onto ONE cluster's
+    # location — those all land in one cell and the imbalance trips
+    blob = clustered_embeddings(spark, n_clusters=1, per_cluster=320 * 5, dim=16,
+                                seed=99).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    ivf_append(spark, path, blob)
+    stale = ivf_staleness(spark, path).collect()[0]
+    assert stale.n_vectors == healthy.n_vectors + 320 * 5
+    assert stale.imbalance > healthy.imbalance
+    assert stale.recluster_recommended
+
+
 def test_emb_centroids_exact_and_order_independent(spark):
     from feasibility_etl_spark.operators.similarity import emb_centroids
 

@@ -71,6 +71,10 @@ CARTESIAN_OK = {
     # broadcast attach as its SIM siblings — query table crossed onto
     # the probed cells, never corpus×corpus.
     "SIM-IVFBQ",
+    # SIM-IVF-APPEND (round-10): serves through the same _ivf_probe_score
+    # as SIM-IVF (≤5 queries crossed onto the n_cells centroid table),
+    # from the appended-to persisted index — never corpus×corpus.
+    "SIM-IVF-APPEND",
     "J-LOOKUP-INSERT", "E-AUDIT",
     "TEXT-BM25", "TEXT-PROFILE", "SKETCH-THETA",
     "SKETCH-CONTAM", "SKETCH-CONTAM-SCOUT", "TEXT-BM25-TOPK",
