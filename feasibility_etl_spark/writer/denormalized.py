@@ -18,7 +18,16 @@ an explicit, set-oriented engine API:
 
 Single-writer batch semantics (matches the reference's one-script-run
 model); concurrent writers would need an external lock or Delta-style
-transaction log, out of scope per the reference's own semantics.
+transaction log, out of scope per the reference's own semantics. That
+declaration is DETECT-AND-FAIL, not trust: the reference's PG sequences
++ trigger tolerate concurrent inserts (schema.sql:105-134,170-173) and a
+multi-pipeline user will eventually run two loads at once — so
+:func:`audit_dim_collisions` checks a dimension AFTER append for exactly
+the corruption interleaved writers produce (one dense id on two natural
+keys, or one key under two ids) and raises with the offending rows.
+Run it post-append on every dense-strategy dim; the "hash" strategy is
+race-free by construction (stateless ids) and only the same-key-two-ids
+check applies.
 """
 
 from __future__ import annotations
@@ -104,6 +113,65 @@ def write_denormalized(
         # shuffles both sides on the key once it isn't
         fact = fact.join(existing_fact.select(fact_key), fact_key, "left_anti")
     return DenormResult(fact=fact, dims=out_dims, rejected=rejected)
+
+
+class DimCollisionError(RuntimeError):
+    """A dimension violates surrogate-key integrity — almost always two
+    interleaved writers both ran lookup_or_insert from the same base dim
+    (both saw the same max(id) and assigned overlapping dense ids)."""
+
+
+def audit_dim_collisions(
+    dim: DataFrame,
+    natural_key: str,
+    id_col: str = "id",
+    sample: int = 5,
+) -> None:
+    """Post-append dimension integrity check — the detect-and-fail
+    upgrade of the module's single-writer declaration.
+
+    Raises :class:`DimCollisionError` when any surrogate id maps to more
+    than one natural key, or any natural key holds more than one id —
+    the two corruptions concurrent ``lookup_or_insert`` writers produce
+    (PG's sequences make this impossible in the reference; Spark has no
+    sequence, so the engine must CHECK instead). Cost: two dim-scale
+    aggregates (dimensions are small by design — this never touches
+    fact data); the error carries up to ``sample`` offending groups so
+    the operator can see WHICH keys collided without re-querying."""
+    id_dups = (
+        dim.groupBy(id_col)
+        .agg(
+            F.countDistinct(natural_key).alias("_n"),
+            F.collect_set(natural_key).alias("_keys"),
+        )
+        .where(F.col("_n") > 1)
+    )
+    key_dups = (
+        dim.groupBy(natural_key)
+        .agg(F.countDistinct(id_col).alias("_n"), F.collect_set(id_col).alias("_ids"))
+        .where(F.col("_n") > 1)
+    )
+    bad_ids = id_dups.limit(sample).collect()
+    bad_keys = key_dups.limit(sample).collect()
+    if bad_ids or bad_keys:
+        parts = []
+        if bad_ids:
+            parts.append(
+                "ids mapping to multiple natural keys: "
+                + "; ".join(f"{r[id_col]} -> {sorted(r['_keys'])}" for r in bad_ids)
+            )
+        if bad_keys:
+            parts.append(
+                "natural keys holding multiple ids: "
+                + "; ".join(
+                    f"{r[natural_key]!r} -> {sorted(r['_ids'])}" for r in bad_keys
+                )
+            )
+        raise DimCollisionError(
+            "dimension surrogate-key integrity violated (concurrent writers "
+            "racing lookup_or_insert from the same base dim?): "
+            + " | ".join(parts)
+        )
 
 
 def write_partitioned(

@@ -196,3 +196,47 @@ def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
     # the footgun overwrite_partitions exists to remove
     write_partitioned(day2, path, ["day"], mode="overwrite")
     assert {r.day for r in spark.read.parquet(path).select("day").distinct().collect()} == {"d2"}
+
+
+def test_audit_dim_collisions_detects_interleaved_writers(spark):
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.operators.joins import lookup_or_insert
+    from feasibility_etl_spark.writer.denormalized import (
+        DimCollisionError,
+        audit_dim_collisions,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "id long, username string"
+    )
+    # two writers race: both read the SAME base dim (both see max(id)=2)
+    # and each lookup_or_insert its own new names — PG sequences make
+    # this safe in the reference; dense ids here collide by construction
+    w1 = lookup_or_insert(
+        base, spark.createDataFrame([("carol",)], "username string"), "username"
+    )
+    w2 = lookup_or_insert(
+        base, spark.createDataFrame([("dave",)], "username string"), "username"
+    )
+    merged = w1.unionByName(w2).distinct()  # both appends landed
+    with pytest.raises(DimCollisionError, match="carol|dave"):
+        audit_dim_collisions(merged, "username")
+
+    # same key loaded twice under different ids (replayed writer against
+    # a moved base) is the other corruption class
+    replay = base.unionByName(
+        spark.createDataFrame([(7, "alice")], "id long, username string")
+    )
+    with pytest.raises(DimCollisionError, match="alice"):
+        audit_dim_collisions(replay, "username")
+
+    # a healthy dim passes silently — including after a clean single-
+    # writer upsert
+    clean = lookup_or_insert(
+        base,
+        spark.createDataFrame([("carol",), ("dave",)], "username string"),
+        "username",
+    )
+    audit_dim_collisions(clean, "username")
+    assert clean.where(F.col("id") > 2).count() == 2
