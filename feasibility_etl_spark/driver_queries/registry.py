@@ -131,7 +131,12 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return repetition_signals(docs, top_ns=(2, 3), dup_ns=(2, 5))
+    # the vectorized twin (r10): same values as repetition_signals
+    # (parity-pinned; the relational form remains the oracle-shaped
+    # formulation), ~3.6× faster — the TEXT-WINNOW precedent
+    from ..operators.text import repetition_signals_arrow
+
+    return repetition_signals_arrow(docs, top_ns=(2, 3), dup_ns=(2, 5))
 
 
 def q_e_profile(spark: SparkSession, sf: str) -> DataFrame:

@@ -628,6 +628,88 @@ def repetition_signals(
     )
 
 
+def repetition_signals_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5, 10),
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Vectorized twin of :func:`repetition_signals` via ``mapInPandas``
+    — same values (parity-pinned in tests; the relational form stays as
+    the oracle-shaped formulation), ~3.6× faster at sf0.1 (r10 profile;
+    the winnow/group-cosine precedent, PERF-NOTES 28/32).
+
+    Why: the relational fold is zero-shuffle and linear, but HOF
+    ``aggregate`` lambdas evaluate interpreted per array element with a
+    5-field struct accumulator per gram. Here each document's gram
+    counting is one dict pass (Counter) per requested n — the per-doc
+    cost drops below the interpreter's, and a document never leaves its
+    executor: ZERO shuffles, identical scale posture.
+
+    Exact-parity details: tokens replay ``split(trim(lower(x)), '\\s+')``
+    minus empties as a single ``[^ \\t\\n\\x0b\\f\\r]+`` findall (Java
+    default ``\\s``); gram mass uses Python ``len`` = codepoints =
+    ``F.length``; fracs are the same long/long IEEE division; docs with
+    fewer than n words (or empty text) score 0.0 and null text yields
+    null fracs, both matching the relational branch structure. Known
+    caveat shared with every lower() twin in this repo: exotic
+    one-to-many case mappings could differ between Python and UTF8String
+    lowercasing — pinned green on the test corpora + crafted accented/
+    CJK edges."""
+    import re as _re
+
+    from collections import Counter
+
+    import pandas as pd
+
+    nonws = _re.compile(r"[^ \t\n\x0b\f\r]+")
+    keep = [id_col] if carry is None else list(carry)
+    ns = sorted(set(top_ns) | set(dup_ns))
+    top_cols = [f"top{n}_frac" for n in top_ns]
+    dup_cols = [f"dup{n}_frac" for n in dup_ns]
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in keep]
+        + [f"{c} double" for c in top_cols + dup_cols]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            tops: dict[int, list] = {n: [] for n in ns}
+            dups: dict[int, list] = {n: [] for n in ns}
+            for t in pdf[text_col]:
+                if t is None:
+                    for n in ns:
+                        tops[n].append(None)
+                        dups[n].append(None)
+                    continue
+                toks = nonws.findall(str(t).lower())
+                nc = len(t)
+                for n in ns:
+                    if nc == 0 or len(toks) < n:
+                        tops[n].append(0.0)
+                        dups[n].append(0.0)
+                        continue
+                    cnt = Counter(
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+                    best_m = max((c, c * len(g)) for g, c in cnt.items())[1]
+                    dup = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+                    tops[n].append(best_m / nc)
+                    dups[n].append(dup / nc)
+            out = {c: pdf[c] for c in keep}
+            for n, c in zip(top_ns, top_cols):
+                out[c] = tops[n]
+            for n, c in zip(dup_ns, dup_cols):
+                out[c] = dups[n]
+            yield pd.DataFrame(out)
+
+    cols = list(dict.fromkeys(keep + [text_col]))
+    return df.select(*cols).mapInPandas(gen, schema)
+
+
 def tfidf_topterms(
     df: DataFrame,
     text_col: str = "text",

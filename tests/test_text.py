@@ -313,6 +313,51 @@ def test_repetition_signals_hand_computed(spark):
     assert got[4].top2_frac == 0.0 and got[4].dup2_frac == 0.0
 
 
+def test_repetition_arrow_parity_with_relational(spark):
+    """repetition_signals_arrow must be VALUE-IDENTICAL to the relational
+    fold — it is what TEXT-REPETITION serves (r10), so a divergence here
+    is an oracle failure waiting to happen. Edges: repeats, no-repeats,
+    short doc, empty, whitespace-only, null, accented + CJK text, multi-
+    whitespace runs, and carry columns."""
+    from feasibility_etl_spark.operators.text import (
+        repetition_signals,
+        repetition_signals_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab cd ab cd ab", "a"),
+            (2, "unique words only here", "a"),
+            (3, "one", "b"),
+            (4, "", "b"),
+            (5, "   \t \n ", "b"),
+            (6, None, "c"),
+            (7, "Élan vital élan VITAL Élan vital", "c"),
+            (8, "深度 学习 深度 学习 模型", "c"),
+            (9, "a  b\t\tc\na  b  c", "d"),
+            (10, "aa aa aa aa verylongword1 verylongword2", "d"),
+        ],
+        "doc_id long, text string, grp string",
+    )
+    kw = dict(top_ns=(2, 3), dup_ns=(2, 5), carry=["doc_id", "grp"])
+    rel = {r.doc_id: tuple(r) for r in repetition_signals(docs, **kw).collect()}
+    arr = {
+        r.doc_id: tuple(r) for r in repetition_signals_arrow(docs, **kw).collect()
+    }
+    assert rel == arr and len(rel) == 10
+    # null text → null fracs on both sides (not silently zeroed)
+    assert rel[6][2] is None
+    # corpus parity at sf0.001 (real data, default columns)
+    from feasibility_etl_spark.sources.catalog import load
+
+    from conftest import SF0001
+
+    corpus = load(spark, SF0001, "documents")
+    r2 = {r.doc_id: tuple(r) for r in repetition_signals(corpus).collect()}
+    a2 = {r.doc_id: tuple(r) for r in repetition_signals_arrow(corpus).collect()}
+    assert r2 == a2 and len(r2) > 0
+
+
 def test_repetition_top_frac_is_gopher_argmax_by_count(spark):
     # Gopher A1.1: top{n}_frac is the char mass of the single MOST FREQUENT
     # n-gram — a rare-but-long gram must not outscore it. Here "aa aa" (cnt

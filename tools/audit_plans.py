@@ -128,7 +128,11 @@ PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL",
              # TEXT-WINNOW (round-7): numpy rolling-hash + sliding-min in
              # mapInPandas (PERF-NOTES 32, 231× at sf1); the relational
              # twin stays the oracle-shaped formulation.
-             "TEXT-WINNOW"}
+             "TEXT-WINNOW",
+             # TEXT-REPETITION (round-10): Counter-based gram mass in
+             # mapInPandas (repetition_signals_arrow, ~3.6× at sf0.1);
+             # relational twin stays the oracle-shaped formulation.
+             "TEXT-REPETITION"}
 
 
 def audit(name: str, plan: str) -> tuple[list[str], list[str]]:
