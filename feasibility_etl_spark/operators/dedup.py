@@ -1090,6 +1090,26 @@ def prune_components(
     comps = connected_components(
         pairs, max_iterations=max_iterations, checkpoint_dir=checkpoint_dir
     )
+    return prune_by_components(df, comps, id_col=id_col, score_col=score_col)
+
+
+def prune_by_components(
+    df: DataFrame,
+    comps: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """The keep-one-per-component half of :func:`prune_components`,
+    standalone over a PRECOMPUTED ``(doc_id, component_id)`` frame — so
+    the component-grain LSH path composes into a deduplicated corpus
+    without ever materializing pairs::
+
+        comps = minhash_components(docs)            # star-edge grain
+        deduped = prune_by_components(docs, comps)  # or score_col=...
+
+    Same representative policy and scale shape as
+    :func:`prune_components` (min-id or best-score keeper; anti-join
+    against the dropped set only)."""
     if score_col is None:
         dropped = comps.where(F.col("doc_id") != F.col("component_id")).select(
             F.col("doc_id").alias(id_col)

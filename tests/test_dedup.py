@@ -516,6 +516,37 @@ class TestHotBucketCapAndComponents:
         clique_edges = edges.where("id_a < 60 and id_b < 60").count()
         assert clique_edges == self.N_CLIQUE - 1
 
+    def test_prune_by_components_composes_with_star_grain(self, spark):
+        from feasibility_etl_spark.operators.dedup import (
+            minhash_candidates,
+            minhash_components,
+            prune_by_components,
+            prune_components,
+        )
+
+        df = self._corpus(spark)
+        via_pairs = {
+            r.doc_id for r in prune_components(df, minhash_candidates(df)).collect()
+        }
+        comps = minhash_components(df)
+        via_stars = {
+            r.doc_id for r in prune_by_components(df, comps).collect()
+        }
+        assert via_stars == via_pairs
+        # the clique keeps exactly its min id
+        assert 0 in via_stars and not any(0 < i < self.N_CLIQUE for i in via_stars)
+        # best-score policy: make doc 7 the clique's best-quality member
+        scored = df.withColumn(
+            "score", F.when(F.col("doc_id") == 7, 9.0).otherwise(1.0)
+        )
+        kept = {
+            r.doc_id
+            for r in prune_by_components(
+                scored, minhash_components(scored), score_col="score"
+            ).collect()
+        }
+        assert 7 in kept and 0 not in kept
+
     def test_components_match_pair_grain_components(self, spark):
         from feasibility_etl_spark.operators.dedup import (
             connected_components,
