@@ -673,9 +673,16 @@ def run_pipe_corpus_stage_bench(spark, sf_dir: str) -> dict[str, float]:
         pipe_corpus_stage_frames,
     )
 
-    stages, shared = pipe_corpus_stage_frames(spark, sf_dir)
-    persisted = []
     out: dict[str, float] = {}
+    t0 = time.time()
+    stages, shared = pipe_corpus_stage_frames(spark, sf_dir)
+    # frame CONSTRUCTION is a real stage: prune_components' label-
+    # propagation loop runs EAGERLY (per-round localCheckpoint counts)
+    # while the DAG is being built, so the composed entry pays it inside
+    # its timing window — the stage sum must too, or composition always
+    # looks mysteriously slower than its parts (it did, r10 first run)
+    out["_build_eager_components"] = round(time.time() - t0, 3)
+    persisted = []
     try:
         for name, df in stages:
             df = df.persist()

@@ -698,8 +698,15 @@ def pipe_corpus_stage_frames(spark: SparkSession, sf: str):
     w = shared(dsir_weights(d5, raw.where(F.col("doc_id") % 101 == 0)))
     gate = threshold_filter(w, "logw_e9", keep_frac=0.25)
     d6 = d5.join(gate.select("doc_id", "logw_e9"), "doc_id")
-    d7 = pack_shards(
-        d6.withColumn("n_tok", token_count("text")), "n_tok", 2000, num_buckets=8
+    # d7 is referenced TWICE (the BPE encode input and the final join's
+    # left side) — without the cache the whole line-dedup→…→pack chain
+    # re-executes under bpe_encode. Found by the r10 stage attribution's
+    # first run: stage sum 12.1 s vs composed 18.4 s, and the 6.3 s gap
+    # equals one extra execution of the d1..d7 chain (5.9 s).
+    d7 = shared(
+        pack_shards(
+            d6.withColumn("n_tok", token_count("text")), "n_tok", 2000, num_buckets=8
+        )
     )
     enc = bpe_encode(d7, DEMO_MERGES)
     out = d7.join(

@@ -43,7 +43,9 @@ def test_last_stage_frame_is_the_composed_result(spark):
 
 def test_bench_runner_times_every_stage(spark):
     out = bench.run_pipe_corpus_stage_bench(spark, SF0001)
-    assert set(out) == set(STAGE_NAMES)
+    # _build_eager_components: prune's label loop runs at frame build,
+    # inside the composed timing window — the stage sum must carry it
+    assert set(out) == set(STAGE_NAMES) | {"_build_eager_components"}
     assert all(isinstance(v, float) and v >= 0 for v in out.values())
     # monotone row flow sanity isn't timed here; the point is each stage
     # gets its OWN number so a composition regression names its stage
