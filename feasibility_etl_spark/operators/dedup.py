@@ -1192,6 +1192,7 @@ def incremental_near_dups(
     dedupe: bool = True,
     small_increment: bool | None = None,
     tag_new: bool = False,
+    exclude_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for an increment WITHOUT recomputing the corpus —
     the daily-drop serve path over a persisted ``minhash_index``.
@@ -1257,6 +1258,18 @@ def incremental_near_dups(
     under the bound. Callers that KNOW their increment (the streaming
     gate's micro-batches) keep passing an explicit ``True`` and skip
     the probe job entirely.
+
+    ``exclude_buckets``: the serve-path face of the hot-bucket cap (see
+    :func:`capped_bucket_pairs`) — a tiny ``(band, band_hash)`` frame of
+    buckets to SKIP on both join sides, typically computed ONCE at index
+    build time (:func:`hot_buckets` over the exploded index) and
+    persisted alongside it. A boilerplate clique in the index otherwise
+    multiplies EVERY increment carrying the same boilerplate (m×n
+    candidate rows per hot bucket, every drop); excluding it costs two
+    broadcast anti-joins against a by-definition-small frame — no
+    per-serve index aggregation. Pairs lost to a hot bucket can still
+    surface through the docs' cooler bands, and the exclusion frame
+    itself IS the dropped-mass audit (no silent caps).
     """
     new_idx = (
         new_index
@@ -1283,10 +1296,17 @@ def incremental_near_dups(
     hint = F.broadcast if small_increment else (lambda df: df)
 
     def banded(ix: DataFrame) -> DataFrame:
-        return ix.select(
+        out = ix.select(
             F.col(id_col).alias("id"),
             F.posexplode("band_hashes").alias("band", "band_hash"),
         )
+        if exclude_buckets is not None:
+            out = out.join(
+                F.broadcast(exclude_buckets.select("band", "band_hash")),
+                ["band", "band_hash"],
+                "left_anti",
+            )
+        return out
 
     nb, ob = banded(new_idx), banded(index)
     vs_old = hint(nb).alias("n").join(

@@ -621,6 +621,44 @@ class TestIncrementalAutoBroadcastSafety:
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev)
 
+    def test_exclude_buckets_skips_boilerplate_on_the_serve_path(self, spark):
+        from feasibility_etl_spark.operators.dedup import (
+            _minhash_banded,
+            hot_buckets,
+        )
+
+        boiler = "cookie notice please accept our terms of service today"
+        rows = [(i, boiler) for i in range(40)]
+        rows += [
+            (100, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+            (101, "alpha bravo charlie delta echo foxtrot golf hotel juliet"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        old = docs.where("doc_id % 2 = 0")
+        new = docs.where("doc_id % 2 = 1")
+        # hot buckets computed over the INDEX corpus at build time — the
+        # persisted artifact the serve path would load alongside the index
+        hot = hot_buckets(
+            _minhash_banded(old, "text", "doc_id", 32, 8, 3), max_bucket_size=10
+        )
+        base = {
+            (r.id_a, r.id_b)
+            for r in incremental_near_dups(new, minhash_index(old),
+                                           threshold=None).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in incremental_near_dups(
+                new, minhash_index(old), threshold=None, exclude_buckets=hot
+            ).collect()
+        }
+        # the clique's increment×index explosion is gone; the cool pair
+        # (100, 101) survives; nothing NEW appears
+        assert (100, 101) in capped
+        assert not any(a < 40 and b < 40 for a, b in capped)
+        assert any(a < 40 and b < 40 for a, b in base)
+        assert capped <= base
+
     def test_aqe_off_large_increment_does_not_hint(self, spark, monkeypatch):
         from feasibility_etl_spark.operators import dedup as dedup_mod
 
