@@ -8,7 +8,12 @@ Scale shape: every variant here avoids the O(n²) all-pairs comparison.
 - **MinHash+LSH**: shingle → k minhashes → band buckets → self-join only
   within buckets → exact Jaccard verify on candidates. The self-join is on
   (band, band_hash), so the shuffle carries bucket-sized groups, not the
-  corpus.
+  corpus. Clique-heavy corpora (boilerplate replicas) have two escape
+  hatches for the quadratic within-bucket pair grain: a deterministic
+  hot-bucket cap with an auditable dropped-mass surface
+  (``capped_bucket_pairs``/``hot_buckets``), and component-grain output
+  via per-bucket star edges (``minhash_components`` — linear in bucket
+  size, composes with ``prune_by_components``).
 - **SimHash**: 64-bit signature per doc via HOF bit-vote, banded into 16-bit
   quarters for candidate generation (two signatures within Hamming distance
   3 must share one of 4 bands).

@@ -193,6 +193,12 @@ def main() -> None:
         "cls_route": lambda d: _cls_route(d),
         # round-7 vectorized winnowing (numpy rolling hash, mapInPandas)
         "text_winnow": lambda d: text.winnow_fingerprints_arrow(d),
+        # round-10 component-grain LSH: star edges bound the grain at
+        # docs × bands regardless of clique structure, so this must stay
+        # sub-linear even on the replicated (clique-free) probe corpus;
+        # the clique-heavy evidence lives in the sf1 sweep
+        # (DEDUP-MINHASH-COMP: 500k docs labeled in ~21 s)
+        "minhash_components": lambda d: dedup.minhash_components(d),
     }
     # the round-7 adaptive exact-Jaccard candidate stage probes on a
     # SALTED replica corpus: plain replicate() makes every doc N identical
