@@ -952,12 +952,24 @@ def _round_checkpoint(df: DataFrame, checkpoint_dir: str | None, path: str) -> D
     return df.sparkSession.read.parquet(path)
 
 
+#: Symmetrized-edge bound for the driver-side union-find fast path of
+#: ``connected_components`` (2M directed rows = 1M undirected pairs ≈ a
+#: few hundred MB of transient driver memory during the collect — the
+#: bounded-driver-structure pattern of MAX_BROADCAST_BLOCKS and the
+#: gate's fp dict). Near-dup pair graphs are DUP-count-sized, not
+#: corpus-sized, so real workloads sit far under this (sf1's clique-heavy
+#: star-edge graph: 1.02M symmetrized); past the bound the distributed
+#: label loop serves unchanged.
+CC_DRIVER_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
     checkpoint_dir: str | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, component_id).
 
@@ -994,6 +1006,19 @@ def connected_components(
     pays off on chain-like graphs (diameter ≫ log n), which dedup pair
     graphs are not. Raise ``max_iterations`` if one ever shows up rather
     than switching the default.
+
+    ``driver_max_edges`` (default ``CC_DRIVER_MAX_EDGES``; pass ``0`` to
+    force the distributed loop): graphs whose SYMMETRIZED edge list
+    fits the bound skip the label loop for a driver-side union-find —
+    value-identical output (min-id labels either way; pinned in tests),
+    but one bounded collect off the already-checkpointed edge frame
+    replaces 2-3 jobs PER ROUND. Measured r10: DEDUP-PRUNE 6.0 → ~2 s,
+    and the PIPE-CORPUS eager build drops with it. The bound is the
+    repo's bounded-driver-structure pattern (cf. MAX_BROADCAST_BLOCKS):
+    pair graphs are dup-count-sized, not corpus-sized; a graph past the
+    bound flows into the unchanged distributed loop, and durable
+    ``checkpoint_dir`` runs always stay distributed (that flag is the
+    caller saying "cluster posture, executor loss expected").
     """
     import uuid
 
@@ -1020,6 +1045,38 @@ def connected_components(
     # edges feed every iteration's join — checkpoint once or the (possibly
     # expensive) upstream pair-generation plan re-executes per round
     edges = ck(edges, "edges")
+    if driver_max_edges is None and checkpoint_dir is None:
+        driver_max_edges = CC_DRIVER_MAX_EDGES
+    if driver_max_edges and checkpoint_dir is None:
+        # bounded probe off the checkpointed frame (no plan re-execution):
+        # at most bound+1 rows ever transit the driver
+        head = edges.limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in head:
+                ra, rb = find(r["src"]), find(r["dst"])
+                if ra != rb:
+                    # min-root union: the smaller id is always the parent,
+                    # so every root IS its component's minimum id — the
+                    # same label the distributed loop converges to
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            dt = pairs.schema[id_a].dataType.simpleString()
+            return pairs.sparkSession.createDataFrame(
+                [(n, find(n)) for n in parent],
+                f"doc_id {dt}, component_id {dt}",
+            )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component_id")
     )

@@ -140,6 +140,35 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """The driver union-find fast path and the distributed label loop must
+    be value-identical on the same graph — including the over-threshold
+    spill into the distributed path."""
+    import random
+
+    from feasibility_etl_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    edges = {(rng.randint(0, 79), rng.randint(0, 79)) for _ in range(70)}
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    via_driver = {
+        (r.doc_id, r.component_id) for r in connected_components(pairs).collect()
+    }
+    via_loop = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert via_driver == via_loop and len(via_driver) > 0
+    # a graph just over a tiny threshold takes the distributed path and
+    # still agrees (the bound is a routing knob, never a semantics knob)
+    via_spill = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(pairs, driver_max_edges=3).collect()
+    }
+    assert via_spill == via_driver
+
+
 def test_connected_components_chain_transitivity(spark):
     from feasibility_etl_spark.operators.dedup import connected_components
 
@@ -158,12 +187,14 @@ def test_connected_components_raises_on_non_convergence(spark):
     from feasibility_etl_spark.operators.dedup import connected_components
 
     # path graph with diameter 9 cannot converge in 2 rounds: the silent
-    # wrong-labels return is an error, not a warning
+    # wrong-labels return is an error, not a warning. driver_max_edges=0
+    # forces the DISTRIBUTED loop — the guard under test — since the
+    # driver union-find fast path has no iterations to bound
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iterations=2)
+        connected_components(pairs, max_iterations=2, driver_max_edges=0)
 
 
 def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
