@@ -1011,8 +1011,10 @@ def connected_components(
     force the distributed loop): graphs whose SYMMETRIZED edge list
     fits the bound skip the label loop for a driver-side union-find —
     value-identical output (min-id labels either way; pinned in tests),
-    but one bounded collect off the already-checkpointed edge frame
-    replaces 2-3 jobs PER ROUND. Measured r10: DEDUP-PRUNE 6.0 → ~2 s,
+    but one count-gate plus one Arrow transfer of the two bare id
+    columns off the already-checkpointed edge frame replaces 2-3 jobs
+    PER ROUND; an over-bound graph pays only the scalar count before
+    flowing into the distributed loop. Measured r10: DEDUP-PRUNE 6.0 → ~2 s,
     and the PIPE-CORPUS eager build drops with it. The bound is the
     repo's bounded-driver-structure pattern (cf. MAX_BROADCAST_BLOCKS):
     pair graphs are dup-count-sized, not corpus-sized; a graph past the
@@ -1048,10 +1050,15 @@ def connected_components(
     if driver_max_edges is None and checkpoint_dir is None:
         driver_max_edges = CC_DRIVER_MAX_EDGES
     if driver_max_edges and checkpoint_dir is None:
-        # bounded probe off the checkpointed frame (no plan re-execution):
-        # at most bound+1 rows ever transit the driver
-        head = edges.limit(driver_max_edges + 1).collect()
-        if len(head) <= driver_max_edges:
+        # count-gate off the checkpointed frame (no plan re-execution, no
+        # row transfer): an over-bound graph learns it's over-bound from a
+        # scalar, not from shipping bound+1 rows it would then discard
+        if edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
+            # Arrow transfer of the two bare id columns — two flat
+            # arrays on the driver instead of per-edge Row objects
+            # (measured ~10× less Python heap at the 2M bound; see
+            # PERF-NOTES)
+            pdf = edges.toPandas()
             parent: dict = {}
 
             def find(x):
@@ -1063,8 +1070,10 @@ def connected_components(
                     parent[x], x = root, parent[x]
                 return root
 
-            for r in head:
-                ra, rb = find(r["src"]), find(r["dst"])
+            # .tolist() yields native scalars (int/str), so labels feed
+            # createDataFrame below without numpy-type coercion
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                ra, rb = find(a), find(b)
                 if ra != rb:
                     # min-root union: the smaller id is always the parent,
                     # so every root IS its component's minimum id — the
