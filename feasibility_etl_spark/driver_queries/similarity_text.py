@@ -131,15 +131,22 @@ def q_sim_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
     serve from the grown index; the one-row staleness signal unions in
     as part='staleness'. Rows-only like every k-means entry; served ==
     rebuilt-at-same-centroids is pinned in tests/test_similarity.py."""
+    import atexit
     import os
     import shutil
     import tempfile
+    import uuid
 
     from ..operators.similarity import ivf_append, ivf_build, ivf_search, ivf_staleness
 
     emb = load(spark, sf, "embeddings")
-    path = os.path.join(tempfile.gettempdir(), "feasibility_etl_spark_ivf_append")
-    shutil.rmtree(path, ignore_errors=True)  # append is not idempotent
+    # per-call unique index dir: a second construction (concurrent session,
+    # or two live frames in one driver) must not delete the parquet index
+    # out from under the first frame's lazy reader; reaped at process exit
+    path = os.path.join(
+        tempfile.gettempdir(), f"feasibility_etl_spark_ivf_append_{uuid.uuid4().hex}"
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     ivf_build(emb.where(F.col("vec_id") % 2 == 0), path, n_cells=16, seed=42,
               train_fraction=0.5, max_iter=8)
     ivf_append(spark, path, emb.where(F.col("vec_id") % 2 == 1))

