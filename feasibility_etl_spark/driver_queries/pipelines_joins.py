@@ -652,7 +652,7 @@ def q_pipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return release_when_unreachable(stages[-1][1], shared)
 
 
-def pipe_corpus_stage_frames(spark: SparkSession, sf: str):
+def pipe_corpus_stage_frames(spark: SparkSession, sf: str, near_dup: str = "pairs"):
     """The PIPE-CORPUS DAG with its stage boundaries exposed: an ordered
     ``[(stage_name, DataFrame), ...]`` (the last frame IS the composed
     result — q_pipe_corpus returns exactly it) plus the StageCache whose
@@ -660,6 +660,17 @@ def pipe_corpus_stage_frames(spark: SparkSession, sf: str):
     bench.py times each boundary from its persisted predecessor so a
     composition regression names its STAGE instead of re-deriving the
     attribution from plans (VERDICT r9 item 6).
+
+    ``near_dup`` selects the near-dup prune stage's grain (VERDICT r10
+    item 4): ``"pairs"`` (default — verified blocked token-Jaccard pairs
+    → components, the exact semantics the PIPE-CORPUS oracle replays) or
+    ``"components"`` — the clique-safe path for boilerplate-heavy crawls:
+    :func:`minhash_components` star-edge grain (≤ docs × bands edges
+    regardless of clique structure, hot-bucket capped at 64) →
+    :func:`prune_by_components`. Same chain either side of the stage;
+    the components mode is banding-graph semantics (no exact-Jaccard
+    verify), so it is pinned by the bounded-grain fixture and the
+    end-to-end pipeline test rather than the DuckDB oracle.
 
     Stage outputs that downstream stages reference MORE THAN ONCE go
     through the StageCache: Spark does not share common subplans
@@ -673,7 +684,12 @@ def pipe_corpus_stage_frames(spark: SparkSession, sf: str):
     """
     from ..operators.bpe import DEMO_MERGES, bpe_encode
     from ..operators.corpus import dsir_weights, pack_shards
-    from ..operators.dedup import line_dedup, prune_components
+    from ..operators.dedup import (
+        line_dedup,
+        minhash_components,
+        prune_by_components,
+        prune_components,
+    )
     from ..operators.sketches import bloom_decontaminate, threshold_filter
     from ..operators.text import lang_id
     from ..plans.compose import StageCache
@@ -691,9 +707,15 @@ def pipe_corpus_stage_frames(spark: SparkSession, sf: str):
         d1.where((quality_score("text") >= 0.45) & (lang_id("text") != "und"))
     )
     d3 = shared(exact_dedup(d2))
-    pairs = blocked_jaccard_pairs(d3, ["lang", "source"], threshold=0.2,
-                                  cache=shared, broadcast_routing=True)
-    d4 = prune_components(d3, pairs)
+    if near_dup == "components":
+        comps = minhash_components(d3, max_bucket_size=64)
+        d4 = prune_by_components(d3, comps)
+    elif near_dup == "pairs":
+        pairs = blocked_jaccard_pairs(d3, ["lang", "source"], threshold=0.2,
+                                      cache=shared, broadcast_routing=True)
+        d4 = prune_components(d3, pairs)
+    else:
+        raise ValueError(f"near_dup must be 'pairs' or 'components', got {near_dup!r}")
     d5 = shared(bloom_decontaminate(d4, raw.where(F.col("doc_id") % 97 == 0)))
     w = shared(dsir_weights(d5, raw.where(F.col("doc_id") % 101 == 0)))
     gate = threshold_filter(w, "logw_e9", keep_frac=0.25)

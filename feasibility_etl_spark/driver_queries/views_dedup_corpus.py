@@ -478,6 +478,54 @@ HAVING COUNT(*) > 40
 """
 
 
+def q_dedup_starprune(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP-STARPRUNE: the component-grain dedup COMPOSITION hash-green
+    end-to-end (VERDICT r10 item 4) — bucket star edges (linear grain,
+    hot-bucket cap 40) → connected components → keep each component's
+    min-id representative. Runs the exact operators the clique-safe LSH
+    path uses (:func:`bucket_star_edges` → :func:`connected_components`
+    → :func:`prune_by_components`), over the same deterministic sqrt
+    buckets as DEDUP-CAPPED so DuckDB replays every stage bit-for-bit
+    (seeded-minhash banding stays rows-only via DEDUP-MINHASH-COMP;
+    cross-bucket component chaining is pinned against the pair grain in
+    tests/test_dedup.py)."""
+    from ..operators.dedup import (
+        bucket_star_edges,
+        connected_components,
+        prune_by_components,
+    )
+
+    edges = bucket_star_edges(_sqrt_banded(spark, sf), "id", max_bucket_size=40)
+    comps = connected_components(edges)
+    docs = load(spark, sf, "documents")
+    return (
+        prune_by_components(docs, comps)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# sqrt buckets are disjoint (one per id), so star-edge components equal
+# the buckets and the min-id representative IS the bucket min — the oracle
+# states that closed form; the Spark side still runs the full star-edge →
+# component-loop → prune composition against it
+ORACLE_DEDUP_STARPRUNE = """
+WITH sized AS (
+  SELECT doc_id AS id,
+         COUNT(*) OVER w AS bn,
+         MIN(doc_id) OVER w AS bmin
+  FROM documents
+  WINDOW w AS (PARTITION BY CAST(FLOOR(SQRT(CAST(doc_id AS DOUBLE))) AS BIGINT))
+), dropped AS (
+  SELECT id FROM sized WHERE bn <= 40 AND id != bmin
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN dropped ON d.doc_id = dropped.id
+WHERE dropped.id IS NULL
+ORDER BY d.doc_id
+"""
+
+
 def q_dedup_minhash_comp(spark: SparkSession, sf: str) -> DataFrame:
     """DEDUP-MINHASH-COMP: component-grain LSH output (rows-only —
     xxhash64 bands, like DEDUP-MINHASH). Star edges keep the grain

@@ -68,6 +68,7 @@ def lookup_or_insert(
     natural_key: str,
     id_col: str = "id",
     id_strategy: str = "dense",
+    audit: bool = False,
 ) -> DataFrame:
     """Dimension upsert: return ``dim`` extended with rows for new natural keys.
 
@@ -92,6 +93,11 @@ def lookup_or_insert(
       lifetime (mixing would hand the same key two ids). Collision odds are
       birthday-bounded (~N²/2⁶⁵ — ~5e-9 for 100M keys), same trust level as
       any hash-partitioned pipeline.
+
+    ``audit=True`` eagerly runs
+    :func:`feasibility_etl_spark.writer.denormalized.audit_dim_collisions`
+    on the updated dim before returning — the single-writer declaration's
+    detect-and-fail contract without a separate call site.
     """
     new_names = (
         incoming.select(F.col(natural_key)).where(F.col(natural_key).isNotNull()).distinct()
@@ -111,7 +117,18 @@ def lookup_or_insert(
         )
     else:
         raise ValueError(f"id_strategy must be 'dense' or 'hash', got {id_strategy!r}")
-    return dim.select(F.col(id_col).cast("long"), F.col(natural_key)).unionByName(additions)
+    result = dim.select(F.col(id_col).cast("long"), F.col(natural_key)).unionByName(
+        additions
+    )
+    if audit:
+        # detect-and-fail one argument away (VERDICT r10 item 7): run the
+        # writer module's post-append integrity check on the updated dim —
+        # EAGER (two dim-scale aggregates + bounded collects), so a
+        # collision raises here rather than corrupting downstream FK joins
+        from ..writer.denormalized import audit_dim_collisions
+
+        audit_dim_collisions(result, natural_key, id_col)
+    return result
 
 
 def salted_join(

@@ -76,6 +76,7 @@ def write_denormalized(
     existing_fact: DataFrame | None = None,
     fact_key: str = "key",
     required: list[str] | None = None,
+    audit: bool = False,
 ) -> DenormResult:
     """Decompose a denormalized frame into fact + dims (pure — no I/O).
 
@@ -83,6 +84,13 @@ def write_denormalized(
     (new keys only when ``existing_fact`` is given), and constraint-violating
     rows. Callers persist with ``result.fact.write.parquet(...)`` etc.; the
     decomposition itself is one lazily-built DAG.
+
+    ``audit=True`` makes the single-writer declaration detect-and-fail one
+    argument away (VERDICT r10 item 7): each updated dim is eagerly run
+    through :func:`audit_dim_collisions` before the result returns, so an
+    interleaved writer's overlapping dense ids raise
+    :class:`DimCollisionError` here instead of silently mis-keying the
+    fact's FK joins. Cost: two dim-scale aggregates per dimension.
     """
     ok, rejected = validate_not_null(wide, required or [])
 
@@ -98,6 +106,8 @@ def write_denormalized(
         updated = lookup_or_insert(
             dim, incoming, spec.natural_key, spec.id_col, id_strategy=spec.id_strategy
         )
+        if audit:
+            audit_dim_collisions(updated, spec.natural_key, spec.id_col)
         out_dims[spec.name] = updated
         # resolve each role column to its FK via broadcast join
         for wide_col, fk_col in spec.roles.items():

@@ -49,3 +49,25 @@ def test_bench_runner_times_every_stage(spark):
     assert all(isinstance(v, float) and v >= 0 for v in out.values())
     # monotone row flow sanity isn't timed here; the point is each stage
     # gets its OWN number so a composition regression names its stage
+
+
+def test_components_mode_runs_the_clique_safe_chain(spark):
+    # VERDICT r10 item 4: the flagship chain's near-dup stage one flag away
+    # from star-edge grain (minhash_components → prune_by_components) —
+    # same stages, same schema, no pair cliques ever materialized
+    import pytest
+
+    stages, shared = pipe_corpus_stage_frames(spark, SF0001, near_dup="components")
+    try:
+        assert [n for n, _ in stages] == STAGE_NAMES
+        rows = stages[-1][1].collect()
+    finally:
+        shared.release()
+    assert len(rows) > 0
+    stages_p, shared_p = pipe_corpus_stage_frames(spark, SF0001, near_dup="pairs")
+    try:
+        assert stages_p[-1][1].columns == stages[-1][1].columns
+    finally:
+        shared_p.release()
+    with pytest.raises(ValueError, match="near_dup"):
+        pipe_corpus_stage_frames(spark, SF0001, near_dup="bogus")

@@ -240,3 +240,42 @@ def test_audit_dim_collisions_detects_interleaved_writers(spark):
     )
     audit_dim_collisions(clean, "username")
     assert clean.where(F.col("id") > 2).count() == 2
+
+
+def test_audit_flag_is_one_argument_away(spark):
+    # VERDICT r10 item 7: the detect-and-fail contract as a flag on the
+    # writer path itself, not a separate call site
+    from feasibility_etl_spark.operators.joins import lookup_or_insert
+    from feasibility_etl_spark.writer.denormalized import (
+        DimCollisionError,
+        DimSpec,
+        write_denormalized,
+    )
+
+    # a base dim ALREADY corrupted by a replayed writer: the flag raises
+    # from inside lookup_or_insert, eagerly
+    corrupt = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (7, "alice")], "id long, username string"
+    )
+    inc = spark.createDataFrame([("erin",)], "username string")
+    with pytest.raises(DimCollisionError, match="alice"):
+        lookup_or_insert(corrupt, inc, "username", audit=True)
+    # clean dim + audit flag: silent pass, result identical to unaudited
+    base = spark.createDataFrame([(1, "alice")], "id long, username string")
+    audited = lookup_or_insert(base, inc, "username", audit=True)
+    plain = lookup_or_insert(base, inc, "username")
+    assert sorted(map(tuple, audited.collect())) == sorted(map(tuple, plain.collect()))
+
+    # and the same flag on write_denormalized audits every dim it updates
+    wide = spark.createDataFrame(
+        [("K-1", "alice", "erin")], "key string, reviewer_name string, reporter_name string"
+    )
+    spec = DimSpec(
+        name="jira_user",
+        natural_key="username",
+        roles={"reviewer_name": "fk_reviewer", "reporter_name": "fk_reporter"},
+    )
+    res = write_denormalized(wide, [spec], {"jira_user": base}, audit=True)
+    assert res.fact.count() == 1
+    with pytest.raises(DimCollisionError, match="alice"):
+        write_denormalized(wide, [spec], {"jira_user": corrupt}, audit=True)
