@@ -1275,28 +1275,35 @@ def incremental_near_dups(
     the signature-estimated Jaccard (the index does not retain shingles;
     k=32 gives ±0.18 at 95% — pass ``threshold=None`` for the raw
     candidate set, e.g. to re-verify exactly against the source texts).
+    The verify runs INLINE in the candidate joins — ``sig`` rides the
+    band explode, so the whole operator is ONE index scan and no
+    candidate-grain shuffle beyond the pair distinct (the r10 shape's
+    signature-attach join + per-pair groupBy re-scanned the index and
+    dominated the 1× streaming gate's drop-set section; PERF-NOTES 56).
 
     Ids must be disjoint between index and increment (re-ingest dedupes
-    to one pair row via the candidate ``distinct()``).
+    to one pair row via the pair ``distinct()``).
 
     100 TB shape: the increment side of the candidate join is tiny vs the
-    index, so AQE broadcasts it and the index scan never shuffles; the
-    estimation join is id-keyed against only the candidate ids. Build
-    params (num_hashes, bands, shingle_n) must match the index's.
+    index, so AQE broadcasts it and the index scan never shuffles; sig
+    amplification from riding the explode (bands × k longs per indexed
+    doc) is map-local — broadcast-hash joins stream the exploded index
+    through the scan without exchanging it. Build params (num_hashes,
+    bands, shingle_n) must match the index's.
 
     ``new_index``: a prebuilt ``minhash_index(new_docs)`` frame. The plan
-    references the increment's index four times (two candidate joins, one
-    self-join side, the sig union); without common-subplan elimination
-    Spark recomputes the shingle+minhash expression once per reference.
+    references the increment's index three times (two candidate-join
+    sides plus the self-join); without common-subplan elimination Spark
+    recomputes the shingle+minhash expression once per reference.
     Callers holding the increment in memory should build the index once,
     ``persist()`` it, and pass it here (the streaming gate does).
 
-    ``dedupe=False`` skips the candidate ``distinct()`` (one shuffle)
-    BEFORE the signature attach; the attach's own per-pair groupBy
-    collapses multi-band duplicates regardless, so output pairs are
-    always unique — the flag only controls whether the duplicate rows
-    ride into the attach join first (skip it when candidates are small,
-    as the gate's micro-batches are).
+    ``dedupe=False`` (the gate's micro-batch setting) collapses
+    multi-band duplicate rows at verified-pair grain — one distinct
+    AFTER the threshold, the cheapest point. ``dedupe=True`` keeps the
+    old placement (distinct BEFORE the threshold), worth its earlier
+    shuffle only when heavy multi-band candidate duplication precedes a
+    permissive threshold. Output pairs are unique either way.
 
     ``tag_new=True`` adds ``a_new``/``b_new`` boolean columns marking
     which side of each pair is from the increment — FREE at candidate
@@ -1367,8 +1374,16 @@ def incremental_near_dups(
     hint = F.broadcast if small_increment else (lambda df: df)
 
     def banded(ix: DataFrame) -> DataFrame:
+        # sig rides the explode so the verify runs INLINE in the candidate
+        # join — one index scan total, no signature-attach join, no
+        # candidate groupBy shuffle (r11 profile: the attach accounted for
+        # most of the 1x gate's drop-set section; see PERF-NOTES). The
+        # amplification (sig duplicated per band) is map-local: broadcast
+        # joins mean the exploded index streams through the scan and is
+        # never exchanged.
         out = ix.select(
             F.col(id_col).alias("id"),
+            F.col("sig"),
             F.posexplode("band_hashes").alias("band", "band_hash"),
         )
         if exclude_buckets is not None:
@@ -1391,6 +1406,7 @@ def incremental_near_dups(
         # disjoint, so id_a is new exactly when n took the least slot
         (F.col("n.id") < F.col("o.id")).alias("a_new"),
         (F.col("n.id") > F.col("o.id")).alias("b_new"),
+        est_jaccard(F.col("n.sig"), F.col("o.sig")).alias("est_jaccard"),
     )
     vs_new = nb.alias("x").join(
         hint(nb).alias("y"),
@@ -1402,38 +1418,23 @@ def incremental_near_dups(
         F.col("y.id").alias("id_b"),
         F.lit(True).alias("a_new"),
         F.lit(True).alias("b_new"),
+        est_jaccard(F.col("x.sig"), F.col("y.sig")).alias("est_jaccard"),
     )
-    cands = vs_old.unionByName(vs_new)
+    out = vs_old.unionByName(vs_new)
+    # multi-band duplicates carry identical est_jaccard (same sig pair),
+    # so a row distinct collapses them wherever it runs. ``dedupe=True``
+    # keeps the old formulation's placement (BEFORE the threshold — worth
+    # its earlier shuffle only when heavy multi-band duplication precedes
+    # a cheap threshold); the default gate path dedupes AFTER, at
+    # verified-pair grain, the cheapest point. Output pairs are unique
+    # either way — the flag's documented contract is unchanged.
     if dedupe:
-        cands = cands.distinct()
-
-    # signature attach in ONE pass over index ∪ increment (the two
-    # per-side joins of the previous formulation scanned the corpus
-    # index twice): explode each pair to its two ids, join once, fold
-    # back per pair. The fold's groupBy is candidate-pair-sized — far
-    # cheaper at any scale than a second corpus scan — and doubles as
-    # the multi-band dedupe.
-    sigs = index.unionByName(new_idx).select(F.col(id_col).alias("id"), "sig")
-    ex = cands.select(
-        "id_a", "id_b", "a_new", "b_new",
-        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
-    )
-    att = hint(ex).join(sigs, "id")
-    agg = att.groupBy("id_a", "id_b", "a_new", "b_new").agg(
-        F.first(
-            F.when(F.col("id") == F.col("id_a"), F.col("sig")), ignorenulls=True
-        ).alias("sig_a"),
-        F.first(
-            F.when(F.col("id") == F.col("id_b"), F.col("sig")), ignorenulls=True
-        ).alias("sig_b"),
-    )
+        out = out.distinct()
+    if threshold is not None:
+        out = out.where(F.col("est_jaccard") >= threshold)
     cols = ["id_a", "id_b"] + (["a_new", "b_new"] if tag_new else [])
-    out = agg.where(
-        F.col("sig_a").isNotNull() & F.col("sig_b").isNotNull()
-    ).select(
-        *cols, est_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard")
-    )
-    return out if threshold is None else out.where(F.col("est_jaccard") >= threshold)
+    out = out.select(*cols, "est_jaccard")
+    return out if dedupe else out.distinct()
 
 
 def fuzzy_pairs(

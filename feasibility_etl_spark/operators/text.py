@@ -648,16 +648,18 @@ def repetition_signals_arrow(
     cost drops below the interpreter's, and a document never leaves its
     executor: ZERO shuffles, identical scale posture.
 
-    Exact-parity details: tokens replay ``split(trim(lower(x)), '\\s+')``
-    minus empties as a single ``[^ \\t\\n\\x0b\\f\\r]+`` findall (Java
-    default ``\\s``); gram mass uses Python ``len`` = codepoints =
-    ``F.length``; fracs are the same long/long IEEE division; docs with
-    fewer than n words (or empty text) score 0.0 and null text yields
-    null fracs, both matching the relational branch structure. Known
-    caveat shared with every lower() twin in this repo: exotic
-    one-to-many case mappings could differ between Python and UTF8String
-    lowercasing — pinned green on the test corpora + crafted accented/
-    CJK edges."""
+    Exact-parity details: lower-casing and the character count are
+    computed JVM-SIDE before the UDF (``F.lower`` / ``F.length`` ride in
+    as ``_lc`` / ``_nchars`` columns), so the case contract is Spark's
+    own — Python ``str.lower()`` never runs and one-to-many Unicode case
+    mappings (e.g. U+0130) cannot diverge from the relational form
+    (ADVICE r10). Tokens replay ``split(trim(x), '\\s+')`` minus empties
+    as a single ``[^ \\t\\n\\x0b\\f\\r]+`` findall over the
+    pre-lowered text (Java default ``\\s``); gram mass uses Python
+    ``len`` = codepoints = ``F.length``; fracs are the same long/long
+    IEEE division; docs with fewer than n words (or empty text) score
+    0.0 and null text yields null fracs, both matching the relational
+    branch structure."""
     import re as _re
 
     from collections import Counter
@@ -678,14 +680,14 @@ def repetition_signals_arrow(
         for pdf in batches:
             tops: dict[int, list] = {n: [] for n in ns}
             dups: dict[int, list] = {n: [] for n in ns}
-            for t in pdf[text_col]:
+            for t, nc in zip(pdf["_lc"], pdf["_nchars"]):
                 if t is None:
                     for n in ns:
                         tops[n].append(None)
                         dups[n].append(None)
                     continue
-                toks = nonws.findall(str(t).lower())
-                nc = len(t)
+                toks = nonws.findall(str(t))
+                nc = int(nc)
                 for n in ns:
                     if nc == 0 or len(toks) < n:
                         tops[n].append(0.0)
@@ -706,8 +708,12 @@ def repetition_signals_arrow(
                 out[c] = dups[n]
             yield pd.DataFrame(out)
 
-    cols = list(dict.fromkeys(keep + [text_col]))
-    return df.select(*cols).mapInPandas(gen, schema)
+    inp = df.select(
+        *dict.fromkeys(keep),
+        F.lower(F.col(text_col)).alias("_lc"),
+        F.length(text_col).cast("long").alias("_nchars"),
+    )
+    return inp.mapInPandas(gen, schema)
 
 
 def tfidf_topterms(

@@ -336,6 +336,12 @@ def test_repetition_arrow_parity_with_relational(spark):
             (8, "深度 学习 深度 学习 模型", "c"),
             (9, "a  b\t\tc\na  b  c", "d"),
             (10, "aa aa aa aa verylongword1 verylongword2", "d"),
+            # one-to-many Unicode case mappings (ADVICE r10): U+0130 İ
+            # lowers to 2 codepoints in Python but 1 in JVM/UTF8String;
+            # ß/ẞ and dotless-I complete the classic trio. Parity holds
+            # BY CONSTRUCTION now (lower/length run JVM-side), this row
+            # keeps it pinned
+            (11, "İstanbul İstanbul STRAẞE straße Iı İstanbul", "e"),
         ],
         "doc_id long, text string, grp string",
     )
@@ -344,7 +350,7 @@ def test_repetition_arrow_parity_with_relational(spark):
     arr = {
         r.doc_id: tuple(r) for r in repetition_signals_arrow(docs, **kw).collect()
     }
-    assert rel == arr and len(rel) == 10
+    assert rel == arr and len(rel) == 11
     # null text → null fracs on both sides (not silently zeroed)
     assert rel[6][2] is None
     # corpus parity at sf0.001 (real data, default columns)
