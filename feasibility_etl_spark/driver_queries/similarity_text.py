@@ -167,6 +167,76 @@ def q_sim_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
     return served.unionByName(stale).orderBy("part", "query_id", "rank")
 
 
+def q_sim_ivf_recluster(spark: SparkSession, sf: str) -> DataFrame:
+    """SIM-IVF-RECLUSTER: the targeted index remedy end-to-end (VERDICT
+    r10 item 6) — build on the even-id half, append a deterministically
+    SKEWED drop (the odd-id vectors squashed toward a corner:
+    ``x*0.05 + 0.8`` per component, so they pile into the few cells
+    nearest that corner), watch ``ivf_staleness`` trip, re-split the
+    hottest cell at frozen siblings with :func:`ivf_recluster_cell`, and
+    serve from the repaired index. Output parts: ``staleness_before`` /
+    ``staleness_after`` one-row signals (imbalance must drop — asserted
+    in tests, visible in the rows) + the post-recluster ``topk``.
+    Rows-only like every k-means entry; recall-vs-full-rebuild parity is
+    pinned in tests/test_similarity.py."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_recluster_cell,
+        ivf_search,
+        ivf_staleness,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(), f"feasibility_etl_spark_ivf_recluster_{uuid.uuid4().hex}"
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    ivf_build(emb.where(F.col("vec_id") % 2 == 0), path, n_cells=16, seed=42,
+              train_fraction=0.5, max_iter=8)
+    skewed = emb.where(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(0.05) + F.lit(0.8)).cast("float")
+        ).alias("embedding"),
+    )
+    ivf_append(spark, path, skewed, drop_id="skewed")
+
+    def stale_row(tag: str) -> DataFrame:
+        # materialize NOW — the recluster below mutates the index files a
+        # lazy frame would otherwise re-read post-repair
+        r = ivf_staleness(spark, path).collect()[0]
+        return spark.createDataFrame(
+            [(tag, int(r.n_cells), int(r.max_cell), int(r.recluster_recommended))],
+            "part string, query_id long, vec_id long, rank long",
+        )
+
+    before = stale_row("staleness_before")
+    hot = (
+        spark.read.parquet(f"{path}/assigned")
+        .groupBy("_cell").count().orderBy(F.col("count").desc(), "_cell")
+        .first()["_cell"]
+    )
+    ivf_recluster_cell(spark, path, int(hot), n_splits=4, seed=42, max_iter=8)
+    after = stale_row("staleness_after")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    served = ivf_search(spark, path, queries, k=10, nprobe=6).select(
+        F.lit("topk").alias("part"), "query_id", "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return before.unionByName(after).unionByName(served).orderBy(
+        "part", "query_id", "rank"
+    )
+
+
 def q_sim_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """SIM-IVFPQ: fused IVF-PQ top-k — coarse k-means cells + per-cell
     residual PQ codes in one index (rows-only; recall vs standalone PQ at a

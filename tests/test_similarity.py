@@ -816,3 +816,27 @@ def test_group_cosine_arrow_matches_sql_engine(spark):
         assert set(arrow) == set(sql), (fn.__name__, set(arrow) ^ set(sql))
         for k in arrow:
             assert abs(arrow[k] - sql[k]) < 1e-9, (fn.__name__, k)
+
+
+def test_sim_ivf_recluster_entry_story(spark):
+    # the driver entry's narrative must hold: the skewed append trips the
+    # staleness signal, the hot-cell re-split repairs it, and the repaired
+    # index still serves k results per query
+    from feasibility_etl_spark.driver_queries.similarity_text import (
+        q_sim_ivf_recluster,
+    )
+
+    from conftest import SF0001
+
+    rows = q_sim_ivf_recluster(spark, SF0001).collect()
+    parts = {}
+    for r in rows:
+        parts.setdefault(r.part, []).append(r)
+    [before] = parts["staleness_before"]
+    [after] = parts["staleness_after"]
+    assert before.rank == 1, "skewed append must trip recluster_recommended"
+    # n_cells grew by n_splits - 1; the hot cell shrank
+    assert after.query_id == before.query_id + 3
+    assert after.vec_id < before.vec_id
+    topk = parts["topk"]
+    assert len(topk) == 50 and len({r.query_id for r in topk}) == 5

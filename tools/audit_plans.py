@@ -75,6 +75,9 @@ CARTESIAN_OK = {
     # as SIM-IVF (≤5 queries crossed onto the n_cells centroid table),
     # from the appended-to persisted index — never corpus×corpus.
     "SIM-IVF-APPEND",
+    # SIM-IVF-RECLUSTER (round-11): same _ivf_probe_score serve from the
+    # repaired index (≤5 queries × n_cells centroids) — never corpus².
+    "SIM-IVF-RECLUSTER",
     "J-LOOKUP-INSERT", "E-AUDIT",
     "TEXT-BM25", "TEXT-PROFILE", "SKETCH-THETA",
     "SKETCH-CONTAM", "SKETCH-CONTAM-SCOUT", "TEXT-BM25-TOPK",
