@@ -1140,6 +1140,26 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name.lower()] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
+    # POST-SUITE anchor re-reads (r11): the anchors are point measurements,
+    # and the clean2 r11 record caught the IO anchor drifting 1.586 → 1.108
+    # WITHIN one run — a single pre-suite median then mis-scales entries
+    # that ran under different weather. Publishing a post-suite read of
+    # each anchor makes intra-run drift visible in the record itself;
+    # triage should distrust per-entry normalized ratios when pre/post
+    # disagree by more than ~10%.
+    host_anchor_post = _anchor_once()
+    io_anchor_post = 0.0
+    io_dir2 = tempfile.mkdtemp(prefix="feasibility_etl_spark_io_anchor_post_")
+    try:
+        io_src2 = io_anchor_setup(spark, io_dir2)
+        io_out2 = os.path.join(io_dir2, "out")
+        io_anchor_once(spark, io_src2, io_out2)  # untimed warm rep
+        io_anchor_post = io_anchor_once(spark, io_src2, io_out2)
+    except Exception as e:  # noqa: BLE001
+        print(f"io anchor post failed: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(io_dir2, ignore_errors=True)
+
     plan_metrics: dict[str, dict[str, int]] = {}
     for row in tracker.metrics_df().collect():
         plan_metrics[row.query.lower()] = {
@@ -1320,6 +1340,8 @@ def main() -> None:
         "queries_normalized": normalize_by_anchor(timings, host_anchor),
         "io_anchor_sec": io_anchor,
         "io_anchor_reps": io_anchor_reps,
+        "io_anchor_post_sec": io_anchor_post,
+        "host_anchor_post_sec": host_anchor_post,
         "io_anchor_nominal_sec": IO_ANCHOR_NOMINAL_SEC,
         "value_normalized_io": round(total * IO_ANCHOR_NOMINAL_SEC / io_anchor, 3)
         if io_anchor > 0

@@ -1,6 +1,6 @@
 from __future__ import annotations
 
-from ._shared import DataFrame, F, SparkSession, T, _cents, _sum_cents, _sum_cents_sql, attach_detail, delta_pair, dim_join, horizontal_sum, hrs_to_sec, jira_ts, load, lookup_or_insert, loss_report, pct_change_abs, pct_diff, schema_for, validate_not_null
+from ._shared import DataFrame, F, SparkSession, T, _cents, _scratch_dir, _sum_cents, _sum_cents_sql, attach_detail, delta_pair, dim_join, horizontal_sum, hrs_to_sec, jira_ts, load, lookup_or_insert, loss_report, pct_change_abs, pct_diff, schema_for, validate_not_null
 
 
 
@@ -28,9 +28,7 @@ WHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 100
 def q_s_jdbc_sink(spark: SparkSession, sf: str) -> DataFrame:
     """S-JDBC-SINK: append-shaped write + read-back audit (parquet stands in
     for the JDBC sink in the testbed; df.write.jdbc is the production path)."""
-    import tempfile, os
-
-    path = os.path.join(tempfile.gettempdir(), "feasibility_etl_spark_sink")
+    path = _scratch_dir("feasibility_etl_spark_sink")
     orders = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
     orders.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
@@ -53,12 +51,9 @@ def q_s_jsonl(spark: SparkSession, sf: str) -> DataFrame:
     count + exact-cents sum the JDBC sink entry uses; doubles survive the
     text round-trip exactly (Spark writes shortest-roundtrip decimal
     strings), so the oracle is the same source-side aggregate."""
-    import os
-    import tempfile
-
     from ..sources.jsonl import read_jsonl, write_jsonl
 
-    path = os.path.join(tempfile.gettempdir(), "feasibility_etl_spark_jsonl_sink")
+    path = _scratch_dir("feasibility_etl_spark_jsonl_sink")
     orders = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
     write_jsonl(orders, path, compression=None)
     back = read_jsonl(spark, path, orders.schema)
@@ -72,12 +67,9 @@ def q_s_csv(spark: SparkSession, sf: str) -> DataFrame:
     (sources/csv.py, RFC-4180 quoting) — same explicit-schema read-back
     + count/exact-cents audit as the JSONL twin; doubles survive the
     text round-trip exactly (shortest-roundtrip printing)."""
-    import os
-    import tempfile
-
     from ..sources.csv import read_csv, write_csv
 
-    path = os.path.join(tempfile.gettempdir(), "feasibility_etl_spark_csv_sink")
+    path = _scratch_dir("feasibility_etl_spark_csv_sink")
     orders = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
     write_csv(orders, path)
     back = read_csv(spark, path, orders.schema)
@@ -93,12 +85,9 @@ def q_s_orc(spark: SparkSession, sf: str) -> DataFrame:
     EXPLICIT schema, and audits the same count + exact-cents sum as the
     other sink entries; doubles round-trip bit-exactly (binary columnar
     encoding, no text conversion at all)."""
-    import os
-    import tempfile
-
     from ..sources.orc import read_orc, write_orc
 
-    path = os.path.join(tempfile.gettempdir(), "feasibility_etl_spark_orc_sink")
+    path = _scratch_dir("feasibility_etl_spark_orc_sink")
     orders = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
     write_orc(orders, path)
     back = read_orc(spark, path, orders.schema)

@@ -2,7 +2,7 @@ from __future__ import annotations
 
 import os
 
-from ._shared import DataFrame, F, SparkSession, _cents, _sum_cents_sql, bpe_ish_token_count, cosine_topk, cosine_topk_lsh, embedding_near_dups, fingerprint, ivf_topk, ivfpq_topk, lang_id, load, mean_word_length, multilevel_agg, pq_topk, punct_ratio, quality_score, salted_agg, salted_join, stopword_ratio, token_count
+from ._shared import DataFrame, F, SparkSession, _cents, _scratch_dir, _sum_cents_sql, bpe_ish_token_count, cosine_topk, cosine_topk_lsh, embedding_near_dups, fingerprint, ivf_topk, ivfpq_topk, lang_id, load, mean_word_length, multilevel_agg, pq_topk, punct_ratio, quality_score, salted_agg, salted_join, stopword_ratio, token_count
 from .views_dedup_corpus import _COS_SQL
 
 
@@ -131,22 +131,12 @@ def q_sim_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
     serve from the grown index; the one-row staleness signal unions in
     as part='staleness'. Rows-only like every k-means entry; served ==
     rebuilt-at-same-centroids is pinned in tests/test_similarity.py."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
     from ..operators.similarity import ivf_append, ivf_build, ivf_search, ivf_staleness
 
     emb = load(spark, sf, "embeddings")
-    # per-call unique index dir: a second construction (concurrent session,
-    # or two live frames in one driver) must not delete the parquet index
-    # out from under the first frame's lazy reader; reaped at process exit
-    path = os.path.join(
-        tempfile.gettempdir(), f"feasibility_etl_spark_ivf_append_{uuid.uuid4().hex}"
-    )
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    # per-call unique index dir (reaped at exit): a second construction
+    # must not delete the parquet index under the first frame's lazy reader
+    path = _scratch_dir("feasibility_etl_spark_ivf_append")
     ivf_build(emb.where(F.col("vec_id") % 2 == 0), path, n_cells=16, seed=42,
               train_fraction=0.5, max_iter=8)
     ivf_append(spark, path, emb.where(F.col("vec_id") % 2 == 1))
@@ -179,12 +169,6 @@ def q_sim_ivf_recluster(spark: SparkSession, sf: str) -> DataFrame:
     in tests, visible in the rows) + the post-recluster ``topk``.
     Rows-only like every k-means entry; recall-vs-full-rebuild parity is
     pinned in tests/test_similarity.py."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
     from ..operators.similarity import (
         ivf_append,
         ivf_build,
@@ -194,10 +178,7 @@ def q_sim_ivf_recluster(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = load(spark, sf, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(), f"feasibility_etl_spark_ivf_recluster_{uuid.uuid4().hex}"
-    )
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    path = _scratch_dir("feasibility_etl_spark_ivf_recluster")
     ivf_build(emb.where(F.col("vec_id") % 2 == 0), path, n_cells=16, seed=42,
               train_fraction=0.5, max_iter=8)
     skewed = emb.where(F.col("vec_id") % 2 == 1).select(
