@@ -232,6 +232,29 @@ def main() -> None:
                 threshold=0.2,
             ),
         ),
+        # round-11 inline-verify serve path: a ~1/29 increment gated
+        # against the index of the rest, both sides scaling together —
+        # salted like dedup_ngram_adaptive (plain replicas would make
+        # every increment doc a true dup of N-1 index docs: quadratic by
+        # construction, measuring the corpus not the operator)
+        "dedup_incremental": (
+            lambda: dedup.incremental_near_dups(
+                _salt_tokens(docs1, F.lit(0)).where(F.col("doc_id") % 29 == 0),
+                dedup.minhash_index(
+                    _salt_tokens(docs1, F.lit(0)).where(F.col("doc_id") % 29 != 0)
+                ),
+            ),
+            lambda: dedup.incremental_near_dups(
+                _salt_tokens(docsN, F.col("doc_id") % factor).where(
+                    F.col("doc_id") % 29 == 0
+                ),
+                dedup.minhash_index(
+                    _salt_tokens(docsN, F.col("doc_id") % factor).where(
+                        F.col("doc_id") % 29 != 0
+                    )
+                ),
+            ),
+        ),
     }
     fact_ops = {
         "worklog_rollup": lambda d: worklog_rollup_relational(
