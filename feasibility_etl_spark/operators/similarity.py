@@ -633,10 +633,17 @@ def ivf_recluster_cell(
         raise ValueError(
             f"cell {cell} not in the centroids table (already reclustered?)"
         )
-    members = (
-        spark.read.parquet(f"{path}/assigned")
-        .where(F.col("_cell") == F.lit(int(cell)))
-        .select(corpus_id, corpus_vec)
+    assigned = spark.read.parquet(f"{path}/assigned")
+    if "_drop" not in assigned.columns:
+        # a hand-built assigned table without the (_drop, _cell) layout
+        # would end up with MIXED partition depths after the recluster
+        # write — unreadable, and the damage lands before any error
+        raise ValueError(
+            "assigned table lacks the _drop partition layout; "
+            "ivf_recluster_cell supports ivf_build/ivf_append indexes"
+        )
+    members = assigned.where(F.col("_cell") == F.lit(int(cell))).select(
+        corpus_id, corpus_vec
     )
     n_members = members.count()
     if n_members < n_splits:
