@@ -24,23 +24,6 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-def _scratch_dir(prefix: str) -> str:
-    """Per-call unique scratch directory for driver-query sink round
-    trips, reaped at process exit (ADVICE r10 generalized): a FIXED
-    shared path lets a second construction — concurrent session, or two
-    live frames in one driver — swap the files out from under the first
-    frame's lazy read-back."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{uuid.uuid4().hex}")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    return path
-
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -106,6 +89,24 @@ from ..operators.text import (
 from ..quality.gates import loss_report, validate_not_null
 from ..sources.catalog import load, register_views, schema_for
 from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Per-call unique scratch directory for driver-query sink round
+    trips, reaped at process exit (ADVICE r10 generalized): a FIXED
+    shared path lets a second construction — concurrent session, or two
+    live frames in one driver — swap the files out from under the first
+    frame's lazy read-back."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{uuid.uuid4().hex}")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
