@@ -27,6 +27,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -313,8 +314,8 @@ def ivf_topk(
 
     Scale shape: training runs once on a sample (``train_fraction``);
     centroids are tiny and broadcast everywhere. Corpus assignment is a
-    single map over the corpus (:func:`assign_cells` — pure column
-    expression, no shuffle; the CANONICAL assignment shared with
+    single map over the corpus (:func:`assign_cells` — Arrow-batched
+    numpy argmin, no shuffle; the CANONICAL assignment shared with
     ivf_build/ivf_append, so inline, built, and appended indexes place
     borderline vectors identically); the search join is corpus-cell ⋈
     probe-cell, so each query reads ~``nprobe/n_cells`` of the corpus
@@ -470,13 +471,68 @@ def assign_cells(
     """Nearest-centroid cell assignment as a PURE MAP — zero shuffle.
 
     ``centroids`` is the driver-side list of ``(cell, centroid)`` (tiny
-    by construction: n_cells rows); the argmin is one ``array_min`` over
-    per-cell ``(dist², cell)`` structs, so struct ordering gives the
-    euclidean argmin with lowest-cell tie-break — the same (dist², cell)
-    order the serve path's probe ranking uses. New vectors therefore
-    assign without a KMeans model object, without a join, and without a
-    window shuffle: the scale path for appending a daily drop to a
-    billion-vector index is a map over the drop alone."""
+    by construction: n_cells rows, closed over by the batch function).
+    The argmin runs as ONE Arrow-batched numpy matmul per input batch —
+    ``(n × dim) @ (dim × n_cells)`` with the ``|c|² − 2x·c`` expansion
+    (the per-row ``|x|²`` constant can't change the argmin) — instead of
+    n_cells interpreted ``zip_with``+``aggregate`` HOFs per row: the r12
+    interleaved A/B (tools/ab_ivf_assign_r12.py, reps 5, both orders)
+    measured the HOF formulation at 3.48 s median on the bench corpus vs
+    2.04 s for this path and 2.14 s for MLlib ``model.transform`` — the
+    HOF argmin WAS the r11 sim-ivf regression. Ties break to the lowest
+    cell id (centroids sorted, ``argmin`` keeps the first minimum), the
+    same (dist², cell) order the serve path's probe ranking uses.
+
+    New vectors therefore still assign without a KMeans model object,
+    without a join, and without a window shuffle: the scale path for
+    appending a daily drop to a billion-vector index is a map over the
+    drop alone. :func:`_assign_cells_sql` keeps the pure-column twin
+    (used where Arrow is unavailable); parity between the two and with
+    MLlib ``model.transform`` is pinned in tests/test_similarity.py."""
+    import numpy as np
+
+    cents = sorted(((int(cell), list(map(float, c))) for cell, c in centroids))
+    cell_ids = np.array([cell for cell, _ in cents], dtype=np.int64)
+    cent_mat = np.array([c for _, c in cents], dtype=np.float64)  # (n_cells, dim)
+    cent_sq = (cent_mat * cent_mat).sum(axis=1)  # (n_cells,)
+
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [fields[id_col], fields[vec_col], T.StructField("_cell", T.IntegerType())]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], vec_col: [], "_cell": []})
+                continue
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            scores = cent_sq[None, :] - 2.0 * (vecs @ cent_mat.T)  # (n, n_cells)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "_cell": cell_ids[np.argmin(scores, axis=1)],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def _assign_cells_sql(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure-column twin of :func:`assign_cells`: ``array_min`` over
+    per-cell ``(dist², cell)`` structs — struct ordering gives the
+    euclidean argmin with lowest-cell tie-break. Semantically identical
+    (parity test-pinned) but n_cells interpreted HOFs per row, measured
+    ~1.7× slower on the bench corpus (tools/ab_ivf_assign_r12.py); kept
+    for environments without Arrow and as the oracle for the fast path."""
     pairs = [
         F.struct(
             F.aggregate(

@@ -516,11 +516,17 @@ def test_ivf_staleness_empty_trained_cell_does_not_trip(spark, tmp_path):
 def test_assign_cells_is_the_canonical_assignment(spark):
     # ADVICE r10: build/inline/append all assign via assign_cells; pin that
     # it agrees with MLlib's model.transform on the same centroids (the
-    # norm-shortcut distance picks the same argmin away from exact ties)
+    # norm-shortcut distance picks the same argmin away from exact ties).
+    # r12: assign_cells became an Arrow-batched numpy argmin (the HOF
+    # formulation was the r11 sim-ivf regression) — pin BOTH backends
+    # against model.transform, and against each other, on real data.
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from feasibility_etl_spark.operators.similarity import assign_cells
+    from feasibility_etl_spark.operators.similarity import (
+        _assign_cells_sql,
+        assign_cells,
+    )
 
     corpus = clustered_embeddings(spark)
     feats = corpus.select(
@@ -534,6 +540,14 @@ def test_assign_cells_is_the_canonical_assignment(spark):
     cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     via_ours = {r.vec_id: r._cell for r in assign_cells(corpus, cents).collect()}
     assert via_ours == via_model
+    via_sql = {r.vec_id: r._cell for r in _assign_cells_sql(corpus, cents).collect()}
+    assert via_sql == via_ours
+    # centroid list order must not matter (ivf_append collects from parquet
+    # in arbitrary order): reversed input, same assignment
+    via_rev = {
+        r.vec_id: r._cell for r in assign_cells(corpus, cents[::-1]).collect()
+    }
+    assert via_rev == via_ours
 
 
 def test_emb_centroids_exact_and_order_independent(spark):
