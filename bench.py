@@ -726,11 +726,17 @@ def run_pipe_corpus_stage_bench(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     t0 = time.time()
     stages, shared = pipe_corpus_stage_frames(spark, sf_dir)
-    # frame CONSTRUCTION is a real stage: prune_components' label-
-    # propagation loop runs EAGERLY (per-round localCheckpoint counts)
-    # while the DAG is being built, so the composed entry pays it inside
-    # its timing window — the stage sum must too, or composition always
-    # looks mysteriously slower than its parts (it did, r10 first run)
+    # frame CONSTRUCTION kept as a stage so construction-time jobs can
+    # never hide again: r10-r11's count-gated driver union-find executed
+    # the ENTIRE d1→pairs→CC chain while the DAG was being BUILT (14.2 s
+    # here at r11). r12 moved CC inside the plan (lazy two-phase
+    # contraction) and reduced construction to ONE deliberate job: the
+    # StageCache.cut() at the composition's fan-out root (d3 — dup-
+    # survivor-sized, ~2 s), which r12's measurements showed is load-
+    # bearing (a cold leaf made the composed single action re-execute
+    # the persist hierarchy per reference: 1700+ stages, 133 s). A jump
+    # here beyond the cut's ~2 s job means some operator reintroduced a
+    # hidden construction-time action
     out["_build_eager_components"] = round(time.time() - t0, 3)
     persisted = []
     try:

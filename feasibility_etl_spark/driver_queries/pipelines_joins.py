@@ -706,7 +706,19 @@ def pipe_corpus_stage_frames(spark: SparkSession, sf: str, near_dup: str = "pair
     d2 = shared(
         d1.where((quality_score("text") >= 0.45) & (lang_id("text") != "und"))
     )
-    d3 = shared(exact_dedup(d2))
+    # d3 is the composition's fan-out root: the pair stage references it
+    # 4× internally and the prune anti-join once more, and r12's lazy
+    # connected_components nests the WHOLE pair plan under every later
+    # stage — without a plan-leaf boundary here the composed logical
+    # tree is exponential (the analyzer walked it for minutes; its
+    # string alone overflowed the JVM heap). cut() collapses d3 to one
+    # RDD-scan leaf with zero construction-time jobs: d2 is persisted
+    # just above, so the frozen subtree is an InMemoryRelation scan +
+    # exact_dedup's narrow ops (see StageCache.cut's placement rule).
+    # The checkpoint RDD persists on first compute, which IS the
+    # multi-reference reuse a shared() would have bought — no SQL
+    # persist on top (it would store the same rows twice).
+    d3 = shared.cut(exact_dedup(d2))
     if near_dup == "components":
         comps = minhash_components(d3, max_bucket_size=64)
         d4 = prune_by_components(d3, comps)

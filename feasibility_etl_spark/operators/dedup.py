@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import fingerprint, tokens
 
@@ -952,15 +953,93 @@ def _round_checkpoint(df: DataFrame, checkpoint_dir: str | None, path: str) -> D
     return df.sparkSession.read.parquet(path)
 
 
-#: Symmetrized-edge bound for the driver-side union-find fast path of
-#: ``connected_components`` (2M directed rows = 1M undirected pairs ≈ a
-#: few hundred MB of transient driver memory during the collect — the
-#: bounded-driver-structure pattern of MAX_BROADCAST_BLOCKS and the
-#: gate's fp dict). Near-dup pair graphs are DUP-count-sized, not
-#: corpus-sized, so real workloads sit far under this (sf1's clique-heavy
-#: star-edge graph: 1.02M symmetrized); past the bound the distributed
-#: label loop serves unchanged.
-CC_DRIVER_MAX_EDGES = 2_000_000
+def _union_find_batches(name_a: str, name_b: str):
+    """Batch function for the two-phase contraction path: exact
+    union-find with min-root union over every (a, b) row in this task's
+    partition, emitting one ``(node, root)`` row per node seen —
+    including roots as ``(n, n)`` so isolated/self-edge nodes survive.
+    Min-root union keeps the smaller id as parent at every step, so each
+    emitted root IS its local component's minimum id."""
+
+    def run(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            ca, cb = pdf.columns[0], pdf.columns[1]
+            # .tolist() yields native scalars (int/str) — dict keys and
+            # output rows stay numpy-free
+            for a, b in zip(pdf[ca].tolist(), pdf[cb].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame({name_a: nodes, name_b: [find(n) for n in nodes]})
+
+    return run
+
+
+def _contracted_components(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Two-phase union-find as ONE LAZY DAG — the default
+    ``connected_components`` path (VERDICT r11 item 2: the eager
+    count-gate + driver collect ran the whole upstream pair chain at
+    DataFrame-CONSTRUCTION time; this plan runs nothing until the
+    caller's first action).
+
+    Phase 1 (``mapInPandas``, per existing partition, NO shuffle):
+    local union-find per task → one ``(node, local_root)`` star edge
+    per local node. Star edges per partition preserve global
+    connectivity (every local node appears; every local component
+    contracts to its root), and there are at most V of them per
+    partition — the classic local-contraction step.
+
+    Phase 2 (``repartition(1)`` + the same union-find): merge the
+    contracted forests globally. The shuffle moves forest edges
+    (≤ Σ per-partition distinct nodes ≈ O(V_dup)), never the raw edge
+    list; the merge task holds O(distinct dup-group nodes) dict
+    entries — dup-count-sized, not corpus-sized, and on an EXECUTOR,
+    not the driver (the r10 driver fast path held O(E) on the driver).
+    Labels are component minimum ids both phases (min-root union), the
+    same labels the distributed loop converges to — pinned in tests.
+
+    Cluster posture note: one merge task is the right shape while the
+    dup-node set fits one executor's memory (hundreds of millions of
+    long ids); for graphs past that, pass ``checkpoint_dir`` — the
+    durable distributed label loop has per-round parquet state and no
+    single-task bottleneck."""
+    dt = pairs.schema[id_a].dataType
+    forest_schema = T.StructType(
+        [T.StructField("src", dt), T.StructField("dst", dt)]
+    )
+    out_schema = T.StructType(
+        [T.StructField("doc_id", dt), T.StructField("component_id", dt)]
+    )
+    forest = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).mapInPandas(_union_find_batches("src", "dst"), forest_schema)
+    # the result stays an ORDINARY lazy frame: the labels plan is
+    # pairs + two narrow map nodes, so consumers nest it at pair-plan
+    # cost. Compositions whose pair plan is itself deep (PIPE-CORPUS)
+    # bound that cost at the fan-out ROOT with a StageCache.cut() on
+    # the pair stage's input — cutting here instead would freeze the
+    # (possibly broadcast-bearing) pair plan and fire its exchanges at
+    # construction time (see plans/compose.py:StageCache.cut).
+    return forest.repartition(1).mapInPandas(
+        _union_find_batches("doc_id", "component_id"), out_schema
+    )
 
 
 def connected_components(
@@ -1007,20 +1086,28 @@ def connected_components(
     graphs are not. Raise ``max_iterations`` if one ever shows up rather
     than switching the default.
 
-    ``driver_max_edges`` (default ``CC_DRIVER_MAX_EDGES``; pass ``0`` to
-    force the distributed loop): graphs whose SYMMETRIZED edge list
-    fits the bound skip the label loop for a driver-side union-find —
-    value-identical output (min-id labels either way; pinned in tests),
-    but one count-gate plus one Arrow transfer of the two bare id
-    columns off the already-checkpointed edge frame replaces 2-3 jobs
-    PER ROUND; an over-bound graph pays only the scalar count before
-    flowing into the distributed loop. Measured r10: DEDUP-PRUNE 6.0 → ~2 s,
-    and the PIPE-CORPUS eager build drops with it. The bound is the
-    repo's bounded-driver-structure pattern (cf. MAX_BROADCAST_BLOCKS):
-    pair graphs are dup-count-sized, not corpus-sized; a graph past the
-    bound flows into the unchanged distributed loop, and durable
-    ``checkpoint_dir`` runs always stay distributed (that flag is the
-    caller saying "cluster posture, executor loss expected").
+    Default routing (``checkpoint_dir=None``, ``driver_max_edges=None``):
+    the LAZY two-phase contraction path — see
+    :func:`_contracted_components`. r10's driver union-find fast path
+    (count-gate + Arrow collect) was value-identical but EAGER: the
+    gate's count and the collect ran the entire upstream pair-generation
+    chain at DataFrame-construction time (VERDICT r11 item 2 — bench
+    measured 14.2 s of construction-time jobs on PIPE-CORPUS's critical
+    path, invisible to stage attribution and paid even by callers who
+    never run the frame). The contraction path runs the same exact
+    union-find INSIDE the plan (per-partition local forests → one merge
+    task), so construction is free, the work lands on executors, and
+    the merge task holds O(dup nodes) instead of the driver holding
+    O(edges). Labels are identical (min-id; pinned in tests).
+
+    ``driver_max_edges`` stays as the routing knob it always was, never
+    a semantics knob: ``0`` forces the distributed label loop; a
+    positive bound count-gates the SYMMETRIZED edge list (eager — the
+    caller is explicitly buying a routing decision) and routes
+    under-bound graphs to the contraction path, over-bound graphs to
+    the loop. Durable ``checkpoint_dir`` runs always take the loop
+    (that flag is the caller saying "cluster posture, executor loss
+    expected, no single merge task").
     """
     import uuid
 
@@ -1039,6 +1126,10 @@ def connected_components(
         )
         jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
 
+    if checkpoint_dir is None and driver_max_edges is None:
+        # the default: zero construction-time jobs, zero driver state
+        return _contracted_components(pairs, id_a, id_b)
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -1047,45 +1138,12 @@ def connected_components(
     # edges feed every iteration's join — checkpoint once or the (possibly
     # expensive) upstream pair-generation plan re-executes per round
     edges = ck(edges, "edges")
-    if driver_max_edges is None and checkpoint_dir is None:
-        driver_max_edges = CC_DRIVER_MAX_EDGES
     if driver_max_edges and checkpoint_dir is None:
         # count-gate off the checkpointed frame (no plan re-execution, no
         # row transfer): an over-bound graph learns it's over-bound from a
         # scalar, not from shipping bound+1 rows it would then discard
         if edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
-            # Arrow transfer of the two bare id columns — two flat
-            # arrays on the driver instead of per-edge Row objects
-            # (measured ~10× less Python heap at the 2M bound; see
-            # PERF-NOTES)
-            pdf = edges.toPandas()
-            parent: dict = {}
-
-            def find(x):
-                parent.setdefault(x, x)
-                root = x
-                while parent[root] != root:
-                    root = parent[root]
-                while parent[x] != root:
-                    parent[x], x = root, parent[x]
-                return root
-
-            # .tolist() yields native scalars (int/str), so labels feed
-            # createDataFrame below without numpy-type coercion
-            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    # min-root union: the smaller id is always the parent,
-                    # so every root IS its component's minimum id — the
-                    # same label the distributed loop converges to
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-            dt = pairs.schema[id_a].dataType.simpleString()
-            return pairs.sparkSession.createDataFrame(
-                [(n, find(n)) for n in parent],
-                f"doc_id {dt}, component_id {dt}",
-            )
+            return _contracted_components(edges, "src", "dst")
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component_id")
     )
