@@ -91,20 +91,41 @@ from ..sources.catalog import load, register_views, schema_for
 from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 
+_SCRATCH_LIVE: dict[str, str] = {}
+
+
 def _scratch_dir(prefix: str) -> str:
     """Per-call unique scratch directory for driver-query sink round
-    trips, reaped at process exit (ADVICE r10 generalized): a FIXED
-    shared path lets a second construction — concurrent session, or two
-    live frames in one driver — swap the files out from under the first
-    frame's lazy read-back."""
+    trips. Unique per call (ADVICE r10): a FIXED shared path lets a
+    second construction — concurrent session, or two live frames in one
+    driver — swap the files out from under the first frame's lazy
+    read-back. Keep-only-the-newest per prefix (ADVICE r11): a bench
+    loop invokes each sink entry several reps, and reaping only at
+    process exit accumulated one full dataset copy per rep (material at
+    large SF) plus unbounded atexit registrations in long-lived drivers.
+    Each new call reaps THIS PROCESS's previous dir for the prefix —
+    callers run their reps sequentially, so the previous frame is spent
+    by the time the next construction starts; concurrent sessions are
+    separate processes whose uuid paths never collide."""
     import atexit
     import os
     import shutil
     import tempfile
     import uuid
 
+    prev = _SCRATCH_LIVE.get(prefix)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
     path = os.path.join(tempfile.gettempdir(), f"{prefix}_{uuid.uuid4().hex}")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    _SCRATCH_LIVE[prefix] = path
+    if prev is None:
+        # one registration per prefix for the whole process lifetime —
+        # it reaps whatever path is newest at exit
+        atexit.register(
+            lambda p=prefix: shutil.rmtree(
+                _SCRATCH_LIVE.get(p, ""), ignore_errors=True
+            )
+        )
     return path
 
 

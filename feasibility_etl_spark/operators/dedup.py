@@ -1346,8 +1346,18 @@ def incremental_near_dups(
     index, so AQE broadcasts it and the index scan never shuffles; sig
     amplification from riding the explode (bands × k longs per indexed
     doc) is map-local — broadcast-hash joins stream the exploded index
-    through the scan without exchanging it. Build params (num_hashes,
-    bands, shingle_n) must match the index's.
+    through the scan without exchanging it. That map-local claim holds
+    ONLY under a broadcast candidate join (ADVICE r11): a sort-merge
+    plan would exchange the sig-amplified explode (~12× the bytes of the
+    bare band rows at k=32/bands=8). So the sig-inline formulation is
+    used exactly when ``small_increment`` resolves True (the joins are
+    broadcast-hinted); otherwise — backfill-shaped increments where AQE
+    may legitimately pick sort-merge — the band join runs UNAMPLIFIED
+    (id, band, band_hash only) and signatures attach at verified-PAIR
+    grain by an id equi-join against the doc-grain index frames: one
+    doc-grain sig shuffle instead of a band-grain amplified one. Output
+    is identical (pinned in tests). Build params (num_hashes, bands,
+    shingle_n) must match the index's.
 
     ``new_index``: a prebuilt ``minhash_index(new_docs)`` frame. The plan
     references the increment's index three times (two candidate-join
@@ -1431,18 +1441,20 @@ def incremental_near_dups(
             small_increment = n <= AUTO_SMALL_INCREMENT_MAX_DOCS
     hint = F.broadcast if small_increment else (lambda df: df)
 
-    def banded(ix: DataFrame) -> DataFrame:
-        # sig rides the explode so the verify runs INLINE in the candidate
-        # join — one index scan total, no signature-attach join, no
-        # candidate groupBy shuffle (r11 profile: the attach accounted for
-        # most of the 1x gate's drop-set section; see PERF-NOTES). The
-        # amplification (sig duplicated per band) is map-local: broadcast
-        # joins mean the exploded index streams through the scan and is
-        # never exchanged.
+    def banded(ix: DataFrame, with_sig: bool) -> DataFrame:
+        # with_sig=True: sig rides the explode so the verify runs INLINE
+        # in the candidate join — one index scan total, no
+        # signature-attach join, no candidate groupBy shuffle (r11
+        # profile: the attach accounted for most of the 1x gate's
+        # drop-set section; see PERF-NOTES). The amplification (sig
+        # duplicated per band) is map-local ONLY under the broadcast
+        # hint, so the non-hinted path runs with_sig=False and attaches
+        # sigs at pair grain below (ADVICE r11).
+        cols = [F.col(id_col).alias("id")]
+        if with_sig:
+            cols.append(F.col("sig"))
         out = ix.select(
-            F.col(id_col).alias("id"),
-            F.col("sig"),
-            F.posexplode("band_hashes").alias("band", "band_hash"),
+            *cols, F.posexplode("band_hashes").alias("band", "band_hash")
         )
         if exclude_buckets is not None:
             out = out.join(
@@ -1452,7 +1464,7 @@ def incremental_near_dups(
             )
         return out
 
-    nb, ob = banded(new_idx), banded(index)
+    nb, ob = banded(new_idx, small_increment), banded(index, small_increment)
     vs_old = hint(nb).alias("n").join(
         ob.alias("o"),
         (F.col("n.band") == F.col("o.band"))
@@ -1464,7 +1476,11 @@ def incremental_near_dups(
         # disjoint, so id_a is new exactly when n took the least slot
         (F.col("n.id") < F.col("o.id")).alias("a_new"),
         (F.col("n.id") > F.col("o.id")).alias("b_new"),
-        est_jaccard(F.col("n.sig"), F.col("o.sig")).alias("est_jaccard"),
+        *(
+            [est_jaccard(F.col("n.sig"), F.col("o.sig")).alias("est_jaccard")]
+            if small_increment
+            else []
+        ),
     )
     vs_new = nb.alias("x").join(
         hint(nb).alias("y"),
@@ -1476,23 +1492,52 @@ def incremental_near_dups(
         F.col("y.id").alias("id_b"),
         F.lit(True).alias("a_new"),
         F.lit(True).alias("b_new"),
-        est_jaccard(F.col("x.sig"), F.col("y.sig")).alias("est_jaccard"),
+        *(
+            [est_jaccard(F.col("x.sig"), F.col("y.sig")).alias("est_jaccard")]
+            if small_increment
+            else []
+        ),
     )
     out = vs_old.unionByName(vs_new)
+    if not small_increment:
+        # attach-at-pair-grain path: distinct FIRST (multi-band duplicate
+        # candidates would multiply the attach joins), then one id
+        # equi-join per side against the doc-grain sig frames — the sig
+        # table shuffles once at doc grain instead of bands× amplified
+        # through the candidate join. est_jaccard is computed per unique
+        # pair, so the dedupe-placement trade below is already settled
+        # on this path (output uniqueness contract unchanged).
+        out = out.distinct()
+        sig_of = lambda ix: ix.select(  # noqa: E731
+            F.col(id_col).alias("_sid"), F.col("sig").alias("_sig")
+        )
+        # ids are disjoint between index and increment (documented
+        # contract), so the union is one doc-grain sig table
+        sigs = sig_of(new_idx).unionByName(sig_of(index))
+        out = (
+            out.join(sigs, F.col("id_a") == F.col("_sid"))
+            .withColumnRenamed("_sig", "_sig_a")
+            .drop("_sid")
+            .join(sigs, F.col("id_b") == F.col("_sid"))
+            .withColumnRenamed("_sig", "_sig_b")
+            .drop("_sid")
+            .withColumn("est_jaccard", est_jaccard(F.col("_sig_a"), F.col("_sig_b")))
+            .drop("_sig_a", "_sig_b")
+        )
     # multi-band duplicates carry identical est_jaccard (same sig pair),
     # so a row distinct collapses them wherever it runs. ``dedupe=True``
     # keeps the old formulation's placement (BEFORE the threshold — worth
-    # its earlier shuffle only when heavy multi-band duplication precedes
-    # a cheap threshold); the default gate path dedupes AFTER, at
+    # its earlier shuffle only when heavy multi-band candidate duplication
+    # precedes a cheap threshold); the default gate path dedupes AFTER, at
     # verified-pair grain, the cheapest point. Output pairs are unique
     # either way — the flag's documented contract is unchanged.
-    if dedupe:
+    elif dedupe:
         out = out.distinct()
     if threshold is not None:
         out = out.where(F.col("est_jaccard") >= threshold)
     cols = ["id_a", "id_b"] + (["a_new", "b_new"] if tag_new else [])
     out = out.select(*cols, "est_jaccard")
-    return out if dedupe else out.distinct()
+    return out if dedupe or not small_increment else out.distinct()
 
 
 def fuzzy_pairs(

@@ -576,23 +576,52 @@ def ivf_append(
     its own subdir — the per-batch overwrite layout the streaming gates
     use (streaming/dedup_gate.py) — so a retried append replaces its own
     files instead of duplicating rows. ``drop_id`` names the subdir
-    (daily-drop pipelines pass their batch/date id); when omitted it is
-    a content fingerprint of the increment (order-independent
-    ``bit_xor(xxhash64(id, vec))`` — one narrow aggregate), so replaying
-    the SAME data lands on the SAME subdir with no caller bookkeeping."""
+    (daily-drop pipelines pass their batch/date id; restricted to
+    ``[A-Za-z0-9._-]`` so the id round-trips through Hadoop's partition
+    path escaping unchanged — an ``=`` or ``%XX`` would parse back as a
+    DIFFERENT partition value at read time, ADVICE r11); when omitted it
+    is a content fingerprint of the increment — one narrow aggregate
+    combining order-independent ``bit_xor(xxhash64(id, vec))`` with
+    ``count(*)`` and ``sum(_h)`` (ADVICE r11: bit_xor alone cancels
+    pairwise, so two different increments related by even-multiplicity
+    duplicates collide; the count+sum mix breaks multiset cancellation)
+    — so replaying the SAME data lands on the SAME subdir with no
+    caller bookkeeping."""
+    import re
+
     if drop_id is None:
-        fp = (
-            new_vectors.select(
-                F.xxhash64(F.col(corpus_id), F.col(corpus_vec)).alias("_h")
+        row = new_vectors.select(
+            F.xxhash64(F.col(corpus_id), F.col(corpus_vec)).alias("_h")
+        ).agg(
+            F.bit_xor("_h").alias("fx"),
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38) accumulator: a long sum overflows under ANSI
+            # mode; 38 digits holds ~10^19 64-bit terms, masked below
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias("fs"),
+        ).first()
+        if row["fx"] is None:
+            drop_id = "empty"
+        else:
+            drop_id = (
+                f"{row['fx'] & 0xFFFFFFFFFFFFFFFF:016x}"
+                f"-{row['n']}-{int(row['fs']) & 0xFFFFFFFFFFFFFFFF:016x}"
             )
-            .agg(F.bit_xor("_h").alias("fp"))
-            .first()["fp"]
-        )
-        drop_id = "empty" if fp is None else f"{fp & 0xFFFFFFFFFFFFFFFF:016x}"
     else:
         drop_id = str(drop_id)
-        if "/" in drop_id or drop_id in ("", ".", ".."):
-            raise ValueError(f"drop_id must be a single path segment, got {drop_id!r}")
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", drop_id) or drop_id in (".", ".."):
+            raise ValueError(
+                "drop_id must be a non-empty [A-Za-z0-9._-] path segment, "
+                f"got {drop_id!r}"
+            )
+    if "_drop" not in spark.read.parquet(f"{path}/assigned").columns:
+        # appending a _drop=<id> subdir under a pre-drop-layout index
+        # (partitioned by _cell only) would mix partition depths and make
+        # every subsequent read of the assigned table fail — same guard
+        # ivf_recluster_cell has (ADVICE r11)
+        raise ValueError(
+            "assigned table lacks the _drop partition layout; "
+            "ivf_append supports ivf_build/ivf_append indexes"
+        )
     cents = [
         (r["_cell"], list(r["_centroid"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
@@ -671,13 +700,22 @@ def ivf_recluster_cell(
     cells don't migrate; the recall parity is pinned in tests
     (recall@10 within 0.02 of a full rebuild at equal probe budget).
 
-    Commit order makes reruns safe: (1) the re-assigned members land
-    under their own ``_drop=recluster-<cell>`` subdir (overwrite — same
-    replay layout as :func:`ivf_append`), (2) the old cell's partition
-    files are deleted from every drop, (3) the centroids table swaps the
-    old centroid for the sub-centroids LAST — a crash before (3) leaves
-    the old index still serving (probes never visit the unreferenced new
-    ids); rerun to finish. Returns the new cell ids."""
+    Commit order makes a crash at ANY point rerun-safe (ADVICE r11 —
+    the previous delete-before-swap order had a window where the hot
+    cell's vectors were unreachable and the rerun errored): (1) the
+    re-assigned members land under their own ``_drop=recluster-<cell>``
+    subdir (overwrite — same replay layout as :func:`ivf_append`),
+    (2) the centroids table swaps the old centroid for the
+    sub-centroids — THIS is the commit point: before it the old index
+    serves unchanged (probes never visit the unreferenced new ids) and
+    a rerun simply redoes (1); after it the sub-cells serve and the old
+    cell's rows are orphans no probe ever reads (:func:`ivf_search`
+    probes only cells present in the centroids table), (3) the orphaned
+    old-cell files are deleted from every drop — pure space reclaim,
+    retryable. A rerun after the commit point detects the swapped
+    centroids plus the surviving ``_drop=recluster-<cell>`` dir,
+    resumes the delete, and returns the already-committed sub-cell ids
+    instead of raising. Returns the new cell ids."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -685,7 +723,39 @@ def ivf_recluster_cell(
         (r["_cell"], list(r["_centroid"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
     ]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    orphan_glob = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/assigned/_drop=*/_cell={int(cell)}"
+    )
+    fs = orphan_glob.getFileSystem(hconf)
+
+    def _reap_old_cell_files():
+        # idempotent: every _drop's _cell=<cell> subdir except the
+        # recluster drop itself (those rows live under NEW cell ids, so
+        # the glob never matches them — the exclusion is belt-and-braces
+        # against a caller-named drop that embeds the literal pattern)
+        for st in fs.globStatus(orphan_glob) or []:
+            if f"_drop=recluster-{int(cell)}/" not in st.getPath().toString():
+                fs.delete(st.getPath(), True)
+
     if cell not in {c for c, _ in old}:
+        # the swap already committed: a crash between the centroid swap
+        # and the delete leaves orphaned old-cell files that no probe
+        # reads — resume the delete and report the committed sub-cells
+        # (the recluster drop's _cell= partition dirs ARE their ids)
+        drop_path = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/assigned/_drop=recluster-{int(cell)}"
+        )
+        if fs.exists(drop_path):
+            committed = sorted(
+                int(st.getPath().getName().split("=", 1)[1])
+                for st in fs.listStatus(drop_path)
+                if st.getPath().getName().startswith("_cell=")
+            )
+            if committed:
+                _reap_old_cell_files()
+                return committed
         raise ValueError(
             f"cell {cell} not in the centroids table (already reclustered?)"
         )
@@ -721,21 +791,16 @@ def ivf_recluster_cell(
     assign_cells(members, new_cents, corpus_id, corpus_vec).write.mode(
         "overwrite"
     ).partitionBy("_cell").parquet(f"{path}/assigned/_drop=recluster-{int(cell)}")
-    # retire the old cell's files across every drop (idempotent deletes)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    glob = jvm.org.apache.hadoop.fs.Path(
-        f"{path}/assigned/_drop=*/_cell={int(cell)}"
-    )
-    fs = glob.getFileSystem(hconf)
-    for st in fs.globStatus(glob) or []:
-        if f"_drop=recluster-{int(cell)}/" not in st.getPath().toString():
-            fs.delete(st.getPath(), True)
-    # commit: swap the centroid table (old id out, sub-centroids in)
+    # COMMIT: swap the centroid table (old id out, sub-centroids in) —
+    # from here probes serve the sub-cells and the old cell's rows are
+    # unreachable orphans, so the delete below is pure reclaim
     spark.createDataFrame(
         [(c, v) for c, v in old if c != cell] + new_cents,
         "_cell int, _centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # reclaim the orphaned old-cell files across every drop (retryable;
+    # a crash here is finished by the resume path above)
+    _reap_old_cell_files()
     return [c for c, _ in new_cents]
 
 

@@ -457,6 +457,12 @@ class TestIncrementalBackfillMode:
         # path must leave join strategy to the planner/AQE
         assert "ResolvedHint" not in slow_plan and "broadcast" not in slow_plan
         assert "broadcast" in fast_plan
+        # ADVICE r11: the backfill path's band join must be UNAMPLIFIED —
+        # sig attaches at pair grain, never riding the explode into a
+        # potential sort-merge exchange
+        for line in slow_plan.splitlines():
+            if "posexplode" in line:
+                assert "sig#" not in line, line
 
     def test_backfill_candidates_match_broadcast_path(self, spark):
         new, idx = self._frames(spark)

@@ -412,6 +412,54 @@ def test_ivf_append_replay_idempotent(spark, tmp_path):
 
     with pytest.raises(ValueError):
         ivf_append(spark, path, drop, drop_id="../escape")
+    # ADVICE r11: ids that survive path joining but not Hadoop partition
+    # escaping must be rejected too
+    for bad in ("a=b", "a%3Db", "", "x y"):
+        with pytest.raises(ValueError):
+            ivf_append(spark, path, drop, drop_id=bad)
+
+
+def test_ivf_append_fingerprint_and_layout_guards(spark, tmp_path):
+    # ADVICE r11: (a) the default content fingerprint must NOT collide for
+    # increments related by even-multiplicity duplicates (bit_xor alone
+    # cancels pairwise); (b) appending to a pre-drop-layout index must
+    # raise instead of corrupting the table with mixed partition depths
+    import os
+
+    import pytest
+
+    from feasibility_etl_spark.operators.similarity import (
+        assign_cells,
+        ivf_append,
+        ivf_build,
+    )
+
+    corpus = clustered_embeddings(spark)
+    path = str(tmp_path / "idx")
+    ivf_build(corpus.where(F.col("vec_id") < 160), path, n_cells=4, seed=5)
+    one = corpus.where(F.col("vec_id") == 200)
+    dup_pair = corpus.where(F.col("vec_id") == 201)
+    padded = one.unionByName(dup_pair).unionByName(dup_pair)
+    base_rows = spark.read.parquet(f"{path}/assigned").count()
+    ivf_append(spark, path, one)
+    ivf_append(spark, path, padded)  # same bit_xor as `one`; must not overwrite it
+    drops = [
+        d for d in os.listdir(f"{path}/assigned") if d.startswith("_drop=")
+    ]
+    assert len(drops) == 3  # base + two distinct fingerprints
+    assert spark.read.parquet(f"{path}/assigned").count() == base_rows + 1 + 3
+    # (b) legacy layout: assigned partitioned by _cell only
+    legacy = str(tmp_path / "legacy")
+    cents = [
+        (r["_cell"], list(r["_centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    spark.read.parquet(f"{path}/centroids").write.parquet(f"{legacy}/centroids")
+    assign_cells(corpus.where(F.col("vec_id") < 160), cents).write.partitionBy(
+        "_cell"
+    ).parquet(f"{legacy}/assigned")
+    with pytest.raises(ValueError, match="_drop partition layout"):
+        ivf_append(spark, legacy, one)
 
 
 def test_ivf_recluster_cell_recall_matches_full_rebuild(spark, tmp_path):
@@ -484,6 +532,77 @@ def test_ivf_recluster_cell_recall_matches_full_rebuild(spark, tmp_path):
     recall_split = len(exact & split_got) / len(exact)
     recall_rebuild = len(exact & rebuild_got) / len(exact)
     assert recall_split >= recall_rebuild - 0.02, (recall_split, recall_rebuild)
+
+
+def test_ivf_recluster_cell_resumes_after_commit_point(spark, tmp_path):
+    # ADVICE r11 (medium): a crash between the centroid swap (the commit
+    # point) and the orphan delete must leave the index fully servable,
+    # and a rerun must RESUME (finish the delete, return the committed
+    # sub-cell ids) instead of raising "0 members < n_splits"
+    import os
+    import shutil
+
+    from feasibility_etl_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_recluster_cell,
+        ivf_search,
+    )
+
+    base = clustered_embeddings(spark)
+    blob = clustered_embeddings(
+        spark, n_clusters=1, per_cluster=320, dim=16, seed=99
+    ).withColumn("vec_id", F.col("vec_id") + 10_000)
+    path = str(tmp_path / "idx")
+    ivf_build(base, path, n_cells=8, seed=5)
+    ivf_append(spark, path, blob)
+    hot = int(
+        spark.read.parquet(f"{path}/assigned")
+        .groupBy("_cell")
+        .count()
+        .orderBy(F.col("count").desc())
+        .first()["_cell"]
+    )
+    # reconstruct the post-commit crash state: recluster drop written and
+    # centroids swapped, old-cell orphan files NOT yet deleted
+    crash = str(tmp_path / "crash")
+    shutil.copytree(path, crash)
+    new_ids = ivf_recluster_cell(spark, path, hot, n_splits=4, seed=5)
+    shutil.copytree(
+        f"{path}/assigned/_drop=recluster-{hot}",
+        f"{crash}/assigned/_drop=recluster-{hot}",
+    )
+    shutil.rmtree(f"{crash}/centroids")
+    shutil.copytree(f"{path}/centroids", f"{crash}/centroids")
+    assert any(  # the orphans are really there pre-rerun
+        f"_cell={hot}" in os.listdir(f"{crash}/assigned/{d}")
+        for d in os.listdir(f"{crash}/assigned")
+        if d.startswith("_drop=") and d != f"_drop=recluster-{hot}"
+    )
+    # the crashed index SERVES identically before the rerun (orphans are
+    # invisible to probes — only cells in the centroids table are read)
+    queries = base.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    done = {
+        (r.query_id, r.vec_id)
+        for r in ivf_search(spark, path, queries, k=5, nprobe=3).collect()
+    }
+    crashed = {
+        (r.query_id, r.vec_id)
+        for r in ivf_search(spark, crash, queries, k=5, nprobe=3).collect()
+    }
+    assert crashed == done
+    # rerun resumes: same committed ids back, orphans reaped
+    resumed = ivf_recluster_cell(spark, crash, hot, n_splits=4, seed=5)
+    assert sorted(resumed) == sorted(new_ids)
+    for d in os.listdir(f"{crash}/assigned"):
+        if d.startswith("_drop=") and d != f"_drop=recluster-{hot}":
+            assert f"_cell={hot}" not in os.listdir(f"{crash}/assigned/{d}")
+    assert (
+        spark.read.parquet(f"{crash}/assigned").count()
+        == spark.read.parquet(f"{path}/assigned").count()
+    )
 
 
 def test_ivf_staleness_empty_trained_cell_does_not_trip(spark, tmp_path):
