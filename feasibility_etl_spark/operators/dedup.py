@@ -677,9 +677,14 @@ def blocked_jaccard_pairs(
        prefixes must intersect — candidate generation is complete;
     3. join prefixes on (block, token) + the size filter
        (J ≥ t ⇒ t·|b| ≤ |a|), distinct the pairs;
-    4. VERIFY exactly: join candidates back to the full token sets for
-       ``|A∩B|``; ``|A∪B| = |A|+|B|−|A∩B|``; the final ``≥ threshold``
-       predicate is authoritative, so every emitted pair is exact.
+    4. VERIFY exactly: join PREFIX candidates back to the full token
+       sets for ``|A∩B|``; ``|A∪B| = |A|+|B|−|A∩B|``; the final
+       ``≥ threshold`` predicate is authoritative, so every emitted pair
+       is exact. (All-pairs blocks skip 1-4 entirely: their complete
+       token join emits each pair exactly ``|A∩B|`` times, so one
+       groupBy count is already the exact intersection — r12, the
+       verify re-join there was pure overhead and the whole DEDUP-NGRAM
+       r1→r11 drift.)
 
     Everything is codegen'd joins/aggregations — no per-pair array
     intersection. The quadratic term drops from Σ df² to Σ prefix-df²,
@@ -816,6 +821,9 @@ def blocked_jaccard_pairs(
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             # size filter: J >= t implies t*|b| <= |a| and t*|a| <= |b|
+            # — kept on BOTH branches (r12 A/B'd dropping it plus the
+            # token-grain sizes join on the all-pairs branch: the lost
+            # pruning outweighed the saved join, 3.4 → 5.5 s)
             & (F.col("a.n_tok") + 1e-9 >= F.lit(threshold) * F.col("b.n_tok"))
             & (F.col("b.n_tok") + 1e-9 >= F.lit(threshold) * F.col("a.n_tok"))
         )
@@ -825,9 +833,19 @@ def blocked_jaccard_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
 
-    # cheap blocks: complete all-pairs token join, no window machinery
+    # cheap blocks: complete all-pairs token join, no window machinery.
+    # Its join is COMPLETE (every shared token meets), so each pair
+    # surfaces exactly |A∩B| times and a groupBy count IS the exact
+    # intersection — no candidate distinct, no verify re-join (r12: the
+    # old shape fed small-block candidates through the prefix branch's
+    # verify machinery too, re-joining the token table it had already
+    # joined — the bulk of the 2.49→4.27 s DEDUP-NGRAM drift; interleaved
+    # A/B in tools/ab_dedup_ngram_r12.py, PERF-NOTES 61)
     small = tagged.where(F.col("_cost") <= allpairs_max_pairs).select(
         id_col, *block_cols, "tok", "n_tok"
+    )
+    small_inter = (
+        pair_join(small).groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
     )
     # expensive blocks: attach per-token df -> rarest-first order ->
     # PPJoin prefix (the (block,tok) join runs only on large-block rows)
@@ -842,8 +860,12 @@ def blocked_jaccard_pairs(
         )
         .select(id_col, *block_cols, "tok", "n_tok")
     )
-    cand = pair_join(small).unionByName(pair_join(ranked)).distinct()
-    # exact verify: |A∩B| over candidate pairs only (id determines block)
+    cand = pair_join(ranked).distinct()
+    # exact verify for PREFIX candidates only: |A∩B| needs the FULL token
+    # sets (the prefix join meets only on rarest-first prefixes), so
+    # candidates join back to toks; the id determines the block. Blocks
+    # partition docs, so a pair lives in exactly one branch and the
+    # union below never double-counts.
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")
     tb = toks.select(F.col(id_col).alias("id_b"), "tok")
     inter = (
@@ -851,6 +873,7 @@ def blocked_jaccard_pairs(
         .join(tb, ["id_b", "tok"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+        .unionByName(small_inter)
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
