@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "MM-IMAGE",
     "PIPE-DOCS",
     "PIPE-CORPUS",
+    "PIPE-CORPUS-COMPONENTS",
     "PIPE-EVENTS",
     "TEXT-WINNOW",
     "SCD2-APPLY",
@@ -709,7 +710,9 @@ def run_ann_recall(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_pipe_corpus_stage_bench(spark, sf_dir: str) -> dict[str, float]:
+def run_pipe_corpus_stage_bench(
+    spark, sf_dir: str, near_dup: str = "pairs"
+) -> dict[str, float]:
     """Per-stage wall-time attribution for PIPE-CORPUS (VERDICT r9 item
     6): every stage boundary is persisted and driven to a noop sink in
     chain order, so stage k's timing measures computing k FROM ITS
@@ -725,7 +728,7 @@ def run_pipe_corpus_stage_bench(spark, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     t0 = time.time()
-    stages, shared = pipe_corpus_stage_frames(spark, sf_dir)
+    stages, shared = pipe_corpus_stage_frames(spark, sf_dir, near_dup=near_dup)
     # frame CONSTRUCTION kept as a stage so construction-time jobs can
     # never hide again: r10-r11's count-gated driver union-find executed
     # the ENTIRE d1→pairs→CC chain while the DAG was being BUILT (14.2 s
@@ -1322,6 +1325,27 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error pipe-corpus-stages: {e}", file=sys.stderr)
 
+    # same attribution for the component-grain variant (VERDICT r11 item
+    # 4: the clique-safe grain is the 100x default — benched first-class)
+    pipe_comp_stages: dict[str, float] = {}
+    try:
+        isolate_entry(spark)
+        pipe_comp_stages = run_pipe_corpus_stage_bench(
+            spark, sf_dir, near_dup="components"
+        )
+        comp_composed = timings.get("pipe-corpus-components", -1.0)
+        comp_sum = round(sum(pipe_comp_stages.values()), 3)
+        pipe_comp_stages["_stage_sum"] = comp_sum
+        pipe_comp_stages["_composed"] = comp_composed
+        if comp_composed > 0 and not (0.4 <= comp_sum / comp_composed <= 2.5):
+            print(
+                f"bench pipe-corpus-components composition drift: stage sum "
+                f"{comp_sum}s vs composed {comp_composed}s",
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error pipe-corpus-components-stages: {e}", file=sys.stderr)
+
     # Output contract (round 7, VERDICT r6 item 1): the driver keeps only
     # the LAST 2000 chars of stdout and parses the final line — round 6's
     # headline was lost because plan_metrics rode inline and pushed the
@@ -1358,6 +1382,7 @@ def main() -> None:
         "plan_metrics": plan_metrics,
         "ann_curve": ann_curve,
         "pipe_corpus_stage_sec": pipe_stages,
+        "pipe_corpus_components_stage_sec": pipe_comp_stages,
         "sf": sf,
         **rates,
         **recall_metrics,

@@ -652,6 +652,26 @@ def q_pipe_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return release_when_unreachable(stages[-1][1], shared)
 
 
+def q_pipe_corpus_components(spark: SparkSession, sf: str) -> DataFrame:
+    """PIPE-CORPUS with the near-dup stage at COMPONENT grain (bench
+    entry, VERDICT r11 item 4): identical chain to :func:`q_pipe_corpus`
+    except the prune runs :func:`minhash_components` star edges →
+    :func:`prune_by_components` instead of exact blocked-Jaccard pairs →
+    connected components. At 100× this is the default you'd actually
+    run: star-edge output is ≤ docs × bands rows REGARDLESS of clique
+    structure (a boilerplate crawl makes the pair grain quadratic in
+    replica count), hot buckets are capped with an auditable surface,
+    and no exact-verify join touches the token table. Banding-graph
+    semantics (no exact-Jaccard verify) — pinned by the bounded-grain
+    fixture, the end-to-end pipeline test, and the
+    prune-at-least-as-much-as-pairs cardinality test rather than the
+    DuckDB oracle."""
+    from ..plans.compose import release_when_unreachable
+
+    stages, shared = pipe_corpus_stage_frames(spark, sf, near_dup="components")
+    return release_when_unreachable(stages[-1][1], shared)
+
+
 def pipe_corpus_stage_frames(spark: SparkSession, sf: str, near_dup: str = "pairs"):
     """The PIPE-CORPUS DAG with its stage boundaries exposed: an ordered
     ``[(stage_name, DataFrame), ...]`` (the last frame IS the composed

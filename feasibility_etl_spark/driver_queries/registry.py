@@ -4,7 +4,7 @@ from ._shared import DataFrame, F, QueryFn, SparkSession, incremental_near_dups,
 from .core_relational import ORACLE_A_COLLECT, ORACLE_A_COUNT, ORACLE_A_HSUM, ORACLE_A_LINKED, ORACLE_A_WORKLOG, ORACLE_E_DROP, ORACLE_E_GATE, ORACLE_E_ISOLATE, ORACLE_F_CAST, ORACLE_F_COALESCE, ORACLE_F_CONCAT, ORACLE_F_DATEFMT, ORACLE_F_DATEOPS, ORACLE_F_DELTA, ORACLE_F_FROMJSON, ORACLE_F_HRS2SEC, ORACLE_F_PCTCHG, ORACLE_F_PCTDIFF, ORACLE_F_TOJSON, ORACLE_F_TS_PARSE, ORACLE_J_ATTACH, ORACLE_J_DIM_PROJECT, ORACLE_J_DIM_REPORTER, ORACLE_J_DIM_REVIEWER, ORACLE_J_LOOKUP_INSERT, ORACLE_J_MULTIWAY, ORACLE_J_SEMI, ORACLE_P_EXISTS, ORACLE_P_FILTER, ORACLE_P_FILTER_EQ, ORACLE_P_FILTER_SRC, ORACLE_P_LIMIT, ORACLE_P_NULLSAFE, ORACLE_P_PROJECT, ORACLE_SCAN_CAPS, ORACLE_SEMI_FAMILY, ORACLE_S_JDBC_SINK, ORACLE_SINK_SUITE, ORACLE_S_SEARCH, q_s_jsonl, q_s_csv, q_s_orc, q_sink_suite, q_a_collect, q_a_count, q_a_hsum, q_a_linked, q_a_worklog, q_e_drop, q_e_gate, q_e_isolate, q_f_cast, q_f_coalesce, q_f_concat, q_f_datefmt, q_f_dateops, q_f_delta, q_f_fromjson, q_f_hrs2sec, q_f_pctchg, q_f_pctdiff, q_f_tojson, q_f_ts_parse, q_j_attach, q_j_dim_project, q_j_dim_reporter, q_j_dim_reviewer, q_j_lookup_insert, q_j_multiway, q_j_semi, q_p_exists, q_p_filter, q_p_filter_eq, q_p_filter_src, q_p_limit, q_p_nullsafe, q_p_project, q_s_jdbc_sink, q_s_search, q_scan_caps, q_semi_family
 from .views_dedup_corpus import ORACLE_CORPUS_DECONTAM, ORACLE_CORPUS_PACK, ORACLE_CORPUS_SPLIT, ORACLE_DEDUP_COMPONENTS, ORACLE_DEDUP_EXACT, ORACLE_DEDUP_EXACT_DOC, ORACLE_DEDUP_NGRAM, ORACLE_DEDUP_PRUNE, ORACLE_TEXT_CLEAN, ORACLE_VIEW_CTE, ORACLE_VIEW_IDIOMATIC, ORACLE_WIN_SESSION, ORACLE_WIN_SLIDE, ORACLE_WIN_TUMBLE, ORACLE_LINE_DEDUP, ORACLE_LINE_DEDUP_KEEPFIRST, ORACLE_CORPUS_DECONTAM_COMBINED, ORACLE_SKETCH_BLOOM, ORACLE_WIN_RESAMPLE, q_win_resample, ORACLE_CORPUS_SAMPLEK, q_corpus_samplek, ORACLE_CORPUS_CONTAMSCORE, q_corpus_contamscore, q_corpus_decontam, q_corpus_decontam_combined, q_corpus_decontam_bloom, q_sketch_bloom, q_corpus_pack, q_corpus_split, q_dedup_components, q_dedup_exact, q_dedup_exact_doc, q_dedup_minhash, q_dedup_ngram, q_dedup_prune, q_dedup_simhash, q_text_clean, q_view_cte, q_view_idiomatic, q_line_dedup, q_line_dedup_keepfirst, q_dedup_substring, ORACLE_DEDUP_SUBSTRING, q_dedup_prune_best, ORACLE_DEDUP_PRUNE_BEST, q_win_session, q_win_slide, q_win_tumble, q_dedup_capped, ORACLE_DEDUP_CAPPED, q_dedup_capped_audit, ORACLE_DEDUP_CAPPED_AUDIT, q_dedup_minhash_comp, q_dedup_starprune, ORACLE_DEDUP_STARPRUNE
 from .similarity_text import ORACLE_A_SALTED, ORACLE_A_PIVOT, ORACLE_SIM_BQ, ORACLE_SIM_BQRR, q_a_pivot, q_sim_bq, q_sim_bqrr, q_sim_ivfbq, ORACLE_J_SALTED, ORACLE_SIM_TOPK, ORACLE_TEXT_FINGERPRINT, ORACLE_TEXT_LANGID, ORACLE_TEXT_QUALITY, ORACLE_TEXT_TOKENS, q_a_salted, q_emb_neardup, q_j_salted, q_sim_ivf, q_sim_ivf_append, q_sim_ivf_recluster, q_sim_ivfpq, q_sim_lsh, q_sim_lsh_qd, q_sim_pq, q_sim_topk, q_text_fingerprint, q_text_langid, q_text_normalize, ORACLE_TEXT_NORMALIZE, q_text_quality, q_text_tokens
-from .pipelines_joins import ORACLE_ASOF, ORACLE_EMB_QUANT, ORACLE_MM_AUDIO, ORACLE_MM_FRAMES, ORACLE_MM_IMAGE, ORACLE_MM_RESIZE, ORACLE_PIPE_CORPUS, ORACLE_PIPE_DOCS, ORACLE_PIPE_EVENTS, ORACLE_PIPE_FAMILY, ORACLE_RANGE_JOIN, ORACLE_TEXT_WINNOW, q_asof, q_emb_quant, q_mm_audio, q_mm_frames, q_mm_image, q_mm_resize, q_pipe_corpus, q_pipe_docs, q_pipe_events, q_pipe_family, q_range_join, q_text_winnow
+from .pipelines_joins import ORACLE_ASOF, ORACLE_EMB_QUANT, ORACLE_MM_AUDIO, ORACLE_MM_FRAMES, ORACLE_MM_IMAGE, ORACLE_MM_RESIZE, ORACLE_PIPE_CORPUS, ORACLE_PIPE_DOCS, ORACLE_PIPE_EVENTS, ORACLE_PIPE_FAMILY, ORACLE_RANGE_JOIN, ORACLE_TEXT_WINNOW, q_asof, q_emb_quant, q_mm_audio, q_mm_frames, q_mm_image, q_mm_resize, q_pipe_corpus, q_pipe_corpus_components, q_pipe_docs, q_pipe_events, q_pipe_family, q_range_join, q_text_winnow
 from .combined_entries import BM25_TERMS, ORACLE_CORPUS_ASSIGN, ORACLE_CORPUS_NOVELTY, q_corpus_novelty, ORACLE_E_AUDIT, ORACLE_E_PROFILE, ORACLE_F_CUSTOMER, ORACLE_F_CUSTOMER_WIDE, ORACLE_F_EVENTS, ORACLE_F_ORDERS, ORACLE_F_SCALAR, ORACLE_J_DIM, ORACLE_CORPUS_DSIR, ORACLE_SKETCH_CONTAM, ORACLE_SKETCH_FREQ, ORACLE_SKETCH_HLL, ORACLE_SKETCH_KLL, ORACLE_SKETCH_THETA, ORACLE_TEXT_BM25, ORACLE_TEXT_PROFILE, ORACLE_TEXT_REPETITION, ORACLE_WIN_FIXED, _bm25_oracle, ORACLE_QUALITY_KLLGATE, q_corpus_assign, q_corpus_dsir, q_corpus_packseq, q_e_audit, q_quality_kllgate, q_f_customer, q_f_customer_wide, q_f_events, q_f_orders, q_f_scalar, q_j_dim, q_sketch_contam, q_sketch_contam_scout, q_sketch_freq, q_sketch_hll, q_sketch_kll, q_sketch_theta, q_text_profile, q_win_fixed
 from .media_history import ORACLE_BPE_ENCODE, ORACLE_WP_ENCODE, ORACLE_UNIGRAM_ENCODE, ORACLE_TEXT_TFIDF, ORACLE_E_ROBUST, q_wp_encode, q_unigram_encode, q_text_tfidf, q_compress_ratio, q_e_robust, ORACLE_DEDUP_VERIFY, ORACLE_E_QUANTILE, ORACLE_LM_SCORE, ORACLE_CLS_SCORE, ORACLE_CLS_ROUTE, ORACLE_CLS_GATE, ORACLE_TEXT_GOPHER, ORACLE_TEXT_TOPTERMS, ORACLE_MM_MEDIA, ORACLE_MM_VISUAL, ORACLE_SCD2_APPLY, ORACLE_TEXT_CHUNK, ORACLE_TEXT_ROWS, q_bpe_encode, q_dedup_candidates, q_dedup_verify, q_e_quantile, q_cls_score, q_cls_route, q_cls_gate, q_text_gopher, q_text_topterms, q_lm_score, q_mm_media, q_mm_visual, q_scd2_apply, q_sim_ann, q_text_chunk, q_text_rows
 
@@ -362,6 +362,10 @@ assert len(QUERIES) <= 50, f"driver registry exceeds the 50-entry window: {len(Q
 ALL_QUERIES: dict[str, QueryFn] = {
     **QUERIES,
     "PIPE-CORPUS": q_pipe_corpus,
+    # bench-only granular id (no oracle: banding-graph semantics) — the
+    # clique-safe component-grain prune, first-class benched per VERDICT
+    # r11 item 4
+    "PIPE-CORPUS-COMPONENTS": q_pipe_corpus_components,
     # bench-timing continuity: the driver slot runs the docs+corpus
     # family; the granular id reverts to the docs singleton (the
     # DEDUP-EXACT compaction pattern) so the PIPE-DOCS bench series

@@ -108,3 +108,52 @@ def test_pipe_corpus_composes_and_filters_monotonically(spark):
     assert all(r.shard_id >= 0 and r.n_bpe_tok > 0 and r.bpe_text for r in rows)
     assert all(r.doc_id % 97 != 0 for r in rows)       # eval slice scrubbed
     assert len({r.doc_id for r in rows}) == len(rows)  # exactly-once
+
+
+def test_pipe_corpus_components_grain_prunes_at_least_as_much(spark, tmp_path):
+    # VERDICT r11 item 4: the clique-safe component grain is the 100x
+    # default — on a boilerplate-heavy corpus (the banding graph's worst
+    # case) it must keep NO MORE near-dup survivors than the exact pair
+    # grain, and the rest of the chain must behave identically
+    from feasibility_etl_spark.driver_queries.pipelines_joins import (
+        pipe_corpus_stage_frames,
+    )
+
+    # boilerplate-heavy fixture in the sf-dir layout: a 40-replica
+    # near-identical clique (distinct trailing token — exact dedup must
+    # not collapse it; near-dup must) + 20 distinct docs
+    clique = "please accept our cookie terms of service policy " * 8
+    rows = [
+        (i, clique + f"tail{i}", "en", "web", len(clique) + 6) for i in range(40)
+    ] + [
+        (
+            100 + i,
+            f"distinct document number {i} with its own unrepeated story "
+            f"about topic{i} and detail{i * 7} told plainly",
+            "en",
+            "web",
+            100,
+        )
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    def survivors(near_dup: str) -> set[int]:
+        stages, shared = pipe_corpus_stage_frames(spark, sf, near_dup=near_dup)
+        by_name = dict(stages)
+        try:
+            return {r.doc_id for r in by_name["near_dup_prune"].collect()}
+        finally:
+            shared.release()
+
+    pairs_kept = survivors("pairs")
+    comp_kept = survivors("components")
+    assert len(comp_kept) <= len(pairs_kept)
+    # both grains collapse the clique to (at most) one representative
+    assert len([d for d in comp_kept if d < 40]) <= 1
+    assert len([d for d in pairs_kept if d < 40]) <= 1
+    # and neither touches the distinct docs that survived the gates
+    assert {d for d in pairs_kept if d >= 100} == {d for d in comp_kept if d >= 100}
