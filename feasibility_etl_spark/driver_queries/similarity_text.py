@@ -87,7 +87,12 @@ def q_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=8, multiprobe=3)
+    # planes=10/radius=4 (r12, VERDICT r11 item 5): recall@10 0.70 vs the
+    # old planes=8/radius=3's 0.60 at the same measured scan fraction
+    # (386/1024 = 0.377 nominal vs 93/256 = 0.363 — swept in-session,
+    # PERF-NOTES 62; more planes cut per-bucket collisions, the extra
+    # radius restores coverage where bench-corpus margins are noisy)
+    out = cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=10, multiprobe=4)
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 

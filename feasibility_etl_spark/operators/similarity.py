@@ -188,22 +188,41 @@ def cosine_topk_lsh(
             "wrong — lower n_planes instead."
         )
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("_bucket", lsh_bucket(F.col(corpus_vec), planes))
-    q = queries.withColumn("_bucket", lsh_bucket(F.col(query_vec), planes))
+
+    def bucket_int(vec: Column) -> Column:
+        # sign-bit INTEGER signature (bit i = sign of plane-i dot): the
+        # int form makes every probe ONE bitwiseXOR against an exploded
+        # literal mask instead of a per-probe rebuilt bit string — r12:
+        # at planes=10/radius=4 the string formulation compiled 386
+        # substring/concat expressions and the 5-query bench serve took
+        # 13.8 s of mostly analysis/codegen; the XOR form is ~1 s and
+        # flat in probe count. Same space partition as lsh_bucket's
+        # string (bijective bit<->char), corpus and queries derive from
+        # the same dot() expression so probe 0 is hash-identical.
+        terms = [
+            F.when(
+                dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i, plane in enumerate(planes)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    c = corpus.withColumn("_bucket", bucket_int(F.col(corpus_vec)))
+    q = queries.withColumn("_bucket", bucket_int(F.col(query_vec)))
     if probe_lowmargin:
         nq = probe_lowmargin
-        # per-plane dots once per query row; bits derive from the SAME
-        # expression lsh_bucket uses (dot >= 0 -> "1") so probe 0 (the
-        # empty flip set) is bit-identical to the corpus hashing
+        # per-plane dots once per query row — the same dot() expression
+        # bucket_int uses, so probe 0 (the empty flip set) is
+        # hash-identical to the corpus hashing
         dots = F.array(
             *[
                 dot(F.col(query_vec), F.array(*[F.lit(x) for x in plane]))
                 for plane in planes
             ]
-        )
-        bits = F.transform(
-            F.col("_dots"),
-            lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")),
         )
         # plane indices ordered by |dot| ascending -> the q lowest-margin
         # planes (array_sort on (margin, index) structs: field order is
@@ -223,68 +242,43 @@ def cosine_topk_lsh(
             1,
             nq,
         )
-        q = (
-            queries.withColumn("_dots", dots)
-            .withColumn("_bits", bits)
-            .withColumn("_lowq", lowq)
-        )
-
-        def _flip(b):
-            return F.when(b == "1", F.lit("0")).otherwise(F.lit("1"))
-
-        def _perturbed(flipped):
-            # nb: a separate function, not a default-arg lambda — pyspark
-            # counts default args as lambda parameters and would hand
-            # transform() an invalid 3-ary HOF
-            return F.concat_ws(
-                "",
-                F.transform(
-                    F.col("_bits"),
-                    lambda b, j: F.when(
-                        F.array_contains(flipped, j), _flip(b)
-                    ).otherwise(b),
-                ),
-            )
-
-        probes = [F.concat_ws("", F.col("_bits"))]
-        for mask in range(1, 1 << nq):
-            probes.append(
-                _perturbed(
-                    F.array(
-                        *[
-                            F.element_at(F.col("_lowq"), p + 1)
-                            for p in range(nq)
-                            if (mask >> p) & 1
-                        ]
-                    )
+        q = q.withColumn("_dots", dots).withColumn("_lowq", lowq)
+        # one XOR mask per flip subset: Σ 2^lowq[p] over the subset's
+        # planes — each mask is ≤ q shiftleft terms (vs the string
+        # formulation's full n_planes transform+concat per probe)
+        mask_exprs = []
+        for mask in range(1 << nq):
+            terms = [
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), element_at(_lowq, {p + 1}))"
                 )
-            )
-        q = q.withColumn("_bucket", F.explode(F.array(*probes))).drop(
-            "_dots", "_bits", "_lowq"
+                for p in range(nq)
+                if (mask >> p) & 1
+            ]
+            e = F.lit(0).cast("long")
+            for t in terms:
+                e = e + t
+            mask_exprs.append(e)
+        q = (
+            q.withColumn("_m", F.explode(F.array(*mask_exprs)))
+            .withColumn("_bucket", F.col("_bucket").bitwiseXOR(F.col("_m")))
+            .drop("_dots", "_lowq", "_m")
         )
     elif multiprobe:
-
-        def flip(positions: tuple[int, ...]):
-            parts, prev = [], 0
-            for p in positions:
-                if p > prev:
-                    parts.append(F.substring("_bucket", prev + 1, p - prev))
-                parts.append(
-                    F.when(
-                        F.substring("_bucket", p + 1, 1) == "1", F.lit("0")
-                    ).otherwise(F.lit("1"))
-                )
-                prev = p + 1
-            if prev < n_planes:
-                parts.append(F.substring("_bucket", prev + 1, n_planes - prev))
-            return F.concat(*parts) if len(parts) > 1 else parts[0]
-
-        flips = [F.col("_bucket")] + [
-            flip(pos)
+        # all flip masks up to the Hamming radius, as ONE literal array
+        # exploded per query row — plan size is O(1) in probe count
+        masks = [0] + [
+            sum(1 << p for p in pos)
             for r in range(1, multiprobe + 1)
             for pos in combinations(range(n_planes), r)
         ]
-        q = q.withColumn("_bucket", F.explode(F.array(*flips)))
+        q = (
+            q.withColumn(
+                "_m", F.explode(F.array(*[F.lit(m).cast("long") for m in masks]))
+            )
+            .withColumn("_bucket", F.col("_bucket").bitwiseXOR(F.col("_m")))
+            .drop("_m")
+        )
     scored = c.join(F.broadcast(q), "_bucket").select(
         F.col(query_id),
         F.col(corpus_id),
