@@ -94,6 +94,11 @@ CARTESIAN_OK = {
     # DSIR totals/KLL-threshold 1-row attaches (CORPUS-DSIR /
     # QUALITY-KLLGATE). No new cartesian shape of its own.
     "PIPE-CORPUS",
+    # PIPE-CORPUS-COMPONENTS (r12): same composed chain, the near-dup
+    # stage swapped for minhash components — the 1-row KLL-threshold /
+    # Bloom broadcast attaches are the only nested-loop joins, never
+    # corpus×corpus.
+    "PIPE-CORPUS-COMPONENTS",
     # CLS-SCORE: three 1-row scalar attaches (feature totals onto the
     # weight table, doc-count prior + default weight onto the scored
     # frame); the weight join proper is a broadcast hash equi-join on
@@ -135,7 +140,19 @@ PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL",
              # TEXT-REPETITION (round-10): Counter-based gram mass in
              # mapInPandas (repetition_signals_arrow, ~3.6× at sf0.1);
              # relational twin stays the oracle-shaped formulation.
-             "TEXT-REPETITION"}
+             "TEXT-REPETITION",
+             # r12: connected_components' default is the lazy two-phase
+             # union-find — two Arrow-batched mapInPandas stages
+             # (per-partition local forests + one merge task) replacing
+             # the eager driver collect (VERDICT r11 item 2). Every
+             # entry whose plan embeds component labels carries them.
+             "DEDUP-COMPONENTS", "DEDUP-PRUNE", "DEDUP-PRUNE-BEST",
+             "DEDUP-MINHASH-COMP", "DEDUP-STARPRUNE",
+             "PIPE-CORPUS-COMPONENTS",
+             # r12: assign_cells is the Arrow-batched numpy matmul
+             # argmin (PERF-NOTES 59 — the HOF twin measured 1.7×
+             # slower); IVF build/serve/append entries carry it.
+             "SIM-IVF", "SIM-ANN", "SIM-IVF-APPEND", "SIM-IVF-RECLUSTER"}
 
 
 def audit(name: str, plan: str) -> tuple[list[str], list[str]]:
