@@ -82,3 +82,60 @@ def test_pipe_corpus_leaves_nothing_cached(spark):
     del result
     gc.collect()
     assert _cache_empty(spark)
+
+
+def test_cut_collapses_plan_to_leaf_with_identical_values(spark):
+    # r12 (VERDICT r11 item 2): cut() must freeze a subtree to a single
+    # RDD-scan leaf — the plan-leaf boundary deep compositions place at
+    # their fan-out root so k-fold references can't make the logical
+    # tree exponential — while preserving values exactly
+    cache = StageCache()
+    try:
+        base = (
+            spark.range(200)
+            .withColumn("v", F.col("id") * 3)
+            .where(F.col("id") % 2 == 0)
+            .groupBy((F.col("id") % 7).alias("k"))
+            .agg(F.sum("v").alias("s"))
+        )
+        expect = {(r.k, r.s) for r in base.collect()}
+        leaf = cache.cut(base)
+        got = {(r.k, r.s) for r in leaf.collect()}
+        assert got == expect
+        # the frozen logical plan is a leaf: no joins/aggregates survive,
+        # and it prints orders of magnitude smaller than the original
+        plan = leaf._jdf.queryExecution().optimizedPlan().toString()
+        assert "Aggregate" not in plan and "Join" not in plan
+        assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+        # multi-reference: both consumers read the same checkpointed
+        # blocks (values stay consistent, no re-derivation divergence)
+        a = leaf.agg(F.sum("s")).collect()[0][0]
+        b = leaf.agg(F.sum("s")).collect()[0][0]
+        assert a == b == sum(s for _, s in expect)
+    finally:
+        cache.release()
+
+
+def test_cut_lazy_runs_no_jobs_and_restores_conf(spark):
+    # eager=False must (a) run ZERO jobs at construction, (b) restore the
+    # AQE/broadcast confs it temporarily disables for the frozen compile,
+    # (c) still produce identical values on first action
+    cache = StageCache()
+    sc = spark.sparkContext
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    before_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # settle any async job bookkeeping, then snapshot the job counter
+    spark.range(1).count()
+    base_jobs = sc._jsc.sc().dagScheduler().nextJobId()
+    try:
+        df = spark.range(100).withColumn("v", F.col("id") + 1)
+        leaf = cache.cut(df, eager=False)
+        after_jobs = sc._jsc.sc().dagScheduler().nextJobId()
+        assert after_jobs == base_jobs, "lazy cut ran a job at construction"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+        assert (
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before_bc
+        )
+        assert leaf.agg(F.sum("v")).collect()[0][0] == 100 * 101 // 2
+    finally:
+        cache.release()
