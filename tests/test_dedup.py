@@ -480,6 +480,40 @@ class TestIncrementalBackfillMode:
         }
         assert fast == slow and len(fast) > 0
 
+    def test_backfill_matches_with_tags_threshold_and_excludes(self, spark):
+        # ADVICE r11: the attach-at-pair-grain fallback must agree with
+        # the inline-sig path under EVERY option the gate/serve callers
+        # combine — tag_new columns, a real threshold, dedupe=False,
+        # and a hot-bucket exclusion frame
+        from feasibility_etl_spark.operators.dedup import hot_buckets
+
+        new, idx = self._frames(spark)
+        excl = hot_buckets(
+            idx.select(
+                "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
+            ),
+            max_bucket_size=8,
+        )
+        for kwargs in (
+            dict(threshold=0.5, tag_new=True),
+            dict(threshold=0.5, tag_new=True, dedupe=False),
+            dict(threshold=0.3, tag_new=True, exclude_buckets=excl),
+        ):
+            fast = {
+                (r.id_a, r.id_b, r.a_new, r.b_new, r.est_jaccard)
+                for r in incremental_near_dups(
+                    new, idx, small_increment=True, **kwargs
+                ).collect()
+            }
+            slow = {
+                (r.id_a, r.id_b, r.a_new, r.b_new, r.est_jaccard)
+                for r in incremental_near_dups(
+                    new, idx, small_increment=False, **kwargs
+                ).collect()
+            }
+            assert fast == slow, kwargs
+            assert len(fast) > 0, kwargs
+
 
 class TestHotBucketCapAndComponents:
     """The boilerplate-clique fixture (VERDICT r9 item 2): banded LSH's
