@@ -1068,6 +1068,35 @@ def run_rest_bench(spark, sf_dir: str) -> tuple[float, int]:
     return elapsed, total + n_keys
 
 
+#: The driver keeps only the LAST 2000 characters of stdout and parses the
+#: final JSON line out of them (measured: the recorded BENCH_r1x.json
+#: ``tail`` fields are exactly 2000 chars). The final line plus its newline
+#: must sit entirely inside that window or the driver sees truncated JSON.
+DRIVER_TAIL_BUDGET = 1980
+
+
+def render_headline_line(headline: dict, batch_timings: dict) -> str:
+    """Render the driver-contract final JSON line, keeping ``queries``
+    inline whenever the line fits the driver's tail window.
+
+    Cascade: 2-decimal queries → 1-decimal queries → a ``queries_file``
+    pointer as the last resort (BENCH_DETAIL.json always carries the
+    full-precision dict either way). Rounds 10–11 used a blanket 1800-char
+    guard that ALWAYS dropped the dict once the suite passed ~55 entries;
+    the contract wants ``queries`` inline, and at 2 decimals the current
+    60-entry line measures 1959 chars — inside the window. Fixed r12.
+    """
+    for decimals in (2, 1):
+        h = dict(headline)
+        h["queries"] = {k: round(v, decimals) for k, v in batch_timings.items()}
+        line = json.dumps(h, separators=(",", ":"))
+        if len(line) < DRIVER_TAIL_BUDGET:
+            return line
+    h = dict(headline)
+    h["queries_file"] = "BENCH_DETAIL.json"
+    return json.dumps(h, separators=(",", ":"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -1424,14 +1453,8 @@ def main() -> None:
         else None,
         **rates,
         **recall_metrics,
-        "queries": batch_timings,
     }
-    line = json.dumps(headline, separators=(",", ":"))
-    if len(line) > 1800:  # hard guard: never outgrow the driver's tail
-        headline.pop("queries")
-        headline["queries_file"] = "BENCH_DETAIL.json"
-        line = json.dumps(headline, separators=(",", ":"))
-    print(line)
+    print(render_headline_line(headline, batch_timings))
     spark.stop()
 
 
