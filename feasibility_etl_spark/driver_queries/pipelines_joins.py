@@ -748,7 +748,18 @@ def pipe_corpus_stage_frames(spark: SparkSession, sf: str, near_dup: str = "pair
         d4 = prune_components(d3, pairs)
     else:
         raise ValueError(f"near_dup must be 'pairs' or 'components', got {near_dup!r}")
-    d5 = shared(bloom_decontaminate(d4, raw.where(F.col("doc_id") % 97 == 0)))
+    # d5 is the chain's SECOND fan-out root (the DSIR model, the scored
+    # join's left side, and — through d6/d7 — the pack/BPE stages all sit
+    # on it), and everything above it is the pair/CC/decontam machinery
+    # whose logical subtree is the bulk of the 13k-line composed plan.
+    # cut() here (r12 session 3) truncates that subtree from every
+    # downstream analyzer/optimizer walk: interleaved A/B (3 reps, both
+    # orders, tools/ab_pipe_cut2_r12.py) measured construction+action
+    # 16.5–17.7 s → 10.7–11.7 s at sf0.1 with the composed noop action
+    # dropping 9.7–10.0 → 1.5–1.8 s — the d4/d5 work executes exactly
+    # once either way (d5 was persisted before; checkpoint blocks serve
+    # the same reuse), so the ~6 s saved is pure plan-walking overhead.
+    d5 = shared.cut(bloom_decontaminate(d4, raw.where(F.col("doc_id") % 97 == 0)))
     w = shared(dsir_weights(d5, raw.where(F.col("doc_id") % 101 == 0)))
     gate = threshold_filter(w, "logw_e9", keep_frac=0.25)
     d6 = d5.join(gate.select("doc_id", "logw_e9"), "doc_id")

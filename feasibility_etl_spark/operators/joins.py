@@ -99,6 +99,39 @@ def lookup_or_insert(
     on the updated dim before returning — the single-writer declaration's
     detect-and-fail contract without a separate call site.
     """
+    result, _ = lookup_or_insert_parts(
+        dim, incoming, natural_key, id_col, id_strategy=id_strategy
+    )
+    if audit:
+        # detect-and-fail one argument away (VERDICT r10 item 7): run the
+        # writer module's post-append integrity check on the updated dim —
+        # EAGER (two dim-scale aggregates + bounded collects), so a
+        # collision raises here rather than corrupting downstream FK joins
+        from ..writer.denormalized import audit_dim_collisions
+
+        audit_dim_collisions(result, natural_key, id_col)
+    return result
+
+
+def lookup_or_insert_parts(
+    dim: DataFrame,
+    incoming: DataFrame,
+    natural_key: str,
+    id_col: str = "id",
+    id_strategy: str = "dense",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`lookup_or_insert` with the increment exposed: returns
+    ``(updated, additions)`` where ``updated = dim ∪ additions`` (exactly
+    what ``lookup_or_insert`` returns) and ``additions`` holds ONLY the
+    new rows — ``(id_col, natural_key)`` for natural keys absent from
+    ``dim``, with the same surrogate-id assignment.
+
+    The split exists for incremental persistence (streaming dim sinks):
+    a caller that appends ``additions`` to the stored dimension reaches
+    the same on-disk contents as rewriting ``updated`` wholesale, without
+    re-writing (or staging + swapping) every existing dim row each
+    micro-batch. Same single-writer semantics as ``lookup_or_insert``.
+    """
     new_names = (
         incoming.select(F.col(natural_key)).where(F.col(natural_key).isNotNull()).distinct()
         .join(F.broadcast(dim.select(natural_key)), natural_key, "left_anti")
@@ -117,18 +150,10 @@ def lookup_or_insert(
         )
     else:
         raise ValueError(f"id_strategy must be 'dense' or 'hash', got {id_strategy!r}")
-    result = dim.select(F.col(id_col).cast("long"), F.col(natural_key)).unionByName(
+    updated = dim.select(F.col(id_col).cast("long"), F.col(natural_key)).unionByName(
         additions
     )
-    if audit:
-        # detect-and-fail one argument away (VERDICT r10 item 7): run the
-        # writer module's post-append integrity check on the updated dim —
-        # EAGER (two dim-scale aggregates + bounded collects), so a
-        # collision raises here rather than corrupting downstream FK joins
-        from ..writer.denormalized import audit_dim_collisions
-
-        audit_dim_collisions(result, natural_key, id_col)
-    return result
+    return updated, additions
 
 
 def salted_join(

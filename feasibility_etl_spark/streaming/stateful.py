@@ -320,27 +320,24 @@ def denormalizing_sink(
         #    files to the same path is safe, and the idempotency anti-join
         #    inside write_denormalized keeps retried batches exactly-once.
         res.fact.write.mode("append").parquet(fact_path)
-        # 2. Dims: their updated plans READ the live dim files we're about to
-        #    replace (overwrite-in-place would delete a job's own input), so
-        #    materialize each to a staging path, then swap via read-back.
-        #    Dims are small; the extra write is noise. repartition(1), NOT
-        #    coalesce(1): coalesce folds the whole dim plan (anti-join +
-        #    id assignment) into the single output task, serializing it;
-        #    repartition keeps the plan parallel and only the final write
-        #    runs one task.
-        staging = os.path.join(parquet_root, "_staging", str(batch_id))
+        # 2. Dims: append ONLY the increment (the new-key rows) — the stored
+        #    dim stays old ∪ new by construction (lookup_or_insert_parts),
+        #    identical contents to rewriting the full updated dim. Until r12
+        #    this staged the WHOLE dim to a side path, read it back, over-
+        #    wrote, and FS-deleted the staging dir every micro-batch (the
+        #    updated plan read the files it was replacing); the append needs
+        #    none of that — the increment's input listing was pinned when
+        #    the dim was read above, so new files land safely beside it
+        #    (same argument as the fact append). Replay-idempotent: a
+        #    retried batch re-reads the dim WITH the appended rows, so its
+        #    recomputed increment is empty. repartition(1), NOT coalesce(1):
+        #    coalesce folds the anti-join + id assignment into the single
+        #    output task, serializing it; repartition keeps the plan
+        #    parallel and only the final write runs one task.
         for spec in specs:
-            res.dims[spec.name].repartition(1).write.mode("overwrite").parquet(
-                os.path.join(staging, spec.name)
+            res.dim_increments[spec.name].repartition(1).write.mode("append").parquet(
+                os.path.join(parquet_root, spec.name)
             )
-        for spec in specs:
-            spark.read.parquet(os.path.join(staging, spec.name)).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(parquet_root, spec.name))
-        # drop staging through the Hadoop FS API (works on HDFS/S3A too,
-        # unlike a local shutil.rmtree)
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(staging)
-        jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
 
     writer = (
         stream.writeStream.foreachBatch(process)

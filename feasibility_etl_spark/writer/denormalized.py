@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.joins import lookup_or_insert
+from ..operators.joins import lookup_or_insert_parts
 from ..quality.gates import validate_not_null
 
 
@@ -67,6 +67,9 @@ class DenormResult:
     fact: DataFrame
     dims: dict[str, DataFrame]
     rejected: DataFrame  # rows violating NOT NULL constraints (E-ISOLATE)
+    #: per-dim NEW rows only (dims[name] == stored dim ∪ dim_increments[name]):
+    #: incremental sinks append these instead of rewriting the whole dim
+    dim_increments: dict[str, DataFrame] = field(default_factory=dict)
 
 
 def write_denormalized(
@@ -95,6 +98,7 @@ def write_denormalized(
     ok, rejected = validate_not_null(wide, required or [])
 
     out_dims: dict[str, DataFrame] = {}
+    increments: dict[str, DataFrame] = {}
     fact = ok
     for spec in specs:
         dim = dims[spec.name]
@@ -103,9 +107,10 @@ def write_denormalized(
         for wide_col in spec.roles:
             part = ok.select(F.col(wide_col).alias(spec.natural_key))
             incoming = part if incoming is None else incoming.unionByName(part)
-        updated = lookup_or_insert(
+        updated, additions = lookup_or_insert_parts(
             dim, incoming, spec.natural_key, spec.id_col, id_strategy=spec.id_strategy
         )
+        increments[spec.name] = additions
         if audit:
             audit_dim_collisions(updated, spec.natural_key, spec.id_col)
         out_dims[spec.name] = updated
@@ -122,7 +127,9 @@ def write_denormalized(
         # demotes to broadcast on its own while the key set is small and
         # shuffles both sides on the key once it isn't
         fact = fact.join(existing_fact.select(fact_key), fact_key, "left_anti")
-    return DenormResult(fact=fact, dims=out_dims, rejected=rejected)
+    return DenormResult(
+        fact=fact, dims=out_dims, rejected=rejected, dim_increments=increments
+    )
 
 
 class DimCollisionError(RuntimeError):

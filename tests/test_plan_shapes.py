@@ -163,17 +163,19 @@ MAX_EXCHANGES = {
                             # threshold sketch and the kept stream (plus
                             # the KLL agg); threshold attaches as a 1-row
                             # broadcast
-    "PIPE-CORPUS": 42,    # the full corpus pipeline (line-dedup → gates →
+    "PIPE-CORPUS": 12,    # the full corpus pipeline (line-dedup → gates →
                           # exact/near dedup → decontam → DSIR+KLL → pack →
-                          # BPE), counted by plan_id (persisted stage
-                          # outputs print their cached subtree once per
-                          # reference). r12 re-pin 26 → 42 (measured 40):
-                          # the near-dup pair chain + lazy connected-
-                          # components now live IN the plan instead of
-                          # executing eagerly at construction (the r11
-                          # count-gated driver fast path — 14.2 s of
-                          # hidden construction-time jobs, VERDICT r11
-                          # item 2); composed action 20.5 → 10.5 s
+                          # BPE), counted by plan_id. r12 session-3 re-pin
+                          # 42 → 12 (measured 9): a second StageCache.cut
+                          # at the d5 (decontam) fan-out root collapses
+                          # the line-dedup→pair→CC→decontam subtree to a
+                          # checkpoint leaf, so the COMPOSED plan carries
+                          # only the DSIR/pack/BPE exchanges — the pair
+                          # chain's exchanges still execute, inside the
+                          # construction-time cut job (attributed by
+                          # bench.py's _build_eager_components); composed
+                          # action 9.7–10.0 → 1.5–1.8 s (interleaved A/B,
+                          # tools/ab_pipe_cut2_r12.py)
     "TEXT-GOPHER": 0,     # named Gopher rule battery: map-only integer
                           # cross-multiplications, fuses into the scan
     "CLS-SCORE": 8,       # NBSVM train: 2 count aggs over ONE feature
@@ -184,14 +186,16 @@ MAX_EXCHANGES = {
                           # analytic n_feat, window-sum totals)
     "CLS-GATE": 17,       # CLS-SCORE subtree under both the KLL
                           # threshold sketch and the kept stream
-    "PIPE-CORPUS-COMPONENTS": 26,  # the components-grain corpus pipeline
+    "PIPE-CORPUS-COMPONENTS": 12,  # the components-grain corpus pipeline
                           # (r12 first-class bench entry): same chain as
                           # PIPE-CORPUS with the pair stage replaced by
                           # minhash star edges → lazy contraction →
-                          # component prune — measured 24 by plan_id
-                          # (the exact-Jaccard candidate/verify exchanges
-                          # drop out; the minhash sig agg + banded join +
-                          # contraction merge come in)
+                          # component prune. r12 session-3 re-pin 26 → 12
+                          # (measured 9): the d5 cut truncates the whole
+                          # near-dup/decontam subtree, so both grains'
+                          # composed plans are now the identical
+                          # leaf→DSIR→pack→BPE tail (the grains differ
+                          # only inside the construction-time cut job)
 }
 
 #: operator-level zero-shuffle guarantees (no bench-input repartition)

@@ -198,6 +198,33 @@ def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
     assert {r.day for r in spark.read.parquet(path).select("day").distinct().collect()} == {"d2"}
 
 
+def test_lookup_or_insert_parts_increment_parity(spark):
+    # the split API (r12: incremental dim persistence for the streaming
+    # sink) must satisfy: updated == lookup_or_insert == dim ∪ additions,
+    # additions disjoint from dim, for both id strategies
+    from feasibility_etl_spark.operators.joins import (
+        lookup_or_insert,
+        lookup_or_insert_parts,
+    )
+
+    dim = spark.createDataFrame([(1, "alice"), (2, "bob")], "id long, name string")
+    inc = spark.createDataFrame(
+        [("bob",), ("carol",), (None,), ("dave",)], "name string"
+    )
+    for strategy in ("dense", "hash"):
+        updated, additions = lookup_or_insert_parts(
+            dim, inc, "name", id_strategy=strategy
+        )
+        legacy = lookup_or_insert(dim, inc, "name", id_strategy=strategy)
+        got_updated = sorted(map(tuple, updated.collect()))
+        assert got_updated == sorted(map(tuple, legacy.collect()))
+        got_adds = sorted(map(tuple, additions.collect()))
+        assert {n for _, n in got_adds} == {"carol", "dave"}
+        # union parity: appending additions to the stored dim reproduces
+        # the full updated contents exactly (the sink's append invariant)
+        assert sorted([*map(tuple, dim.collect()), *got_adds]) == got_updated
+
+
 def test_audit_dim_collisions_detects_interleaved_writers(spark):
     from pyspark.sql import functions as F
 
