@@ -821,6 +821,20 @@ class TestSubstringDedup:
         ])
         assert out[1][2] == 0 and out[2][2] == 0
 
+    def test_whitespace_normalized_and_tail_clamp(self, spark):
+        """r12 split-branch internals: untouched docs rebuild through the
+        pure-JVM branch (must still whitespace-normalize, the rebuild
+        convention), and a duplicated span ending exactly at the doc tail
+        exercises the Python branch's interval clamp (min(s+k, n))."""
+        out = self._run(spark, [
+            (1, "solo\tdoc   with    odd whitespace only"),
+            (2, f"lead in {self.SPAN}"),
+            (3, f"other intro {self.SPAN}"),  # span ends at position n-1
+        ])
+        assert out[1] == ("solo doc with odd whitespace only", 6, 0)
+        assert out[2][2] == 0  # canonical (lower doc_id, same pos) keeps
+        assert out[3] == ("other intro", 10, 8)
+
 
 def test_prune_components_keep_best_score(spark):
     from feasibility_etl_spark.operators.dedup import (
