@@ -340,9 +340,12 @@ def run_denorm_sink_bench(spark, sf_dir: str) -> tuple[float, int]:
         DimSpec(name="kind_dim", natural_key="kind", roles={"kind": "fk_kind"},
                 id_strategy="hash"),
     ]
+    # fact_partitions=1: §6 output sizing — a micro-batch here is ~3k
+    # rows, so 8 shuffle-width files per batch were pure file-count
+    # overhead for every later fact reader (and for the write commit)
     q = denormalizing_sink(
         stream, specs, out_root, ckpt, fact_key="key", available_now=True,
-        shuffle_partitions=8,
+        shuffle_partitions=8, fact_partitions=1,
     )
     q.awaitTermination()
     return time.time() - t0, n_rows

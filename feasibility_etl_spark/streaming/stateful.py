@@ -261,6 +261,7 @@ def denormalizing_sink(
     required=None,
     available_now: bool = False,
     shuffle_partitions: int | None = None,
+    fact_partitions: int | None = None,
 ):
     """Stream → denormalized star schema: foreachBatch bridges Structured
     Streaming to the batch writer (SURVEY §3.2's trigger replacement).
@@ -279,6 +280,19 @@ def denormalizing_sink(
     otherwise run batch-sized partition counts over micro-batch-sized
     data. Size to the expected per-batch volume; None keeps the session
     setting.
+
+    ``fact_partitions``: output-file sizing for the fact append (guide
+    §6 — small files hurt twice: driver listing/planning and per-file
+    open cost for every later reader). Left None, each micro-batch
+    appends ``shuffle_partitions`` fact files of whatever sliver the
+    batch carried — a week of 1-minute batches is 10k+ tiny files.
+    Set it to bound files-per-batch (an extra exchange of the
+    micro-batch-sized increment, then one file per partition); like
+    ``shuffle_partitions``, size it to expected per-batch volume — AQE
+    is off under foreachBatch, so nothing coalesces this adaptively,
+    and a fixed 1 would serialize an arbitrarily large catch-up batch's
+    write. Dim increments are new-keys-only (far smaller than the
+    fact's) and always land as one file per batch.
     """
     import os
 
@@ -319,7 +333,10 @@ def denormalizing_sink(
         #    `existing` was pinned when it was read above, so appending new
         #    files to the same path is safe, and the idempotency anti-join
         #    inside write_denormalized keeps retried batches exactly-once.
-        res.fact.write.mode("append").parquet(fact_path)
+        fact_out = (
+            res.fact.repartition(fact_partitions) if fact_partitions else res.fact
+        )
+        fact_out.write.mode("append").parquet(fact_path)
         # 2. Dims: append ONLY the increment (the new-key rows) — the stored
         #    dim stays old ∪ new by construction (lookup_or_insert_parts),
         #    identical contents to rewriting the full updated dim. Until r12

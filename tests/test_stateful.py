@@ -95,6 +95,51 @@ def test_denormalizing_sink_across_microbatches(spark, tmp_path):
     assert fact["K-3"].fk_reviewer == 3
 
 
+def test_denormalizing_sink_fact_partitions_sizing(spark, tmp_path):
+    """r12 §6 output sizing: ``fact_partitions=1`` must bound the fact
+    append to ONE data file per micro-batch (vs shuffle-width files of
+    batch slivers) while storing identical rows."""
+    import json
+
+    from feasibility_etl_spark.streaming.stateful import denormalizing_sink
+    from feasibility_etl_spark.writer.denormalized import DimSpec
+
+    src = tmp_path / "sized_in"
+    src.mkdir()
+    root = str(tmp_path / "sized_star")
+    specs = [
+        DimSpec(name="jira_user", natural_key="username",
+                roles={"reviewer_name": "fk_reviewer"}),
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in [
+        {"key": "K-1", "reviewer_name": "alice", "v": 1.0},
+        {"key": "K-2", "reviewer_name": "bob", "v": 2.0},
+    ]))
+    stream = spark.readStream.schema(
+        "key string, reviewer_name string, v double"
+    ).json(str(src))
+    q = denormalizing_sink(
+        stream, specs, root, str(tmp_path / "sized_ckpt"),
+        shuffle_partitions=4, fact_partitions=1,
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text(json.dumps(
+            {"key": "K-3", "reviewer_name": "carol", "v": 3.0}
+        ))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    fact_files = [
+        p for p in (tmp_path / "sized_star" / "fact").iterdir()
+        if p.name.endswith(".parquet")
+    ]
+    assert len(fact_files) == 2, fact_files  # one data file per micro-batch
+    fact = {r.key: r.v for r in spark.read.parquet(f"{root}/fact").collect()}
+    assert fact == {"K-1": 1.0, "K-2": 2.0, "K-3": 3.0}
+
+
 def _run_sessionize(spark, tmp_path, factory):
     """Shared harness: sessions emit exactly when watermark passes end+gap."""
     import json
