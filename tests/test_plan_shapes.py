@@ -75,10 +75,15 @@ MAX_EXCHANGES = {
                           # labels/prune joins + presentation. Measured
                           # 22; entry runtime IMPROVED 6.6 → ~2.5 s
                           # (the chain no longer runs twice)
-    "DEDUP-SUBSTRING": 3, # gram agg + doc-keyed window (the rebuild agg and
-                          # the coverage window share the doc_id exchange);
-                          # the duplicated-gram join back is AQE-broadcast
-                          # (measured 2; +1 slack for presentation changes)
+    "DEDUP-SUBSTRING": 4, # r12 re-pin (was 3): the decide-small/rebuild-
+                          # map-side restructure keys the gram window (1
+                          # exchange) + per-doc starts agg (1); the static
+                          # dump repeats that subtree once per union
+                          # branch (clean JVM / dirty mapInPandas) = 4,
+                          # but the EXECUTED plan reuses it — verified:
+                          # final AQE plan runs 2 hash exchanges, branch 2
+                          # reads ReusedExchange of the starts shuffle.
+                          # Entry runtime 4.33 → 2.51 s (commit d1c96e2)
     "DEDUP-INCR": 10,     # two per-half sig aggs + candidate distinct + ordered
                           # output; serve joins are broadcast (hinted)
     "DEDUP-FUZZY": 1,     # bucketed (token, band) equi-join, no cartesian
