@@ -423,6 +423,25 @@ def test_line_dedup_keep_first_retains_in_doc_repeats(spark):
     assert out[2].text == "other"
 
 
+def test_line_dedup_null_text_and_untouched_passthrough(spark):
+    from feasibility_etl_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "only\ndoc"), (3, "shared\nx"), (4, "shared\ny")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    # null-text docs have no lines to explode and have always vanished —
+    # pinned so the r12 rebuild-from-original-scan path can't resurrect them
+    assert set(out) == {2, 3, 4}
+    # untouched docs pass through byte-identical, counts intact
+    assert out[2].text == "only\ndoc"
+    assert (out[2].n_lines, out[2].n_kept) == (2, 2)
+    assert out[3].text == "x"
+    assert out[4].text == "y"
+    assert (out[3].n_lines, out[3].n_kept) == (2, 1)
+
+
 def test_line_dedup_order_and_empty_doc(spark):
     from feasibility_etl_spark.operators.dedup import line_dedup
 
