@@ -42,6 +42,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     groupBy on the md5 fingerprint — the only shuffle is on the 16-byte
     hash, not the document body; map-side partial agg keeps it cheap.
+
+    r12 note — alternative REJECTED on measurement: a loser-id
+    formulation (per-fp window → non-min ids of multi-doc groups →
+    broadcast ANTI join, build side duplicate-count-sized instead of
+    distinct-doc-sized) measured slower at sf0.1 (0.425 → 0.473 med) AND
+    sf1 (exec time 488 → 517-555 s; shuffle 119.6 vs 110.2 MB, a wash) —
+    the window's per-fp sort costs more than the hash agg it replaces,
+    and the smaller build side only pays past a broadcast ceiling
+    (distinct-doc count) nothing here approaches. Numbers + arms in
+    tools/ab_exactdedup_r12.py.
     """
     h = fingerprint(text_col).alias("fp")
     keepers = df.select(h, F.col(id_col)).groupBy("fp").agg(F.min(id_col).alias(id_col))
