@@ -152,7 +152,12 @@ PYTHON_OK = {"MM-IMAGE", "MM-AUDIO", "MM-RESIZE", "MM-VISUAL",
              # r12: assign_cells is the Arrow-batched numpy matmul
              # argmin (PERF-NOTES 59 — the HOF twin measured 1.7×
              # slower); IVF build/serve/append entries carry it.
-             "SIM-IVF", "SIM-ANN", "SIM-IVF-APPEND", "SIM-IVF-RECLUSTER"}
+             "SIM-IVF", "SIM-ANN", "SIM-IVF-APPEND", "SIM-IVF-RECLUSTER",
+             # r12 (session 5): substring_dedup rebuilds dup-CARRYING
+             # docs (the sliver; untouched docs stay JVM) via one
+             # vectorized interval-coverage pass per Arrow batch
+             # (commit d1c96e2, 4.33 → 2.51 s).
+             "DEDUP-SUBSTRING"}
 
 
 def audit(name: str, plan: str) -> tuple[list[str], list[str]]:
