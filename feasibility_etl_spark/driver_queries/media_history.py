@@ -422,13 +422,17 @@ def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     Arrow-batched mapInPandas encoder, checked FULL-ORACLE: DuckDB replays
     the encode as rank-order string rewriting over a sentinel framing,
     which for a trained merge list provably equals the classic
-    best-rank-first loop the operator runs."""
-    from ..operators.bpe import DEMO_MERGES, bpe_encode
+    best-rank-first loop the operator runs. Served by the text-grain
+    encoder (bpe_encode_text, r12): bpe_text is produced as ONE string
+    per doc inside the Python stage — row-identical to
+    array_join(bpe_tokens, ' ') (symbols cannot contain whitespace),
+    cheaper across the Arrow boundary in both directions."""
+    from ..operators.bpe import DEMO_MERGES, bpe_encode_text
 
     docs = load(spark, sf, "documents").where(F.trim("text") != "")
-    return bpe_encode(docs, DEMO_MERGES).select(
+    return bpe_encode_text(docs, DEMO_MERGES).select(
         "doc_id",
-        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+        "bpe_text",
         F.col("n_bpe_tokens").alias("n_tok"),
     )
 

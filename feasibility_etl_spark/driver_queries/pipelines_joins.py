@@ -702,7 +702,7 @@ def pipe_corpus_stage_frames(spark: SparkSession, sf: str, near_dup: str = "pair
     unreachable (driver-contract mode — the caller owns the actions),
     so nothing stays cached once the result is dropped.
     """
-    from ..operators.bpe import DEMO_MERGES, bpe_encode
+    from ..operators.bpe import DEMO_MERGES, bpe_encode_text
     from ..operators.corpus import dsir_weights, pack_shards
     from ..operators.dedup import (
         line_dedup,
@@ -773,11 +773,11 @@ def pipe_corpus_stage_frames(spark: SparkSession, sf: str, near_dup: str = "pair
             d6.withColumn("n_tok", token_count("text")), "n_tok", 2000, num_buckets=8
         )
     )
-    enc = bpe_encode(d7, DEMO_MERGES)
+    enc = bpe_encode_text(d7, DEMO_MERGES)
     out = d7.join(
         enc.select(
             "doc_id",
-            F.array_join("bpe_tokens", " ").alias("bpe_text"),
+            "bpe_text",
             F.col("n_bpe_tokens").alias("n_bpe_tok"),
         ),
         "doc_id",

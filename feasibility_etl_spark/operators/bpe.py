@@ -199,6 +199,88 @@ def bpe_encode(
     return src.mapInPandas(run, BPE_SCHEMA)
 
 
+BPE_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bpe_text", T.StringType()),
+        T.StructField("n_bpe_tokens", T.LongType()),
+    ]
+)
+
+#: Java's ``\s`` is the ASCII class [ \t\n\x0B\f\r] (no UNICODE_CHARACTER_CLASS
+#: flag in Spark's `split`), unlike Python's unicode-aware ``\s`` — so the
+#: Python-side tokenizer in :func:`bpe_encode_text` must spell the class out
+#: to match :func:`..operators.text.tokens` exactly (NBSP et al. stay inside
+#: tokens on both sides).
+_JAVA_WS = "[ \t\n\x0b\x0c\r]+"
+
+
+def bpe_encode_text(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """:func:`bpe_encode` at the text grain → ``(doc_id, bpe_text,
+    n_bpe_tokens)`` with ``bpe_text = array_join(bpe_tokens, ' ')`` —
+    row-identical to composing the two (symbols cannot contain whitespace,
+    so the space-joined string is a lossless encoding of the symbol array).
+
+    This is the shape every consumer in the repo actually wants, and it is
+    cheaper at the Arrow boundary in BOTH directions (guide §2.3/§4 —
+    narrower exchange types, pass only what the Python stage needs): the
+    doc ships as ONE lowered/trimmed string instead of an array-of-words
+    (one offset vector instead of per-token offsets), the whitespace split
+    happens in Python (same ASCII ``\\s`` class Spark's `split` uses), and
+    one joined string per doc comes back instead of an array of symbol
+    strings. Unicode-sensitive lower/trim stay in the JVM so the token
+    surface is bit-identical to :func:`..operators.text.tokens`. The
+    per-task word cache stores the pre-joined ``(symbols_text, n_symbols)``
+    pair, so the per-doc assembly is a str.join over cached strings rather
+    than symbol-by-symbol list extends.
+    """
+    import re
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lower(F.trim(F.col(text_col))).alias("_lt"),
+    )
+    if parallelism:
+        src = src.repartition(parallelism, "doc_id")
+    bc = df.sparkSession.sparkContext.broadcast(
+        {tuple(p): i for i, p in enumerate(merges)}
+    )
+    ws = re.compile(_JAVA_WS)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        ranks = bc.value
+        cache: dict[str, tuple[str, int]] = {}
+        for pdf in batches:
+            out = []
+            for did, lt in zip(pdf["doc_id"], pdf["_lt"]):
+                parts: list[str] = []
+                n = 0
+                for w in ws.split(lt) if lt else []:
+                    if not w:
+                        continue
+                    enc = cache.get(w)
+                    if enc is None:
+                        syms = encode_word(w, ranks)
+                        enc = (" ".join(syms), len(syms))
+                        cache[w] = enc
+                    parts.append(enc[0])
+                    n += enc[1]
+                out.append((did, " ".join(parts), n))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "bpe_text", "n_bpe_tokens"]
+            )
+
+    return src.mapInPandas(run, BPE_TEXT_SCHEMA)
+
+
 def bpe_token_count(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -137,6 +137,49 @@ def test_encode_dataframe_and_count(spark):
     assert counts == {d: r.n_bpe_tokens for d, r in out.items()}
 
 
+def test_encode_text_matches_array_join_of_encode(spark):
+    """bpe_encode_text ≡ array_join(bpe_encode, ' ') row-for-row — the
+    equivalence the r12 text-grain serving path (q_bpe_encode,
+    q_pipe_corpus) rests on. Fixtures stress the whitespace surface where
+    the Python-side tokenizer could diverge from Spark's split: tabs,
+    vertical tab / form feed, CRLF, NBSP (NOT a separator — Java ``\\s``
+    is ASCII-only), all-whitespace, empty, null, and unicode lowering
+    (done JVM-side in both paths)."""
+    from pyspark.sql import functions as F
+
+    from feasibility_etl_spark.operators.bpe import bpe_encode_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  The Scan COLUMN  "),
+            (2, "tab\tand\x0bvertical\x0cfeeds\r\ncrlf"),
+            (3, "nbsp stays one-token"),
+            (4, ""),
+            (5, "   \t "),
+            (6, None),
+            (7, "İstanbul STRASSE straße"),
+        ],
+        "doc_id long, text string",
+    )
+    via_array = {
+        r.doc_id: (r.bpe_text, r.n)
+        for r in bpe_encode(docs, DEMO_MERGES)
+        .select(
+            "doc_id",
+            F.array_join("bpe_tokens", " ").alias("bpe_text"),
+            F.col("n_bpe_tokens").alias("n"),
+        )
+        .collect()
+    }
+    direct = {
+        r.doc_id: (r.bpe_text, r.n_bpe_tokens)
+        for r in bpe_encode_text(docs, DEMO_MERGES).collect()
+    }
+    assert direct == via_array
+    # NBSP really stayed inside the token (would split under unicode \s)
+    assert " " in direct[3][0]
+
+
 def test_encode_deterministic_across_partitionings(spark):
     docs = spark.createDataFrame(
         [(i, f"partition scan filter join number {i}") for i in range(40)],
