@@ -506,13 +506,16 @@ def q_wp_encode(spark: SparkSession, sf: str) -> DataFrame:
     encoding with the frozen DEMO_WP_VOCAB (operators/wordpiece.py) —
     Arrow-batched mapInPandas, checked FULL-ORACLE: greedy matching is a
     single-path walk, so DuckDB replays it with a precomputed
-    longest-match table + a recursive walk (see ORACLE_WP_ENCODE)."""
-    from ..operators.wordpiece import DEMO_WP_VOCAB, wordpiece_encode
+    longest-match table + a recursive walk (see ORACLE_WP_ENCODE).
+    Served at the text grain (wordpiece_encode_text, r12): wp_text is
+    joined inside the Python stage, row-identical to
+    array_join(wp_tokens, ' ')."""
+    from ..operators.wordpiece import DEMO_WP_VOCAB, wordpiece_encode_text
 
     docs = load(spark, sf, "documents").where(F.trim("text") != "")
-    return wordpiece_encode(docs, DEMO_WP_VOCAB).select(
+    return wordpiece_encode_text(docs, DEMO_WP_VOCAB).select(
         "doc_id",
-        F.array_join("wp_tokens", " ").alias("wp_text"),
+        "wp_text",
         F.col("n_wp_tokens").alias("n_tok"),
     )
 
@@ -626,7 +629,12 @@ def q_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
     ORACLE_UNIGRAM_ENCODE — the frontier rides in the row, so no keyed
     recursion is needed). Training itself stays pinned by
     tests/test_unigram.py (reference parity, EM normalization,
-    provenance of the frozen vocab)."""
+    provenance of the frozen vocab). NOTE (r12 session-7): the text-grain
+    serving rewrite applied to BPE-ENCODE/WP-ENCODE was A/B'd here too
+    and REJECTED on measurement — ug_old 0.286 vs ug_new 0.299 s median
+    over 10 interleaved sf0.1 reps (tools/ab_encode_text_r12.py); the
+    Viterbi segmentations are piece-dense enough that the Python-side
+    join loses what the Arrow boundary saves."""
     from ..operators.unigram import DEMO_UG_PIECES, unigram_encode
 
     docs = load(spark, sf, "documents").where(F.trim("text") != "")

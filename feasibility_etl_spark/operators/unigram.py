@@ -272,6 +272,15 @@ def unigram_encode(
     return src.mapInPandas(run, UNIGRAM_SCHEMA)
 
 
+# A text-grain sibling (split + join inside the Python stage, one string
+# per doc across the Arrow boundary — the shape shipped for BPE/WordPiece
+# in r12) was A/B'd for this operator and REJECTED on measurement:
+# 0.286 -> 0.299 s median over 10 interleaved sf0.1 reps
+# (tools/ab_encode_text_r12.py keeps the experiment reproducible). The
+# Viterbi segmentations are piece-dense, so the Python-side string join
+# costs more than the per-symbol Arrow offsets it removes.
+
+
 # Frozen demo vocabulary: ``unigram_train(documents @ sf0.001,
 # vocab_size=120, seed_size=200, max_words=2000)`` with each logp rounded
 # to the nearest multiple of 2^-20 — frozen as a literal (like

@@ -217,6 +217,72 @@ def wordpiece_encode(
     return src.mapInPandas(run, WP_SCHEMA)
 
 
+WP_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("wp_text", T.StringType()),
+        T.StructField("n_wp_tokens", T.LongType()),
+    ]
+)
+
+
+def wordpiece_encode_text(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """:func:`wordpiece_encode` at the text grain → ``(doc_id, wp_text,
+    n_wp_tokens)`` with ``wp_text = array_join(wp_tokens, ' ')`` —
+    row-identical to composing the two (pieces cannot contain whitespace).
+    Same rationale as :func:`.bpe.bpe_encode_text` (guide §2.3/§4): the
+    doc crosses the Arrow boundary as ONE lowered/trimmed string each way
+    instead of per-token arrays; the whitespace split runs in Python with
+    the ASCII class Spark's `split` means by ``\\s``; unicode-sensitive
+    lower/trim stay in the JVM; the per-task cache stores the pre-joined
+    ``(pieces_text, n_pieces)`` pair per distinct word."""
+    import re
+
+    from .bpe import _JAVA_WS
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lower(F.trim(F.col(text_col))).alias("_lt"),
+    )
+    if parallelism:
+        src = src.repartition(parallelism, "doc_id")
+    bc = df.sparkSession.sparkContext.broadcast(set(vocab))
+    ws = re.compile(_JAVA_WS)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        vset = bc.value
+        cache: dict[str, tuple[str, int]] = {}
+        for pdf in batches:
+            out = []
+            for did, lt in zip(pdf["doc_id"], pdf["_lt"]):
+                parts: list[str] = []
+                n = 0
+                for w in ws.split(lt) if lt else []:
+                    if not w:
+                        continue
+                    enc = cache.get(w)
+                    if enc is None:
+                        pieces = encode_word_greedy(w, vset)
+                        enc = (" ".join(pieces), len(pieces))
+                        cache[w] = enc
+                    parts.append(enc[0])
+                    n += enc[1]
+                out.append((did, " ".join(parts), n))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "wp_text", "n_wp_tokens"]
+            )
+
+    return src.mapInPandas(run, WP_TEXT_SCHEMA)
+
+
 # Frozen demo vocabulary: ``wordpiece_train(documents @ sf0.001,
 # num_merges=24)`` — frozen as a literal (like bpe.DEMO_MERGES) so the
 # driver's DuckDB oracle can replay greedy longest-match against a fixed

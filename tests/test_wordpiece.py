@@ -104,3 +104,40 @@ def test_training_repartition_deterministic(spark):
     assert wordpiece_train(docs.repartition(5), num_merges=8) == wordpiece_train(
         docs.coalesce(1), num_merges=8
     )
+
+
+def test_encode_text_matches_array_join_of_encode(spark):
+    """wordpiece_encode_text ≡ array_join(wordpiece_encode, ' ') — the
+    equivalence the r12 text-grain serving path (q_wp_encode) rests on.
+    Same whitespace-surface battery as the BPE twin: tabs, vertical tab /
+    form feed, CRLF, NBSP (NOT a separator — Java \\s is ASCII-only),
+    all-whitespace, empty, null, unicode lowering (JVM-side both paths)."""
+    from feasibility_etl_spark.operators.wordpiece import wordpiece_encode_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  The Scan COLUMN  "),
+            (2, "tab\tand\x0bvertical\x0cfeeds\r\ncrlf"),
+            (3, "nbsp stays one-token"),
+            (4, ""),
+            (5, "   \t "),
+            (6, None),
+            (7, "İstanbul STRASSE straße"),
+        ],
+        "doc_id long, text string",
+    )
+    via_array = {
+        r.doc_id: (r.t, r.n)
+        for r in wordpiece_encode(docs, DEMO_WP_VOCAB)
+        .select(
+            "doc_id",
+            F.array_join("wp_tokens", " ").alias("t"),
+            F.col("n_wp_tokens").alias("n"),
+        )
+        .collect()
+    }
+    direct = {
+        r.doc_id: (r.wp_text, r.n_wp_tokens)
+        for r in wordpiece_encode_text(docs, DEMO_WP_VOCAB).collect()
+    }
+    assert direct == via_array
