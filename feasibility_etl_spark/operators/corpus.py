@@ -561,7 +561,11 @@ def novelty_signals(
 
     Scale shape: grams hash to md5 at the scan so the two gram-scale
     shuffles (per-gram window count, per-doc rollup) carry (id, hash)
-    pairs — never gram text. The per-gram document count is a WINDOW over
+    pairs — never gram text; the hash rides as the 16-byte
+    ``unhex(md5)`` BINARY, not the 32-char hex string (§2.3 narrower
+    types, the same key line_dedup ships — identical grams ⇒ identical
+    hashes ⇒ identical counts either way, the hex surface is pure
+    overhead). The per-gram document count is a WINDOW over
     the hash (one shuffle) rather than a groupBy + self-join back (which
     re-shuffles the gram stream a second time to meet its own count
     table — measured 2x slower at sf0.1); both shapes co-locate a hot
@@ -573,7 +577,7 @@ def novelty_signals(
     """
     sh = F.array_distinct(shingles(F.col(text_col), n=ngram))
     grams = df.select(F.col(id_col), F.explode(sh).alias("_g")).select(
-        id_col, F.md5("_g").alias("_h")
+        id_col, F.unhex(F.md5("_g")).alias("_h")
     )
     w = Window.partitionBy("_h")
     return (

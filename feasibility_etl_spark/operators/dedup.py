@@ -40,8 +40,14 @@ from .text import fingerprint, tokens
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct normalized text (lowest id wins).
 
-    groupBy on the md5 fingerprint — the only shuffle is on the 16-byte
-    hash, not the document body; map-side partial agg keeps it cheap.
+    groupBy on the md5 fingerprint — the only shuffle is on the hash,
+    not the document body; map-side partial agg keeps it cheap. The key
+    rides as the 16-byte ``unhex`` BINARY, not ``fingerprint``'s 32-char
+    hex surface (§2.3 narrower types, r12 session-7: the hex↔binary map
+    is bijective so the groups — and therefore the survivors — are
+    identical; interleaved A/B + sf1 shuffle bytes in
+    tools/ab_exactdedup_bin_r12.py). ``exact_dup_groups`` keeps the hex
+    fp: there it is an OUTPUT column the report contract exposes.
 
     r12 note — alternative REJECTED on measurement: a loser-id
     formulation (per-fp window → non-min ids of multi-doc groups →
@@ -53,7 +59,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (distinct-doc count) nothing here approaches. Numbers + arms in
     tools/ab_exactdedup_r12.py.
     """
-    h = fingerprint(text_col).alias("fp")
+    h = F.unhex(fingerprint(text_col)).alias("fp")
     keepers = df.select(h, F.col(id_col)).groupBy("fp").agg(F.min(id_col).alias(id_col))
     return df.join(keepers, id_col, "left_semi")
 
