@@ -803,28 +803,54 @@ def blocked_jaccard_pairs(
     bounded by Σ prefix-df²) — the adaptive split is per join key, which
     is exactly the grain a cluster schedules.
 
-    ``toks`` and ``sizes`` feed 4 and 3 plan branches respectively —
-    Spark shares no common subplans, so they are persisted through a
-    :class:`StageCache` (PERF-NOTES 23's kilobyte-persist lesson at
-    token scale). Standalone callers get a self-managed cache released
-    when the returned frame becomes unreachable; compositions pass
-    their own ``cache`` so one lifecycle owns every stage.
+    ``toks`` feeds multiple plan branches — Spark shares no common
+    subplans, so it is persisted through a :class:`StageCache`
+    (PERF-NOTES 23's kilobyte-persist lesson at token scale). ``n_tok``
+    rides row-locally on the token table (r13): it equals the size of
+    the distinct-token array the explode consumes, so the old
+    ``groupBy(id).count()`` exchange, the token-table-by-id re-attach
+    join, AND the two pair-grain size joins of the final arithmetic are
+    all gone (guide §2.4) — pairs carry (n_a, n_b) from the pair join
+    itself. Standalone callers get a self-managed cache released when
+    the returned frame becomes unreachable; compositions pass their own
+    ``cache`` so one lifecycle owns every stage.
     """
     from ..plans.compose import StageCache, release_when_unreachable
 
     own_cache = cache is None
     if own_cache:
         cache = StageCache()
+    # n_tok rides ROW-LOCALLY on the token table (r13): it is the size of
+    # the distinct-token array the explode consumes, so computing it
+    # before the explode is free and identical to the old
+    # ``toks.groupBy(id).count()`` (explode drops empty/null arrays, so
+    # both paths cover exactly the docs with ≥1 distinct token). That
+    # groupBy was an extra token-grain exchange, and re-attaching its
+    # result meant joining the EXPLODED token table by id — broadcast at
+    # bench SF but a full token-table shuffle once the size table
+    # outgrows the broadcast threshold (guide §2.4: remove shuffles
+    # outright). And because BOTH sides of every pair join carry n_tok,
+    # the pair grain keeps (n_a, n_b) for free all the way to the final
+    # similarity arithmetic — the old sizes frame and its two
+    # pair-grain re-attach joins (sa/sb) are gone entirely.
+    # the array is NAMED in an inner projection so n_tok's size() reads
+    # the materialized column: inlining the array expression under both
+    # size() and explode() leaves size(tokenize(text)) in the Project
+    # ABOVE the Generate — evaluated once per TOKEN row, a ~100×
+    # re-tokenize (A/B: 3.27 → 4.29 s; tools/ab_pairstage_decomp_r13.py)
+    _tok_arr = F.array_distinct(tokens(F.lower(F.trim(F.col(text_col)))))
     toks = cache(
         df.select(
             F.col(id_col),
             *[F.col(c) for c in block_cols],
-            F.explode(
-                F.array_distinct(tokens(F.lower(F.trim(F.col(text_col)))))
-            ).alias("tok"),
+            _tok_arr.alias("_toks"),
+        ).select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.size("_toks").cast("long").alias("n_tok"),
+            F.explode("_toks").alias("tok"),
         )
     )
-    sizes = cache(toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok")))
     # per-block document frequency; its per-block Σ C(df,2) IS the exact
     # all-pairs join cost, measured in-plan (grain: block — tiny)
     df_tok = cache(
@@ -876,15 +902,13 @@ def blocked_jaccard_pairs(
             raise
     if broadcast_routing:
         block_cost = F.broadcast(block_cost)
-    # StageCached: the two branch self-joins consume tagged from FOUR
-    # plan positions (a/b sides × small/ranked); measured at sf0.1 the
-    # persist wins for multi-consumer compositions (DEDUP-PRUNE 6.7 s
-    # cached vs 7.4 s uncached, idle-host median-of-3) and costs ~0.4 s
-    # on the single-pass path — within noise. The cache releases with
-    # the caller's lifecycle, and at the SFs where a corpus-scale
-    # persist would hurt, the t=0.2 family is disk-bound-declared
-    # upstream of this choice.
-    tagged = cache(toks.join(sizes, id_col).join(block_cost, block_cols))
+    # StageCached: tagged feeds FOUR plan positions (a/b sides ×
+    # small/ranked) — the un-persisted variant re-probes the routing
+    # broadcast over the whole token table per consumer, A/B-measured
+    # LOSING 2.76 → 3.47 s at sf0.1 (tools/ab_pairstage_r13.py); the
+    # persist stays. It is strictly smaller than r12's (no sizes join
+    # feeding it — n_tok already rides on toks).
+    tagged = cache(toks.join(block_cost, block_cols))
 
     def pair_join(side: DataFrame) -> DataFrame:
         a, b = side.alias("a"), side.alias("b")
@@ -900,8 +924,14 @@ def blocked_jaccard_pairs(
         )
         for c in block_cols:
             cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        # n_a/n_b ride with the pair: functionally dependent on the ids,
+        # so downstream groupBys key on all four and the final Jaccard
+        # arithmetic needs no size re-attach join
         return a.join(b, cond).select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_tok").alias("n_a"),
+            F.col("b.n_tok").alias("n_b"),
         )
 
     # cheap blocks: complete all-pairs token join, no window machinery.
@@ -916,7 +946,9 @@ def blocked_jaccard_pairs(
         id_col, *block_cols, "tok", "n_tok"
     )
     small_inter = (
-        pair_join(small).groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+        pair_join(small)
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     # expensive blocks: attach per-token df -> rarest-first order ->
     # PPJoin prefix (the (block,tok) join runs only on large-block rows)
@@ -942,25 +974,18 @@ def blocked_jaccard_pairs(
     inter = (
         cand.join(ta, "id_a")
         .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
         .unionByName(small_inter)
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-            ).alias("jaccard_sim"),
-        )
-        .where(F.col("jaccard_sim") >= threshold)
-    )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard_sim"),
+    ).where(F.col("jaccard_sim") >= threshold)
     return release_when_unreachable(out, cache) if own_cache else out
 
 
