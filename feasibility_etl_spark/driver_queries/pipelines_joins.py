@@ -31,7 +31,8 @@ def q_pipe_docs(spark: SparkSession, sf: str) -> DataFrame:
     # through one cache whose lifetime is the returned frame's
     s2 = shared(s1.where(quality_score("text") >= 0.5))
     pairs = blocked_jaccard_pairs(s2, ["lang", "source"], threshold=0.6,
-                                  cache=shared, broadcast_routing=True)
+                                  cache=shared, broadcast_routing=True,
+                                  branch_gate=True)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     s3 = s2.join(losers, "doc_id", "left_anti")
     has_emb = emb.select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("_he"))
@@ -744,7 +745,8 @@ def pipe_corpus_stage_frames(spark: SparkSession, sf: str, near_dup: str = "pair
         d4 = prune_by_components(d3, comps)
     elif near_dup == "pairs":
         pairs = blocked_jaccard_pairs(d3, ["lang", "source"], threshold=0.2,
-                                      cache=shared, broadcast_routing=True)
+                                      cache=shared, broadcast_routing=True,
+                                      branch_gate=True)
         d4 = prune_components(d3, pairs)
     else:
         raise ValueError(f"near_dup must be 'pairs' or 'components', got {near_dup!r}")

@@ -375,6 +375,7 @@ def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     return blocked_jaccard_pairs(
         load(spark, sf, "documents"), ["lang", "source"], threshold=0.2,
         broadcast_routing=True,  # (lang, source): ~10^2 blocks by construction
+        branch_gate=True,
     )
 
 

@@ -724,6 +724,7 @@ def blocked_jaccard_pairs(
     cache: "StageCache | None" = None,
     allpairs_max_pairs: int = ADAPTIVE_ALLPAIRS_MAX_PAIRS,
     broadcast_routing: bool | None = None,
+    branch_gate: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard pairs within blocking groups — relationally,
     ADAPTIVE per block: cheap blocks take the all-pairs token join, blocks
@@ -791,6 +792,20 @@ def blocked_jaccard_pairs(
     - ``cache`` — pass a composition-owned :class:`StageCache` to tie
       persist lifetimes to the outer pipeline; otherwise a self-managed
       cache releases when the returned frame becomes unreachable.
+    - ``branch_gate`` — ``True`` RUNS ONE SPARK JOB AT PLAN-CONSTRUCTION
+      TIME (a 3-column aggregate over the StageCached block-grain
+      routing table — the same persist every branch reads, so the job
+      is the query's own first materialization) and then builds ONLY
+      the branch(es) the measured per-block costs route to. A corpus
+      with no block over ``allpairs_max_pairs`` — the common case away
+      from adversarial stopword blocks — gets a plan with NO prefix
+      machinery at all (measured at sf0.1: 20 jobs/29 stages → 5/6,
+      3.10 → 1.84 s for the standalone pair frame,
+      tools/ab_branchgate_r13.py); a mixed corpus keeps today's exact
+      two-branch shape. Output is identical in all cases (the branches
+      partition blocks by the same predicate the gate measures).
+      Default ``False`` keeps the builder fully lazy for callers that
+      construct plans they may never run.
     Blocks at or under
     ``allpairs_max_pairs`` route their tokens straight into the complete
     all-pairs join (any J ≥ t > 0 pair shares a token — complete); blocks
@@ -882,6 +897,32 @@ def blocked_jaccard_pairs(
     # and AQE picks the strategy from runtime stats. The all-pairs
     # branch never pays a (block,tok)-grain join for a _df column only
     # the prefix branch reads.
+    build_small = build_big = True
+    if branch_gate:
+        # ONE construction-time job over the ≤|blocks|-row StageCached
+        # routing table settles which branches exist at all (and the
+        # broadcast hint, when the caller left it None, from the same
+        # row). Rides the block_cost persist — the query's own first
+        # materialization, same argument as the broadcast_routing=None
+        # count below. Failure must not strand a self-managed cache's
+        # persists (r8 ADVICE).
+        try:
+            _g = block_cost.agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.min("_cost").alias("mn"),
+                F.max("_cost").alias("mx"),
+            ).collect()[0]
+        except BaseException:
+            if own_cache:
+                cache.release()
+            raise
+        build_big = _g["mx"] is not None and _g["mx"] > allpairs_max_pairs
+        # an empty routing table (no docs with tokens) routes "small":
+        # both branches would be empty; the all-pairs one is the cheap
+        # empty plan
+        build_small = _g["mn"] is None or _g["mn"] <= allpairs_max_pairs
+        if broadcast_routing is None:
+            broadcast_routing = _g["nb"] <= MAX_BROADCAST_BLOCKS
     if broadcast_routing is None:
         # The measuring job rides the query's OWN first materialization
         # (r8 verdict item 2): block_cost is StageCached just above, so
@@ -902,13 +943,20 @@ def blocked_jaccard_pairs(
             raise
     if broadcast_routing:
         block_cost = F.broadcast(block_cost)
-    # StageCached: tagged feeds FOUR plan positions (a/b sides ×
-    # small/ranked) — the un-persisted variant re-probes the routing
-    # broadcast over the whole token table per consumer, A/B-measured
-    # LOSING 2.76 → 3.47 s at sf0.1 (tools/ab_pairstage_r13.py); the
-    # persist stays. It is strictly smaller than r12's (no sizes join
-    # feeding it — n_tok already rides on toks).
-    tagged = cache(toks.join(block_cost, block_cols))
+    if build_small and build_big:
+        # StageCached: tagged feeds FOUR plan positions (a/b sides ×
+        # small/ranked) — the un-persisted variant re-probes the routing
+        # broadcast over the whole token table per consumer, A/B-measured
+        # LOSING 2.76 → 3.47 s at sf0.1 (tools/ab_pairstage_r13.py); the
+        # persist stays. It is strictly smaller than r12's (no sizes join
+        # feeding it — n_tok already rides on toks).
+        tagged = cache(toks.join(block_cost, block_cols))
+    else:
+        # single-branch plan (branch_gate measured a uniform corpus):
+        # every token row routes the same way, so the _cost filters are
+        # vacuous and the routing join disappears — the surviving branch
+        # reads the toks persist directly
+        tagged = None
 
     def pair_join(side: DataFrame) -> DataFrame:
         a, b = side.alias("a"), side.alias("b")
@@ -942,42 +990,56 @@ def blocked_jaccard_pairs(
     # verify machinery too, re-joining the token table it had already
     # joined — the bulk of the 2.49→4.27 s DEDUP-NGRAM drift; interleaved
     # A/B in tools/ab_dedup_ngram_r12.py, PERF-NOTES 61)
-    small = tagged.where(F.col("_cost") <= allpairs_max_pairs).select(
-        id_col, *block_cols, "tok", "n_tok"
-    )
-    small_inter = (
-        pair_join(small)
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    # expensive blocks: attach per-token df -> rarest-first order ->
-    # PPJoin prefix (the (block,tok) join runs only on large-block rows)
-    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("tok").asc())
-    ranked = (
-        tagged.where(F.col("_cost") > allpairs_max_pairs)
-        .join(df_tok, [*block_cols, "tok"])
-        .withColumn("_rn", F.row_number().over(w))
-        .where(
-            F.col("_rn")
-            <= F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok") - 1e-9) + 1
+    small_inter = None
+    if build_small:
+        small = (
+            tagged.where(F.col("_cost") <= allpairs_max_pairs)
+            if tagged is not None
+            else toks
+        ).select(id_col, *block_cols, "tok", "n_tok")
+        small_inter = (
+            pair_join(small)
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-        .select(id_col, *block_cols, "tok", "n_tok")
-    )
-    cand = pair_join(ranked).distinct()
-    # exact verify for PREFIX candidates only: |A∩B| needs the FULL token
-    # sets (the prefix join meets only on rarest-first prefixes), so
-    # candidates join back to toks; the id determines the block. Blocks
-    # partition docs, so a pair lives in exactly one branch and the
-    # union below never double-counts.
-    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
-    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .unionByName(small_inter)
-    )
+    inter = small_inter
+    if build_big:
+        # expensive blocks: attach per-token df -> rarest-first order ->
+        # PPJoin prefix (the (block,tok) join runs only on large-block rows)
+        w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("tok").asc())
+        big = (
+            tagged.where(F.col("_cost") > allpairs_max_pairs)
+            if tagged is not None
+            else toks
+        )
+        ranked = (
+            big.join(df_tok, [*block_cols, "tok"])
+            .withColumn("_rn", F.row_number().over(w))
+            .where(
+                F.col("_rn")
+                <= F.col("n_tok")
+                - F.ceil(F.lit(threshold) * F.col("n_tok") - 1e-9)
+                + 1
+            )
+            .select(id_col, *block_cols, "tok", "n_tok")
+        )
+        cand = pair_join(ranked).distinct()
+        # exact verify for PREFIX candidates only: |A∩B| needs the FULL
+        # token sets (the prefix join meets only on rarest-first
+        # prefixes), so candidates join back to toks; the id determines
+        # the block. Blocks partition docs, so a pair lives in exactly
+        # one branch and the union below never double-counts.
+        ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+        tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+        big_inter = (
+            cand.join(ta, "id_a")
+            .join(tb, ["id_b", "tok"])
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        inter = (
+            big_inter if inter is None else big_inter.unionByName(small_inter)
+        )
     out = inter.select(
         "id_a",
         "id_b",

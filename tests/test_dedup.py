@@ -96,6 +96,55 @@ def test_blocked_jaccard_unhinted_fallback_same_result(spark, monkeypatch):
     assert unhinted == hinted and hinted
 
 
+def test_blocked_jaccard_branch_gate_parity_all_routings(spark):
+    """r13: ``branch_gate=True`` measures the per-block routing table at
+    construction and builds only the branch(es) the costs route to.
+    Results must be bit-identical to the lazy two-branch plan in every
+    routing outcome: all-small (default bound), all-big (bound forced to
+    -1 so every block routes prefix), and mixed (bound between the two
+    block costs so one block routes each way)."""
+    lazy = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in blocked_jaccard_pairs(
+            docs(spark), ["lang", "source"], threshold=0.1
+        ).collect()
+    }
+    assert lazy
+    # per-block costs differ (the en/web block carries the shared-token
+    # docs): pick a mixed bound strictly between min and max
+    from feasibility_etl_spark.operators.text import tokens as _tokens
+
+    costs = sorted(
+        r._cost
+        for r in docs(spark)
+        .select("lang", "source", F.explode(
+            F.array_distinct(_tokens(F.lower(F.trim(F.col("text")))))
+        ).alias("tok"))
+        .groupBy("lang", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .groupBy("lang", "source")
+        .agg(F.sum(F.col("_df") * (F.col("_df") - 1) / 2).cast("long").alias("_cost"))
+        .collect()
+    )
+    bounds = {
+        "all_small": None,  # default ADAPTIVE bound: everything routes small
+        "all_big": -1,  # every block over the bound: prefix only
+    }
+    if costs[0] < costs[-1]:
+        bounds["mixed"] = int(costs[0])  # min routes small, max routes big
+    for name, bound in bounds.items():
+        kwargs = {"threshold": 0.1, "branch_gate": True}
+        if bound is not None:
+            kwargs["allpairs_max_pairs"] = bound
+        gated = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in blocked_jaccard_pairs(
+                docs(spark), ["lang", "source"], **kwargs
+            ).collect()
+        }
+        assert gated == lazy, f"branch_gate routing {name} diverged"
+
+
 def test_simhash_buckets_exact_dups(spark):
     cands = {(r.id_a, r.id_b) for r in simhash_candidates(docs(spark)).collect()}
     assert (1, 2) in cands  # identical text → identical signature → all bands match

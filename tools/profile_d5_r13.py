@@ -92,7 +92,7 @@ def main() -> None:
 
         pairs = blocked_jaccard_pairs(
             d3, ["lang", "source"], threshold=0.2, cache=shared,
-            broadcast_routing=True,
+            broadcast_routing=True, branch_gate=True,
         )
         noop("pairs", pairs)
         comps = connected_components(pairs)

@@ -114,7 +114,7 @@ def main() -> None:
         else:
             pairs = blocked_jaccard_pairs(
                 d3, ["lang", "source"], threshold=0.2, cache=shared,
-                broadcast_routing=True,
+                broadcast_routing=True, branch_gate=True,
             )
             d4 = prune_components(d3, pairs)
         phase("near_dup_construct", t)
