@@ -218,6 +218,25 @@ def test_connected_components_driver_and_distributed_paths_agree(spark):
     assert via_spill == via_driver
 
 
+def test_connected_components_cross_partition_root_merge(spark):
+    """r13: the contracted-components path merges a ROOT graph, not the
+    node forest — every phase-1 task contributes local roots and the
+    final labels must unify them across partitions. Force the worst
+    case: a single long chain with every edge in its OWN partition, so
+    no local union-find sees more than one edge and correctness rests
+    entirely on the cross-partition root merge."""
+    from feasibility_etl_spark.operators.dedup import connected_components
+
+    n = 33
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    ).repartition(n - 1)  # ≈ one edge per task
+    got = {
+        r.doc_id: r.component_id for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_connected_components_chain_transitivity(spark):
     from feasibility_etl_spark.operators.dedup import connected_components
 
